@@ -1,0 +1,111 @@
+"""LDPC rate matching / dematching (TS 38.212 §5.4.2), gather/scatter-based.
+
+Counterpart of the reference's ldpc_rate_matcher_impl / ldpc_rate_dematcher_*
+(lib/phy/upper/channel_coding/ldpc/ldpc_rate_matcher_impl.cpp) — re-designed
+for TPU: for a static (bg, Z, K', E, rv, Qm, N_cb) configuration, the whole
+bit-selection + interleaving pipeline collapses to one precomputed gather
+index vector; dematching is the corresponding scatter-add with int8 LLR
+saturation.  Redundancy versions and filler skipping cost nothing at runtime.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import graphs
+
+# Redundancy-version starting offsets k0 = floor(num * N_cb / N) * Z
+# (TS 38.212 Table 5.4.2.1-2): numerators per rv, over denominator 66 / 50.
+_RV_NUM = {graphs.BG1: (0, 17, 33, 56), graphs.BG2: (0, 13, 25, 43)}
+_DEN = {graphs.BG1: 66, graphs.BG2: 50}
+
+LLR_MAX = 120  # "finite" LLR cap, matches reference log_likelihood_ratio.h
+LLR_INF = 127  # marks known bits (e.g. filler positions)
+
+
+def k0_offset(bg: int, z: int, rv: int, n_cb: int) -> int:
+    num = _RV_NUM[bg][rv]
+    return (num * n_cb // (_DEN[bg] * z)) * z
+
+
+@functools.lru_cache(maxsize=None)
+def selection_indices(
+    bg: int, z: int, k_prime: int, e: int, rv: int, qm: int, n_cb: int | None = None
+) -> np.ndarray:
+    """(E,) int32 gather indices into the N-bit circular buffer d.
+
+    Applies bit selection (circular, skipping filler positions) followed by
+    the Qm-row block interleaver: out[j*qm + i] = e[i*(e//qm) + j].
+    """
+    g = graphs.get_graph(bg, z)
+    n = g.nof_codeword_bits
+    if n_cb is None:
+        n_cb = n
+    # Filler positions within the buffer: message tail [k_prime - 2Z, K - 2Z).
+    f_start = k_prime - 2 * z
+    f_end = g.kb * z - 2 * z
+    is_filler = np.zeros(n_cb, dtype=bool)
+    is_filler[f_start:f_end] = True
+    k0 = k0_offset(bg, z, rv, n_cb)
+    order = (k0 + np.arange(n_cb)) % n_cb
+    valid = order[~is_filler[order]]
+    reps = -(-e // len(valid))
+    sel = np.tile(valid, reps)[:e].astype(np.int32)
+    # Interleave: e viewed as (qm, e//qm), read column-major.
+    assert e % qm == 0, (e, qm)
+    sel = sel.reshape(qm, e // qm).T.reshape(-1)
+    return sel
+
+
+@functools.lru_cache(maxsize=None)
+def _filler_mask(bg: int, z: int, k_prime: int, n_cb: int) -> np.ndarray:
+    g = graphs.get_graph(bg, z)
+    m = np.zeros(n_cb, dtype=bool)
+    m[k_prime - 2 * z : g.kb * z - 2 * z] = True
+    return m
+
+
+@functools.partial(jax.jit, static_argnames=("bg", "z", "k_prime", "e", "rv", "qm", "n_cb"))
+def rate_match(
+    buffer: jax.Array, bg: int, z: int, k_prime: int, e: int, rv: int, qm: int, n_cb: int | None = None
+) -> jax.Array:
+    """(..., N) codeword buffer -> (..., E) transmitted bits."""
+    if n_cb is None:
+        n_cb = graphs.get_graph(bg, z).nof_codeword_bits
+    idx = jnp.asarray(selection_indices(bg, z, k_prime, e, rv, qm, n_cb))
+    return jnp.take(buffer, idx, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("bg", "z", "k_prime", "e", "rv", "qm", "n_cb"))
+def rate_dematch(
+    llrs: jax.Array, bg: int, z: int, k_prime: int, e: int, rv: int, qm: int, n_cb: int | None = None
+) -> jax.Array:
+    """(..., E) int8 LLRs -> (..., N) codeword-buffer LLRs.
+
+    Scatter-adds repeated transmissions of the same buffer position with int8
+    saturation; filler positions are set to +LLR_INF (known zero bits).
+    Positions never transmitted stay 0 (erasure).
+    """
+    g = graphs.get_graph(bg, z)
+    n = g.nof_codeword_bits
+    if n_cb is None:
+        n_cb = n
+    idx = jnp.asarray(selection_indices(bg, z, k_prime, e, rv, qm, n_cb))
+    batch = llrs.shape[:-1]
+    acc = jnp.zeros(batch + (n,), dtype=jnp.int32)
+    acc = acc.at[..., idx].add(llrs.astype(jnp.int32))
+    acc = jnp.clip(acc, -LLR_MAX, LLR_MAX)
+    filler = jnp.asarray(_filler_mask(bg, z, k_prime, n_cb))
+    filler = jnp.pad(filler, (0, n - n_cb)) if n_cb < n else filler
+    return jnp.where(filler, jnp.int32(LLR_INF), acc).astype(jnp.int8)
+
+
+def combine_harq(old: jax.Array, new: jax.Array) -> jax.Array:
+    """Saturating int8 LLR combine of a retransmission into the HARQ buffer
+    (reference: pusch_decoder_impl.cpp:336)."""
+    s = old.astype(jnp.int16) + new.astype(jnp.int16)
+    return jnp.clip(s, -LLR_MAX, LLR_MAX).astype(jnp.int8)

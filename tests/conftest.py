@@ -7,9 +7,20 @@ CPU-deterministic, and sharding tests get 8 virtual devices.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # unit tests are CPU-deterministic; force it
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Persistent XLA compilation cache: repeated test runs skip recompiles.
+import jax  # noqa: E402
+
+# The environment's axon sitecustomize force-registers the TPU platform and
+# overrides JAX_PLATFORMS; re-select CPU after import, before first backend use.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
