@@ -24,9 +24,11 @@ def test_unit_average_power(mod):
 def test_known_symbols():
     # TS 38.211 §5.1.3: QPSK b=00 -> (1+j)/sqrt(2).
     np.testing.assert_allclose(constellation(Modulation.QPSK)[0], (1 + 1j) / np.sqrt(2), rtol=1e-6)
-    # §5.1.4: 16QAM b=0000 -> (1+j)/sqrt(10); b=1010 -> (-1-j)/sqrt(10).
+    # §5.1.4: 16QAM b=0000 -> (1+j)/sqrt(10); b=1010 -> (-3+j)/sqrt(10);
+    # b=1100 -> (-1-j)/sqrt(10).
     np.testing.assert_allclose(constellation(Modulation.QAM16)[0b0000], (1 + 1j) / np.sqrt(10), rtol=1e-6)
-    np.testing.assert_allclose(constellation(Modulation.QAM16)[0b1010], (-1 - 1j) / np.sqrt(10), rtol=1e-6)
+    np.testing.assert_allclose(constellation(Modulation.QAM16)[0b1010], (-3 + 1j) / np.sqrt(10), rtol=1e-6)
+    np.testing.assert_allclose(constellation(Modulation.QAM16)[0b1100], (-1 - 1j) / np.sqrt(10), rtol=1e-6)
     # 16QAM b=0010 -> (3+j)/sqrt(10).
     np.testing.assert_allclose(constellation(Modulation.QAM16)[0b0010], (3 + 1j) / np.sqrt(10), rtol=1e-6)
     # 64QAM b=000000 -> (3+3j)/sqrt(42).
