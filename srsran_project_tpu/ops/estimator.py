@@ -1,0 +1,108 @@
+"""Port channel estimator (counterpart of the reference's
+port_channel_estimator_average_impl, lib/phy/upper/signal_processors/
+port_channel_estimator_average_impl.cpp, 833 lines) — TPU re-design.
+
+Pipeline per (rx port, tx layer): LS estimates at pilot REs -> freq-domain
+OCC despreading over CDM pairs -> time averaging across DM-RS symbols ->
+raised-cosine low-pass smoothing across frequency (reference:
+port_channel_estimator_helpers.cpp:51,114,219) -> linear interpolation to
+every allocated subcarrier -> noise-variance / EPRE / RSRP / SINR metrics.
+Everything is a static-shape batched tensor program; the pilot geometry
+(indices, pair structure) is precomputed host-side in ran/dmrs.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _rc_filter_taps(nof_taps: int = 9, rolloff: float = 0.2, cutoff: float = 0.45) -> np.ndarray:
+    """Raised-cosine low-pass taps used for frequency smoothing, normalized."""
+    n = np.arange(nof_taps) - (nof_taps - 1) / 2
+    sinc = np.sinc(2 * cutoff * n)
+    cosf = np.cos(np.pi * rolloff * 2 * cutoff * n)
+    den = 1 - (2 * rolloff * 2 * cutoff * n) ** 2
+    den = np.where(np.abs(den) < 1e-9, 1e-9, den)
+    taps = sinc * cosf / den
+    return (taps / taps.sum()).astype(np.float32)
+
+
+def _smooth_freq(h: jax.Array, taps: np.ndarray) -> jax.Array:
+    """Edge-replicated 1-D convolution along the last axis."""
+    k = len(taps)
+    pad = k // 2
+    hp = jnp.concatenate(
+        [jnp.repeat(h[..., :1], pad, axis=-1), h, jnp.repeat(h[..., -1:], pad, axis=-1)], axis=-1
+    )
+    w = jnp.asarray(taps)
+    out = jnp.zeros_like(h)
+    for i in range(k):
+        out = out + w[i] * hp[..., i : i + h.shape[-1]]
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("pair_positions", "nof_sc", "smooth"))
+def estimate_channel(
+    y_pilots: jax.Array,
+    ref_pilots: jax.Array,
+    wf: jax.Array,
+    pair_positions: tuple[float, ...],
+    nof_sc: int,
+    smooth: bool = True,
+):
+    """Estimate one (rx port, layer) channel over an allocation.
+
+    y_pilots:   (..., nsym_dmrs, Np) received pilot REs
+    ref_pilots: broadcastable to y_pilots — transmitted pilot values
+                (without the OCC)
+    wf:         (Np,) +-1 frequency OCC of this layer's port
+    pair_positions: static subcarrier positions (relative to the allocation
+                start) of each CDM pair center, length Np//2
+    nof_sc:     allocation width in subcarriers
+
+    Returns (h (..., nof_sc) complex64, noise_var (...,) float32,
+             metrics dict with epre/rsrp/snr).
+    """
+    ls = y_pilots * jnp.conj(ref_pilots) * wf  # LS per pilot RE
+    # OCC despread over adjacent pilot pairs.
+    pair = ls.reshape(ls.shape[:-1] + (ls.shape[-1] // 2, 2))
+    h_pair = pair.mean(axis=-1)  # (..., nsym_dmrs, Np/2)
+
+    # Time average across DM-RS symbols.
+    h_t = h_pair.mean(axis=-2)  # (..., Np/2)
+
+    if smooth:
+        h_t = _smooth_freq(h_t, _rc_filter_taps())
+
+    # Linear interpolation from pair centers to all subcarriers.
+    pos = np.asarray(pair_positions, dtype=np.float32)
+    x = np.arange(nof_sc, dtype=np.float32)
+    # Indices of the left neighbor for each target subcarrier.
+    li = np.clip(np.searchsorted(pos, x, side="right") - 1, 0, len(pos) - 2)
+    frac = (x - pos[li]) / (pos[li + 1] - pos[li])
+    frac = np.clip(frac, 0.0, 1.0) if len(pos) > 1 else np.zeros_like(x)
+    li_j = jnp.asarray(li)
+    fr_j = jnp.asarray(frac.astype(np.float32))
+    h = h_t[..., li_j] * (1 - fr_j) + h_t[..., li_j + 1] * fr_j  # (..., nof_sc)
+
+    # Noise variance: residual of the raw LS samples vs the despread estimate.
+    h_rep = jnp.repeat(h_pair, 2, axis=-1)  # back to per-pilot
+    resid = ls - h_rep
+    nsym_d = y_pilots.shape[-2]
+    # Despreading removes 1 dof per pair; scale accordingly.
+    noise_var = (jnp.abs(resid) ** 2).mean(axis=(-2, -1)) * 2.0
+    noise_var = jnp.maximum(noise_var, 1e-10)
+
+    epre = (jnp.abs(y_pilots) ** 2).mean(axis=(-2, -1))
+    rsrp = (jnp.abs(h_pair) ** 2).mean(axis=-1).mean(axis=-1)
+    snr = rsrp / noise_var
+    return h.astype(jnp.complex64), noise_var.astype(jnp.float32), {
+        "epre": epre,
+        "rsrp": rsrp,
+        "snr": snr,
+    }

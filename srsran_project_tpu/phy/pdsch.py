@@ -1,0 +1,105 @@
+"""PDSCH processor: transport block -> resource grid.
+
+Counterpart of the reference's pdsch_processor_flexible_impl
+(lib/phy/upper/channel_processors/pdsch/pdsch_processor_flexible_impl.cpp):
+segment -> LDPC encode -> rate match -> scramble -> modulate -> layer map ->
+precode -> grid, plus the DM-RS generator
+(lib/phy/upper/signal_processors/pdsch/dmrs_pdsch_processor_impl.cpp).
+Here the whole slot-PDU is one jitted tensor program per static
+`PdschConfig`; only bits, RNTI, and the precoding matrix are traced.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import scrambling
+from ..ops.modulation import Modulation, map_bits
+from ..ran import dmrs as dmrs_mod
+from . import allocation as alloc_mod
+from .sch import SchConfig, encode_transport_block
+
+
+@dataclasses.dataclass(frozen=True)
+class PdschConfig:
+    tbs: int
+    target_code_rate: float
+    modulation: Modulation
+    alloc: alloc_mod.Allocation
+    nof_layers: int = 1
+    nof_ports: int = 1
+    nof_grid_symbols: int = 14
+    nof_grid_sc: int = 624  # 52 PRB default
+    n_id: int = 0  # scrambling identity (cell id or dataScramblingIdentity)
+    rv: int = 0
+    slot_in_frame: int = 0
+    dmrs_scrambling_id: int = 0
+    n_scid: int = 0
+
+    @functools.cached_property
+    def sch(self) -> SchConfig:
+        qm = int(self.modulation) if self.modulation != Modulation.PI_2_BPSK else 1
+        ndata = alloc_mod.nof_data_re(self.alloc)
+        g = ndata * qm * self.nof_layers
+        return SchConfig(
+            tbs=self.tbs,
+            target_code_rate=self.target_code_rate,
+            qm=qm,
+            nof_layers=self.nof_layers,
+            nof_total_bits=g,
+            rv=self.rv,
+        )
+
+
+def _pdsch_c_init(rnti, n_id: int, q: int = 0):
+    return (rnti.astype(jnp.uint32) << 15) + jnp.uint32(q << 14) + jnp.uint32(n_id)
+
+
+def dmrs_pilots(cfg: PdschConfig, nof_pilots: int) -> jax.Array:
+    """(nsym_dmrs, nof_pilots) complex64 DM-RS QPSK values r(m) per symbol."""
+    outs = []
+    for sym in cfg.alloc.dmrs_symbols:
+        c_init = dmrs_mod.dmrs_c_init(cfg.slot_in_frame, sym, cfg.dmrs_scrambling_id, cfg.n_scid)
+        c = scrambling.gold_sequence(np.uint32(c_init), 2 * nof_pilots)
+        re = 1.0 - 2.0 * c[0::2].astype(jnp.float32)
+        im = 1.0 - 2.0 * c[1::2].astype(jnp.float32)
+        outs.append((re + 1j * im) / np.sqrt(2))
+    return jnp.stack(outs).astype(jnp.complex64)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def process(tb_bits: jax.Array, rnti: jax.Array, precoding: jax.Array, cfg: PdschConfig) -> jax.Array:
+    """Encode one PDSCH PDU into a resource grid.
+
+    tb_bits:   (A,) payload bits
+    rnti:      scalar uint32
+    precoding: (nof_layers, nof_ports) complex64
+    Returns grid (nof_ports, nof_grid_symbols, nof_grid_sc) complex64.
+    """
+    a = cfg.alloc
+    cw = encode_transport_block(tb_bits, cfg.sch)  # (G,)
+    cw = scrambling.scramble_bits(cw, _pdsch_c_init(jnp.asarray(rnti), cfg.n_id))
+    syms = map_bits(cw, cfg.modulation)  # (G/Qm,)
+    nl = cfg.nof_layers
+    layered = syms.reshape(-1, nl).T  # (nl, ndata): symbol i -> layer i%nl
+
+    grid_l = jnp.zeros((nl, cfg.nof_grid_symbols * cfg.nof_grid_sc), dtype=jnp.complex64)
+    didx = jnp.asarray(alloc_mod.data_re_indices(a, cfg.nof_grid_symbols, cfg.nof_grid_sc))
+    grid_l = grid_l.at[:, didx].set(layered)
+
+    # DM-RS: each layer maps to DM-RS port = layer index (v1 convention).
+    for layer in range(nl):
+        idx, wf, _, seq_idx = alloc_mod.pilot_re_indices(a, layer, cfg.nof_grid_sc)
+        nof_pilots_total = int(seq_idx[-1]) + 1
+        r = dmrs_pilots(cfg, nof_pilots_total)[:, jnp.asarray(seq_idx)]
+        vals = r * jnp.asarray(wf, dtype=jnp.complex64)
+        grid_l = grid_l.at[layer, jnp.asarray(idx)].set(vals)
+
+    grid_l = grid_l.reshape(nl, cfg.nof_grid_symbols, cfg.nof_grid_sc)
+    w = precoding.astype(jnp.complex64)
+    return jnp.einsum("lp,lsk->psk", w, grid_l)

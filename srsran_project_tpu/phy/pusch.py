@@ -1,0 +1,146 @@
+"""PUSCH processor: resource grid -> transport block.
+
+Counterpart of the reference's pusch_processor_impl chain
+(lib/phy/upper/channel_processors/pusch/pusch_processor_impl.cpp:134):
+DM-RS channel estimation -> equalization -> soft demap -> descramble ->
+rate dematch/HARQ -> LDPC decode -> CRC.  One jitted tensor program per
+static `PuschConfig`; the estimator/equalizer handle any ports x layers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import scrambling
+from ..ops.equalizer import equalize
+from ..ops.estimator import estimate_channel
+from ..ops.modulation import Modulation, demap_soft, quantize_llr
+from ..ran import dmrs as dmrs_mod
+from . import allocation as alloc_mod
+from .sch import SchConfig, decode_transport_block
+
+
+@dataclasses.dataclass(frozen=True)
+class PuschConfig:
+    tbs: int
+    target_code_rate: float
+    modulation: Modulation
+    alloc: alloc_mod.Allocation
+    nof_layers: int = 1
+    nof_rx_ports: int = 1
+    nof_grid_symbols: int = 14
+    nof_grid_sc: int = 624
+    n_id: int = 0
+    rv: int = 0
+    slot_in_frame: int = 0
+    dmrs_scrambling_id: int = 0
+    n_scid: int = 0
+    nof_ldpc_iterations: int = 6
+    equalizer: str = "mmse"
+    llr_range_limit: float = 20.0
+
+    @functools.cached_property
+    def sch(self) -> SchConfig:
+        qm = int(self.modulation) if self.modulation != Modulation.PI_2_BPSK else 1
+        g = alloc_mod.nof_data_re(self.alloc) * qm * self.nof_layers
+        return SchConfig(
+            tbs=self.tbs,
+            target_code_rate=self.target_code_rate,
+            qm=qm,
+            nof_layers=self.nof_layers,
+            nof_total_bits=g,
+            rv=self.rv,
+        )
+
+
+def _pusch_c_init(rnti, n_id: int):
+    return (rnti.astype(jnp.uint32) << 15) + jnp.uint32(n_id)
+
+
+def _dmrs_pilots(cfg: PuschConfig, nof_pilots: int) -> jax.Array:
+    outs = []
+    for sym in cfg.alloc.dmrs_symbols:
+        c_init = dmrs_mod.dmrs_c_init(cfg.slot_in_frame, sym, cfg.dmrs_scrambling_id, cfg.n_scid)
+        c = scrambling.gold_sequence(np.uint32(c_init), 2 * nof_pilots)
+        re = 1.0 - 2.0 * c[0::2].astype(jnp.float32)
+        im = 1.0 - 2.0 * c[1::2].astype(jnp.float32)
+        outs.append((re + 1j * im) / np.sqrt(2))
+    return jnp.stack(outs).astype(jnp.complex64)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def process(
+    grid: jax.Array,
+    rnti: jax.Array,
+    cfg: PuschConfig,
+    harq_buffer: jax.Array | None = None,
+):
+    """Decode one PUSCH PDU from a received resource grid.
+
+    grid: (nof_rx_ports, nof_grid_symbols, nof_grid_sc) complex64
+    Returns dict with tb_bits, tb_crc_ok, harq_buffer, noise_var, snr_db.
+    """
+    a = cfg.alloc
+    nl, npr = cfg.nof_layers, cfg.nof_rx_ports
+    gflat = grid.reshape(npr, -1)
+
+    # --- Channel estimation per (rx port, layer) ---
+    h_cols = []
+    nvar_acc = 0.0
+    snr_acc = 0.0
+    for layer in range(nl):
+        idx, wf, pair_pos, seq_idx = alloc_mod.pilot_re_indices(a, layer, cfg.nof_grid_sc)
+        nof_pilots_total = int(seq_idx[-1]) + 1
+        r = _dmrs_pilots(cfg, nof_pilots_total)[:, jnp.asarray(seq_idx)]  # (nsym_d, Np)
+        y_p = gflat[:, jnp.asarray(idx).reshape(-1)].reshape(npr, len(a.dmrs_symbols), -1)
+        h_l, nv_l, metrics = estimate_channel(
+            y_p, r[None], jnp.asarray(wf, jnp.float32), pair_pos, a.nof_sc
+        )  # h_l: (npr, nof_sc), nv_l: (npr,)
+        h_cols.append(h_l)
+        nvar_acc = nvar_acc + nv_l.mean() / nl
+        snr_acc = snr_acc + metrics["snr"].mean() / nl
+    h = jnp.stack(h_cols, axis=-1)  # (npr, nof_sc, nl)
+    noise_var = nvar_acc
+
+    # --- Extract data REs and equalize ---
+    didx = jnp.asarray(alloc_mod.data_re_indices(a, cfg.nof_grid_symbols, cfg.nof_grid_sc))
+    y = gflat[:, didx]  # (npr, ndata)
+    # Subcarrier of each data RE within the allocation (for H lookup).
+    sc_of_data = jnp.asarray(
+        (alloc_mod.data_re_indices(a, cfg.nof_grid_symbols, cfg.nof_grid_sc) % cfg.nof_grid_sc)
+        - a.sc_start
+    )
+    h_data = h[:, sc_of_data, :]  # (npr, ndata, nl)
+    x_hat, eq_nvar = equalize(
+        jnp.moveaxis(y, 0, -1),  # (ndata, npr)
+        jnp.moveaxis(h_data, 0, 1),  # (ndata, npr, nl)
+        noise_var,
+        method=cfg.equalizer,
+    )  # (ndata, nl), (ndata, nl)
+
+    # --- Demap, de-layer-map, descramble ---
+    llr_layers = demap_soft(x_hat.T, eq_nvar.T, cfg.modulation)  # (nl, ndata*Qm)
+    qm = cfg.sch.qm
+    # Inverse of layer mapping: codeword bit blocks of Qm alternate layers.
+    ndata = llr_layers.shape[-1] // qm
+    llr = llr_layers.reshape(nl, ndata, qm)
+    llr = jnp.moveaxis(llr, 0, 1).reshape(-1)  # (G,)
+    llr_i8 = quantize_llr(llr, cfg.llr_range_limit)
+    llr_i8 = scrambling.descramble_llrs(llr_i8, _pusch_c_init(jnp.asarray(rnti), cfg.n_id))
+
+    # --- Decode ---
+    tb, ok, harq = decode_transport_block(
+        llr_i8, cfg.sch, cfg.nof_ldpc_iterations, harq_buffer
+    )
+    return {
+        "tb_bits": tb,
+        "tb_crc_ok": ok,
+        "harq_buffer": harq,
+        "noise_var": noise_var,
+        "snr_db": 10.0 * jnp.log10(jnp.maximum(snr_acc, 1e-12)),
+    }

@@ -1,0 +1,109 @@
+"""Shared-channel transport coding: TB bits <-> codeword bits/LLRs.
+
+The common core of the PDSCH encoder chain (reference:
+pdsch_processor_impl.cpp:42 — CRC -> LDPC segment/encode -> rate match) and
+the PUSCH decoder chain (pusch_decoder_impl.cpp — rate dematch -> HARQ
+combine -> LDPC decode -> CRC), with the per-codeblock E_r split of
+TS 38.212 §5.4.2.1.  All geometry is static per `SchConfig`; codeblocks
+batch along a leading axis on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.ldpc import decoder as ldpc_decoder
+from ..ops.ldpc import encoder as ldpc_encoder
+from ..ops.ldpc import rate_match as rm
+from ..ops.ldpc import segmenter
+
+
+@dataclasses.dataclass(frozen=True)
+class SchConfig:
+    """Static transport-block coding configuration."""
+
+    tbs: int
+    target_code_rate: float  # R (for BG/segmentation selection)
+    qm: int  # modulation order
+    nof_layers: int
+    nof_total_bits: int  # G: total rate-matched bits for this codeword
+    rv: int = 0
+
+    @functools.cached_property
+    def seg(self) -> segmenter.SegmentParams:
+        return segmenter.compute_segment_params(self.tbs, self.target_code_rate)
+
+    @functools.cached_property
+    def cb_e_bits(self) -> tuple[int, ...]:
+        """Per-codeblock rate-matched length E_r (TS 38.212 §5.4.2.1)."""
+        c = self.seg.nof_codeblocks
+        g = self.nof_total_bits
+        unit = self.qm * self.nof_layers
+        assert g % unit == 0, (g, unit)
+        lo = unit * (g // (unit * c))
+        hi = lo + unit
+        nof_hi = (g // unit) % c
+        return tuple([lo] * (c - nof_hi) + [hi] * nof_hi)
+
+
+def encode_transport_block(tb_bits: jax.Array, cfg: SchConfig) -> jax.Array:
+    """TB payload (..., A) -> codeword bits (..., G)."""
+    seg = cfg.seg
+    cbs = segmenter.segment_tx(tb_bits, seg)  # (..., C, K)
+    buf = ldpc_encoder.encode_to_buffer(cbs, seg.base_graph, seg.lifting_size)
+    pieces = []
+    k_prime = seg.nof_payload_bits_per_cb
+    for r, e in enumerate(cfg.cb_e_bits):
+        pieces.append(
+            rm.rate_match(
+                buf[..., r, :], seg.base_graph, seg.lifting_size, k_prime, e, cfg.rv, cfg.qm
+            )
+        )
+    return jnp.concatenate(pieces, axis=-1)
+
+
+def decode_transport_block(
+    llrs: jax.Array,
+    cfg: SchConfig,
+    nof_iterations: int = 6,
+    harq_buffer: jax.Array | None = None,
+):
+    """Codeword LLRs (..., G) int8 -> (tb_bits (..., A), tb_crc_ok (...,),
+    new_harq_buffer (..., C, N)).
+
+    harq_buffer holds accumulated codeword-buffer LLRs from earlier
+    (re)transmissions; pass None for a new transmission.
+    """
+    seg = cfg.seg
+    k_prime = seg.nof_payload_bits_per_cb
+    dematched = []
+    off = 0
+    for r, e in enumerate(cfg.cb_e_bits):
+        dematched.append(
+            rm.rate_dematch(
+                llrs[..., off : off + e],
+                seg.base_graph,
+                seg.lifting_size,
+                k_prime,
+                e,
+                cfg.rv,
+                cfg.qm,
+            )
+        )
+        off += e
+    buf = jnp.stack(dematched, axis=-2)  # (..., C, N)
+    if harq_buffer is not None:
+        buf = rm.combine_harq(harq_buffer, buf)
+    new_harq = buf
+
+    flat = buf.reshape((-1,) + buf.shape[-1:])
+    bits, _ = ldpc_decoder.decode(
+        flat.astype(jnp.float32), seg.base_graph, seg.lifting_size, nof_iterations
+    )
+    bits = bits.reshape(buf.shape[:-1] + (bits.shape[-1],))  # (..., C, K)
+    tb, ok = segmenter.desegment_rx(bits, seg)
+    return tb, ok, new_harq

@@ -1,0 +1,94 @@
+"""PDSCH -> channel -> PUSCH loopback at the processor level.
+
+Mirrors the reference's pxsch_chain/bler integration tests
+(tests/integrationtests/phy/upper/channel_processors/pxsch_bler_test.cpp):
+encode a TB to a grid, pass it through an emulated channel, decode it back.
+"""
+
+import numpy as np
+import pytest
+
+from srsran_project_tpu.ops.modulation import Modulation
+from srsran_project_tpu.phy import pdsch, pusch
+from srsran_project_tpu.phy.allocation import Allocation
+
+
+def _mk_cfgs(tbs=1000, rate=0.4, mod=Modulation.QPSK, layers=1, ports=1, rb=24):
+    alloc = Allocation(
+        rb_start=2, rb_count=rb, sym_start=1, sym_count=12, dmrs_symbols=(2, 11)
+    )
+    common = dict(
+        tbs=tbs,
+        target_code_rate=rate,
+        modulation=mod,
+        alloc=alloc,
+        nof_layers=layers,
+        nof_grid_symbols=14,
+        nof_grid_sc=624,
+        slot_in_frame=3,
+    )
+    tx = pdsch.PdschConfig(nof_ports=ports, **common)
+    rx = pusch.PuschConfig(nof_rx_ports=ports, **common)
+    return tx, rx
+
+
+def _run(tx, rx, h=None, noise=0.0, seed=0):
+    rng = np.random.default_rng(seed)
+    tb = rng.integers(0, 2, size=(tx.tbs,), dtype=np.uint8)
+    rnti = np.uint32(0x4601)
+    w = np.eye(tx.nof_layers, tx.nof_ports, dtype=np.complex64)
+    grid = np.asarray(pdsch.process(tb, rnti, w, tx))
+    if h is not None:
+        grid = np.einsum("qp,psk->qsk", h, grid)
+    if noise > 0:
+        grid = grid + (
+            rng.standard_normal(grid.shape) + 1j * rng.standard_normal(grid.shape)
+        ).astype(np.complex64) * np.sqrt(noise / 2)
+    out = pusch.process(grid.astype(np.complex64), rnti, rx)
+    return tb, out
+
+
+def test_loopback_ideal_channel():
+    tx, rx = _mk_cfgs()
+    tb, out = _run(tx, rx, noise=1e-4)
+    assert bool(np.asarray(out["tb_crc_ok"]))
+    np.testing.assert_array_equal(np.asarray(out["tb_bits"]), tb)
+
+
+def test_loopback_noisy_qam16():
+    tx, rx = _mk_cfgs(tbs=2048, rate=0.4, mod=Modulation.QAM16)
+    tb, out = _run(tx, rx, noise=0.02, seed=1)
+    assert bool(np.asarray(out["tb_crc_ok"]))
+    np.testing.assert_array_equal(np.asarray(out["tb_bits"]), tb)
+
+
+def test_loopback_fading_siso():
+    tx, rx = _mk_cfgs(tbs=1000, rate=0.3)
+    rng = np.random.default_rng(2)
+    h = np.array([[0.8 * np.exp(1j * 0.7)]], dtype=np.complex64)
+    tb, out = _run(tx, rx, h=h, noise=0.005, seed=2)
+    assert bool(np.asarray(out["tb_crc_ok"]))
+    np.testing.assert_array_equal(np.asarray(out["tb_bits"]), tb)
+
+
+def test_loopback_2x2_mimo():
+    tx, rx = _mk_cfgs(tbs=2048, rate=0.3, layers=2, ports=2)
+    rng = np.random.default_rng(3)
+    h = (rng.standard_normal((2, 2)) + 1j * rng.standard_normal((2, 2))).astype(
+        np.complex64
+    ) / np.sqrt(2)
+    # Keep the channel well conditioned for this sanity test.
+    u, s, vh = np.linalg.svd(h)
+    h = (u @ np.diag([1.0, 0.8]) @ vh).astype(np.complex64)
+    tb, out = _run(tx, rx, h=h, noise=0.002, seed=3)
+    assert bool(np.asarray(out["tb_crc_ok"]))
+    np.testing.assert_array_equal(np.asarray(out["tb_bits"]), tb)
+
+
+def test_multi_codeblock_tb():
+    # TB large enough to segment into several codeblocks.
+    tx, rx = _mk_cfgs(tbs=18432, rate=0.6, mod=Modulation.QAM16, rb=48)
+    assert tx.sch.seg.nof_codeblocks > 1
+    tb, out = _run(tx, rx, noise=0.01, seed=4)
+    assert bool(np.asarray(out["tb_crc_ok"]))
+    np.testing.assert_array_equal(np.asarray(out["tb_bits"]), tb)
