@@ -1,0 +1,137 @@
+"""Flagship end-to-end cell model: full-slot PDSCH encode (DL) and PUSCH
+decode (UL) including OFDM, for one static cell configuration.
+
+This is the TPU equivalent of wiring the reference's upper+lower PHY for one
+carrier (upper_phy_impl + ofdm modulator: SURVEY.md §3.3/§3.4 call stacks):
+encode_slot: TB bits -> PDSCH grid -> OFDM IQ samples;
+decode_slot: IQ samples -> grid -> channel estimate -> equalize -> demap ->
+LDPC decode -> TB + CRC.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import ofdm
+from ..ops.modulation import Modulation
+from ..phy import pdsch, pusch
+from ..phy.allocation import Allocation
+from ..ran import tbs as tbs_mod
+from ..ran.constants import NRE, CyclicPrefix, SubcarrierSpacing, min_dft_size
+
+
+@dataclasses.dataclass(frozen=True)
+class CellConfig:
+    """Static cell parameters; defaults give the 100 MHz / 4x4 north star."""
+
+    nof_rb: int = 273
+    scs: SubcarrierSpacing = SubcarrierSpacing.KHZ30
+    cp: CyclicPrefix = CyclicPrefix.NORMAL
+    nof_ports: int = 4
+    nof_layers: int = 4
+    modulation: Modulation = Modulation.QAM256
+    target_code_rate: float = 948.0 / 1024.0
+    f_center_hz: float = 3.5e9
+    sym_start: int = 1
+    sym_count: int = 13
+    dmrs_symbols: tuple[int, ...] = (2,)
+    slot_in_frame: int = 0
+
+    @property
+    def dft_size(self) -> int:
+        return min_dft_size(self.nof_rb)
+
+    @property
+    def nof_sc(self) -> int:
+        return self.nof_rb * NRE
+
+    @functools.cached_property
+    def alloc(self) -> Allocation:
+        return Allocation(
+            rb_start=0,
+            rb_count=self.nof_rb,
+            sym_start=self.sym_start,
+            sym_count=self.sym_count,
+            dmrs_symbols=self.dmrs_symbols,
+        )
+
+    @functools.cached_property
+    def tbs(self) -> int:
+        qm = int(self.modulation)
+        n_dmrs_re = NRE * len(self.dmrs_symbols)  # type 1, 2 CDM groups w/o data
+        return tbs_mod.calculate_tbs(
+            self.nof_rb, self.sym_count, n_dmrs_re, self.target_code_rate, qm, self.nof_layers
+        )
+
+    @functools.cached_property
+    def pdsch_cfg(self) -> pdsch.PdschConfig:
+        return pdsch.PdschConfig(
+            tbs=self.tbs,
+            target_code_rate=self.target_code_rate,
+            modulation=self.modulation,
+            alloc=self.alloc,
+            nof_layers=self.nof_layers,
+            nof_ports=self.nof_ports,
+            nof_grid_symbols=14,
+            nof_grid_sc=self.nof_sc,
+            slot_in_frame=self.slot_in_frame,
+        )
+
+    @functools.cached_property
+    def pusch_cfg(self) -> pusch.PuschConfig:
+        return pusch.PuschConfig(
+            tbs=self.tbs,
+            target_code_rate=self.target_code_rate,
+            modulation=self.modulation,
+            alloc=self.alloc,
+            nof_layers=self.nof_layers,
+            nof_rx_ports=self.nof_ports,
+            nof_grid_symbols=14,
+            nof_grid_sc=self.nof_sc,
+            slot_in_frame=self.slot_in_frame,
+        )
+
+
+def tiny_cell(nof_rb: int = 6, nof_ports: int = 1) -> CellConfig:
+    """A small cell for compile checks and virtual-mesh dry runs."""
+    return CellConfig(
+        nof_rb=nof_rb,
+        nof_ports=nof_ports,
+        nof_layers=nof_ports,
+        modulation=Modulation.QPSK,
+        target_code_rate=0.3,
+        f_center_hz=0.0,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def encode_slot(tb_bits: jax.Array, rnti: jax.Array, precoding: jax.Array, cfg: CellConfig):
+    """DL slot: TB payload -> baseband IQ (nof_ports, nof_samples)."""
+    grid = pdsch.process(tb_bits, rnti, precoding, cfg.pdsch_cfg)
+    return ofdm.modulate_slot(
+        grid,
+        cfg.scs,
+        cfg.dft_size,
+        cfg.cp,
+        0,
+        f_center_hz=cfg.f_center_hz,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def decode_slot(iq: jax.Array, rnti: jax.Array, cfg: CellConfig):
+    """UL slot: baseband IQ (nof_rx_ports, nof_samples) -> decode results."""
+    grid = ofdm.demodulate_slot(
+        iq,
+        cfg.nof_rb,
+        cfg.scs,
+        cfg.dft_size,
+        cfg.cp,
+        0,
+        f_center_hz=cfg.f_center_hz,
+    )
+    return pusch.process(grid, rnti, cfg.pusch_cfg)
