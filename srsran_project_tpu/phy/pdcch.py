@@ -1,0 +1,111 @@
+"""PDCCH processor: DCI payload -> resource grid.
+
+Counterpart of the reference's pdcch_processor/encoder/modulator
+(lib/phy/upper/channel_processors/pdcch/pdcch_processor_impl.cpp):
+CRC24C attach with RNTI masking (TS 38.212 §7.3.2) -> input interleaving ->
+polar encode + rate match -> scrambling -> QPSK -> CCE/REG mapping with
+DM-RS (TS 38.211 §7.3.2/§7.4.1.3).  Static per PdcchConfig; non-interleaved
+CCE-to-REG mapping, 1-symbol CORESET in this version.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import polar, scrambling
+from ..ops.modulation import Modulation, map_bits
+from ..ran.constants import NRE
+
+
+@dataclasses.dataclass(frozen=True)
+class PdcchConfig:
+    payload_bits: int  # DCI size A (without CRC)
+    aggregation_level: int  # 1, 2, 4, 8, 16 (CCEs)
+    cce_index: int
+    coreset_rb_start: int
+    coreset_rb_count: int  # multiple of 6
+    symbol: int = 0
+    n_id: int = 0  # pdcch-DMRS-ScramblingID / cell id
+    n_rnti: int = 0  # for data scrambling (UE-specific search space)
+    nof_grid_symbols: int = 14
+    nof_grid_sc: int = 624
+    slot_in_frame: int = 0
+
+    @property
+    def nof_coded_bits(self) -> int:
+        # L CCEs x 6 REGs x 9 data REs x 2 bits (QPSK).
+        return self.aggregation_level * 6 * 9 * 2
+
+    @functools.cached_property
+    def code(self) -> polar.PolarCode:
+        return polar.construct(self.payload_bits + 24, self.nof_coded_bits, n_max=9)
+
+
+def _crc24c_with_rnti(payload: jax.Array, rnti: jax.Array) -> jax.Array:
+    """TS 38.212 §7.3.2: prepend 24 ones, CRC24C, mask last 16 CRC bits
+    with the RNTI; returns payload+CRC (ones dropped)."""
+    from ..ops import crc as crc_mod
+
+    ones = jnp.ones(payload.shape[:-1] + (24,), jnp.uint8)
+    ext = jnp.concatenate([ones, payload.astype(jnp.uint8)], axis=-1)
+    c = crc_mod.crc(ext, "24C")
+    rnti_bits = (
+        (jnp.asarray(rnti, jnp.uint32)[..., None] >> jnp.arange(15, -1, -1, dtype=jnp.uint32)) & 1
+    ).astype(jnp.uint8)
+    c = c.at[..., 8:].set(c[..., 8:] ^ rnti_bits)
+    return jnp.concatenate([payload.astype(jnp.uint8), c], axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _re_indices(cfg: PdcchConfig):
+    """(data_flat_idx (Nd,), dmrs_flat_idx (Np,), dmrs_seq_idx (Np,))."""
+    data, dmrs, seq = [], [], []
+    # Non-interleaved: CCE i -> REGs 6i..6i+5; 1-symbol CORESET: REG = PRB.
+    first_reg = cfg.cce_index * 6
+    for reg in range(first_reg, first_reg + cfg.aggregation_level * 6):
+        prb = cfg.coreset_rb_start + reg
+        base = cfg.symbol * cfg.nof_grid_sc + prb * NRE
+        for re in range(NRE):
+            if re % 4 == 1:
+                dmrs.append(base + re)
+                # DM-RS sequence index counts pilot triplets from CRB0.
+                seq.append(prb * 3 + re // 4)
+            else:
+                data.append(base + re)
+    return (
+        np.asarray(data, np.int32),
+        np.asarray(dmrs, np.int32),
+        np.asarray(seq, np.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def process(payload: jax.Array, rnti: jax.Array, cfg: PdcchConfig) -> jax.Array:
+    """Encode one DCI into a single-port resource grid (nsym, nsc)."""
+    with_crc = _crc24c_with_rnti(payload, rnti)
+    coded = polar.encode(with_crc, cfg.code, interleave_input=True)
+    c_init = (jnp.asarray(cfg.n_rnti, jnp.uint32) << 16) + jnp.uint32(cfg.n_id)
+    coded = scrambling.scramble_bits(coded, c_init)
+    syms = map_bits(coded, Modulation.QPSK)
+
+    data_idx, dmrs_idx, seq_idx = _re_indices(cfg)
+    grid = jnp.zeros((cfg.nof_grid_symbols * cfg.nof_grid_sc,), jnp.complex64)
+    grid = grid.at[jnp.asarray(data_idx)].set(syms)
+
+    # PDCCH DM-RS (TS 38.211 §7.4.1.3): c_init from slot/symbol/n_id.
+    sym = cfg.symbol
+    ci = ((1 << 17) * (14 * cfg.slot_in_frame + sym + 1) * (2 * cfg.n_id + 1) + 2 * cfg.n_id) % (
+        1 << 31
+    )
+    nseq = int(seq_idx.max()) + 1
+    c = scrambling.gold_sequence(np.uint32(ci), 2 * nseq)
+    re_p = 1.0 - 2.0 * c[0::2].astype(jnp.float32)
+    im_p = 1.0 - 2.0 * c[1::2].astype(jnp.float32)
+    pilots = ((re_p + 1j * im_p) / np.sqrt(2)).astype(jnp.complex64)
+    grid = grid.at[jnp.asarray(dmrs_idx)].set(pilots[jnp.asarray(seq_idx)])
+    return grid.reshape(cfg.nof_grid_symbols, cfg.nof_grid_sc)

@@ -1,0 +1,188 @@
+"""PUCCH formats 0 and 1: generation (UE side, for tests) and detection
+(gNB side).
+
+Counterpart of the reference's pucch_detector_format0/format1
+(lib/phy/upper/channel_processors/pucch/pucch_detector_format0.cpp,
+pucch_detector_format1.cpp).  Format 0 detection is a correlation against
+the candidate cyclic shifts; format 1 estimates the channel from the DM-RS
+symbols and coherently combines the data symbols.  All sequence/shift
+geometry is static; only the received grid is traced.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import scrambling, sequences
+from ..ran.constants import NRE
+
+
+@dataclasses.dataclass(frozen=True)
+class PucchFormat0Config:
+    prb: int  # PRB index in the grid
+    start_symbol: int
+    nof_symbols: int  # 1 or 2
+    initial_cyclic_shift: int  # m0
+    n_id: int  # hopping id
+    slot_in_frame: int = 0
+    nof_harq_bits: int = 1  # 0 (SR only), 1 or 2
+    nof_grid_sc: int = 624
+
+
+@dataclasses.dataclass(frozen=True)
+class PucchFormat1Config:
+    prb: int
+    start_symbol: int
+    nof_symbols: int  # 4..14
+    initial_cyclic_shift: int
+    occ_index: int  # time-domain OCC index
+    n_id: int
+    slot_in_frame: int = 0
+    nof_harq_bits: int = 1
+    nof_grid_sc: int = 624
+
+
+def _ncs_values(n_id: int, slot: int, symbols) -> list[int]:
+    """n_cs(n_s, l) per TS 38.211 §6.3.2.2.2 from the cell PRN sequence."""
+    out = []
+    seq = scrambling.gold_ref(n_id % (1 << 31), 8 * 14 * (slot + 1))
+    for l in symbols:
+        bits = seq[8 * (14 * slot + l) : 8 * (14 * slot + l) + 8]
+        out.append(int(sum(int(b) << m for m, b in enumerate(bits))))
+    return out
+
+
+def _alpha(m0: int, m_cs: int, n_cs: int) -> float:
+    return 2.0 * np.pi / NRE * ((m0 + m_cs + n_cs) % NRE)
+
+
+# m_cs per HARQ value (TS 38.213 §9.2.3-like mapping used at PHY level).
+_MCS_1BIT = {0: 0, 1: 6}
+_MCS_2BIT = {0: 0, 1: 3, 3: 6, 2: 9}  # value = b0 + 2*b1
+
+
+def _f0_candidates(cfg: PucchFormat0Config):
+    if cfg.nof_harq_bits == 0:
+        return [0]
+    if cfg.nof_harq_bits == 1:
+        return [_MCS_1BIT[v] for v in range(2)]
+    return [_MCS_2BIT[v] for v in range(4)]
+
+
+def format0_generate(cfg: PucchFormat0Config, harq_value: int) -> np.ndarray:
+    """UE-side reference signal for tests: (nof_symbols, 12) complex64."""
+    u, v = sequences.group_hopping_params(cfg.n_id, cfg.slot_in_frame, cfg.start_symbol)
+    syms = range(cfg.start_symbol, cfg.start_symbol + cfg.nof_symbols)
+    ncs = _ncs_values(cfg.n_id, cfg.slot_in_frame, syms)
+    m_cs = _f0_candidates(cfg)[harq_value] if cfg.nof_harq_bits else 0
+    out = []
+    for i, _ in enumerate(syms):
+        alpha = _alpha(cfg.initial_cyclic_shift, m_cs, ncs[i])
+        out.append(np.asarray(sequences.generate(u, v, NRE, jnp.float32(alpha))))
+    return np.stack(out).astype(np.complex64)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def format0_detect(grid: jax.Array, cfg: PucchFormat0Config):
+    """Detect PUCCH F0 from (nof_rx_ports, nsym, nsc) grid.
+
+    Returns (harq_value (int32), metric (f32), per-candidate powers)."""
+    u, v = sequences.group_hopping_params(cfg.n_id, cfg.slot_in_frame, cfg.start_symbol)
+    syms = list(range(cfg.start_symbol, cfg.start_symbol + cfg.nof_symbols))
+    ncs = _ncs_values(cfg.n_id, cfg.slot_in_frame, syms)
+    y = grid[:, jnp.asarray(syms), cfg.prb * NRE : (cfg.prb + 1) * NRE]  # (P, S, 12)
+
+    cands = _f0_candidates(cfg)
+    powers = []
+    total = (jnp.abs(y) ** 2).sum() + 1e-12
+    for m_cs in cands:
+        corr = 0.0
+        for i in range(len(syms)):
+            alpha = _alpha(cfg.initial_cyclic_shift, m_cs, ncs[i])
+            ref = sequences.generate(u, v, NRE, jnp.float32(alpha))
+            # Coherent correlation per port/symbol, power-combined.
+            c = (y[:, i, :] * jnp.conj(ref)).sum(axis=-1)
+            corr = corr + (jnp.abs(c) ** 2).sum()
+        powers.append(corr)
+    powers = jnp.stack(powers)
+    best = jnp.argmax(powers)
+    # Ideal noiseless signal gives metric 1: each symbol contributes
+    # |12 h|^2 = 144 |h|^2 to the winning correlation and 12 |h|^2 to total.
+    metric = powers[best] / (total * NRE)
+    return best.astype(jnp.int32), metric, powers
+
+
+# Time-domain OCC w_i(m) for format 1 (TS 38.211 Table 6.3.2.4.1-2):
+# w_i(m) = exp(j 2 pi i m / N_sf).
+def _occ(n_sf: int, i: int) -> np.ndarray:
+    m = np.arange(n_sf)
+    return np.exp(2j * np.pi * i * m / n_sf).astype(np.complex64)
+
+
+def _f1_geometry(cfg: PucchFormat1Config):
+    syms = list(range(cfg.start_symbol, cfg.start_symbol + cfg.nof_symbols))
+    dmrs_syms = syms[0::2]
+    data_syms = syms[1::2]
+    return syms, dmrs_syms, data_syms
+
+
+def format1_generate(cfg: PucchFormat1Config, bits: np.ndarray) -> np.ndarray:
+    """UE-side signal for tests: (nof_symbols, 12) complex64 (data+DM-RS)."""
+    u, v = sequences.group_hopping_params(cfg.n_id, cfg.slot_in_frame, cfg.start_symbol)
+    syms, dmrs_syms, data_syms = _f1_geometry(cfg)
+    ncs = dict(zip(syms, _ncs_values(cfg.n_id, cfg.slot_in_frame, syms)))
+    if cfg.nof_harq_bits == 1:
+        d = (1.0 - 2.0 * bits[0]) / np.sqrt(2) * (1 + 1j)
+    else:
+        d = ((1.0 - 2.0 * bits[0]) + 1j * (1.0 - 2.0 * bits[1])) / np.sqrt(2)
+    w_data = _occ(len(data_syms), cfg.occ_index)
+    w_dmrs = _occ(len(dmrs_syms), cfg.occ_index)
+    out = np.zeros((len(syms), NRE), dtype=np.complex64)
+    for i, l in enumerate(data_syms):
+        alpha = _alpha(cfg.initial_cyclic_shift, 0, ncs[l])
+        seq = np.asarray(sequences.generate(u, v, NRE, jnp.float32(alpha)))
+        out[syms.index(l)] = d * w_data[i] * seq
+    for i, l in enumerate(dmrs_syms):
+        alpha = _alpha(cfg.initial_cyclic_shift, 0, ncs[l])
+        seq = np.asarray(sequences.generate(u, v, NRE, jnp.float32(alpha)))
+        out[syms.index(l)] = w_dmrs[i] * seq
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def format1_detect(grid: jax.Array, cfg: PucchFormat1Config):
+    """Detect PUCCH F1 HARQ bits from (P, nsym, nsc) grid.
+
+    Returns (bits (nof_harq_bits,) uint8, llrs, snr-like metric)."""
+    u, v = sequences.group_hopping_params(cfg.n_id, cfg.slot_in_frame, cfg.start_symbol)
+    syms, dmrs_syms, data_syms = _f1_geometry(cfg)
+    ncs = dict(zip(syms, _ncs_values(cfg.n_id, cfg.slot_in_frame, syms)))
+    sc = slice(cfg.prb * NRE, (cfg.prb + 1) * NRE)
+
+    def despread(l_list, occ):
+        acc = 0.0
+        for i, l in enumerate(l_list):
+            alpha = _alpha(cfg.initial_cyclic_shift, 0, ncs[l])
+            seq = sequences.generate(u, v, NRE, jnp.float32(alpha))
+            y = grid[:, l, sc]  # (P, 12)
+            acc = acc + (y * jnp.conj(seq)) * np.conj(occ[i])
+        return acc / len(l_list)  # (P, 12)
+
+    h = despread(dmrs_syms, _occ(len(dmrs_syms), cfg.occ_index))
+    z = despread(data_syms, _occ(len(data_syms), cfg.occ_index))
+    # MRC across ports and subcarriers.
+    corr = (z * jnp.conj(h)).sum()
+    if cfg.nof_harq_bits == 1:
+        proj = (corr.real + corr.imag) / np.sqrt(2)
+        bits = jnp.asarray([proj < 0], jnp.uint8)
+        llrs = jnp.asarray([proj])
+    else:
+        bits = jnp.asarray([corr.real < 0, corr.imag < 0], jnp.uint8)
+        llrs = jnp.stack([corr.real, corr.imag]) / np.sqrt(2)
+    power = (jnp.abs(h) ** 2).sum() + 1e-12
+    return bits, llrs, jnp.abs(corr) / power

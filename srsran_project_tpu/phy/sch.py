@@ -50,19 +50,39 @@ class SchConfig:
         return tuple([lo] * (c - nof_hi) + [hi] * nof_hi)
 
 
+def _e_groups(cb_e_bits):
+    """Codeblocks grouped by equal E: [(start, count, e)], contiguous
+    (TS 38.212 puts all low-E blocks first)."""
+    groups = []
+    start = 0
+    for e in cb_e_bits:
+        if groups and groups[-1][2] == e:
+            s, c, _ = groups[-1]
+            groups[-1] = (s, c + 1, e)
+        else:
+            groups.append((start, 1, e))
+        start += 1
+    return groups
+
+
 def encode_transport_block(tb_bits: jax.Array, cfg: SchConfig) -> jax.Array:
     """TB payload (..., A) -> codeword bits (..., G)."""
     seg = cfg.seg
     cbs = segmenter.segment_tx(tb_bits, seg)  # (..., C, K)
     buf = ldpc_encoder.encode_to_buffer(cbs, seg.base_graph, seg.lifting_size)
-    pieces = []
     k_prime = seg.nof_payload_bits_per_cb
-    for r, e in enumerate(cfg.cb_e_bits):
-        pieces.append(
-            rm.rate_match(
-                buf[..., r, :], seg.base_graph, seg.lifting_size, k_prime, e, cfg.rv, cfg.qm
-            )
-        )
+    pieces = []
+    for start, count, e in _e_groups(cfg.cb_e_bits):
+        grp = rm.rate_match(
+            buf[..., start : start + count, :],
+            seg.base_graph,
+            seg.lifting_size,
+            k_prime,
+            e,
+            cfg.rv,
+            cfg.qm,
+        )  # (..., count, e)
+        pieces.append(grp.reshape(grp.shape[:-2] + (count * e,)))
     return jnp.concatenate(pieces, axis=-1)
 
 
@@ -82,20 +102,16 @@ def decode_transport_block(
     k_prime = seg.nof_payload_bits_per_cb
     dematched = []
     off = 0
-    for r, e in enumerate(cfg.cb_e_bits):
+    for start, count, e in _e_groups(cfg.cb_e_bits):
+        span = llrs[..., off : off + count * e]
+        span = span.reshape(span.shape[:-1] + (count, e))
         dematched.append(
             rm.rate_dematch(
-                llrs[..., off : off + e],
-                seg.base_graph,
-                seg.lifting_size,
-                k_prime,
-                e,
-                cfg.rv,
-                cfg.qm,
+                span, seg.base_graph, seg.lifting_size, k_prime, e, cfg.rv, cfg.qm
             )
         )
-        off += e
-    buf = jnp.stack(dematched, axis=-2)  # (..., C, N)
+        off += count * e
+    buf = jnp.concatenate(dematched, axis=-2)  # (..., C, N)
     if harq_buffer is not None:
         buf = rm.combine_harq(harq_buffer, buf)
     new_harq = buf
