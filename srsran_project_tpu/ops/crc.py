@@ -87,20 +87,68 @@ def generator_matrix(name: str, length: int) -> np.ndarray:
     return _generator_matrix(name, length)
 
 
+# Chunk width for the hierarchical CRC: one small (CHUNK, crc_len) matrix
+# plus log2(K) tiny (crc_len, crc_len) advance matrices — no O(L) constants
+# baked into the compiled program (a 1 Mbit TB would otherwise embed a
+# ~100 MB generator matrix in the HLO).
+_CHUNK = 512
+
+
+@functools.lru_cache(maxsize=None)
+def _advance_matrix(name: str, nof_bits: int) -> np.ndarray:
+    """(n, n) GF(2) matrix advancing a CRC state by nof_bits zero bits:
+    row b = (x^{n-1-b} * x^{nof_bits}) mod g as an n-bit MSB-first vector.
+
+    Built by squaring: T_{2s} = T_s T_s (nof_bits here is always
+    _CHUNK * 2^j, so the recursion grounds at _CHUNK).
+    """
+    poly, n = POLYS[name]
+    if nof_bits > _CHUNK:
+        assert nof_bits % 2 == 0
+        t = _advance_matrix(name, nof_bits // 2)
+        return (t.astype(np.int64) @ t.astype(np.int64) % 2).astype(np.uint8)
+    out = np.empty((n, n), dtype=np.uint8)
+    for b in range(n):
+        r = 1 << (n - 1 - b)
+        for _ in range(nof_bits):
+            r <<= 1
+            if r >> n:
+                r ^= poly
+        out[b] = [(r >> (n - 1 - i)) & 1 for i in range(n)]
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("name",))
 def crc(bits: jax.Array, name: str) -> jax.Array:
-    """CRC of messages via GF(2) matmul on the MXU.
+    """CRC of messages, MXU-friendly and compile-light.
 
-    bits: (..., L) 0/1 array (any integer or float dtype).
-    Returns (..., crc_len) uint8 CRC bits, MSB first.
+    bits: (..., L) 0/1 array.  Returns (..., crc_len) uint8, MSB first.
 
-    Exactness: the f32 accumulation is an exact integer count of set
-    positions (< 2^24 for all NR message lengths), reduced mod 2.
+    Strategy: front-pad with zeros (leading zeros do not change a CRC) to a
+    power-of-two number of _CHUNK-bit chunks; per-chunk partial CRCs are one
+    (CHUNK, n) matmul; a log-depth tree folds pairs with
+    combine(hi, lo) = hi @ T_span + lo over GF(2).  All matmuls are exact
+    integer counts in f32 (< 2^24), reduced mod 2.
     """
     length = bits.shape[-1]
-    a = jnp.asarray(generator_matrix(name, length), dtype=jnp.float32)
-    acc = jnp.matmul(bits.astype(jnp.float32), a, preferred_element_type=jnp.float32)
-    return (acc.astype(jnp.int32) & 1).astype(jnp.uint8)
+    n = POLYS[name][1]
+    nof_chunks = max(1, -(-length // _CHUNK))
+    k = 1 << (nof_chunks - 1).bit_length()
+    pad = k * _CHUNK - length
+    x = jnp.pad(bits.astype(jnp.float32), [(0, 0)] * (bits.ndim - 1) + [(pad, 0)])
+    x = x.reshape(x.shape[:-1] + (k, _CHUNK))
+    a = jnp.asarray(generator_matrix(name, _CHUNK), dtype=jnp.float32)
+    part = jnp.matmul(x, a, preferred_element_type=jnp.float32)
+    part = (part.astype(jnp.int32) & 1).astype(jnp.float32)  # (..., K, n)
+    span = _CHUNK
+    while part.shape[-2] > 1:
+        t = jnp.asarray(_advance_matrix(name, span), dtype=jnp.float32)
+        hi = part[..., 0::2, :]
+        lo = part[..., 1::2, :]
+        comb = jnp.matmul(hi, t, preferred_element_type=jnp.float32) + lo
+        part = (comb.astype(jnp.int32) & 1).astype(jnp.float32)
+        span *= 2
+    return part[..., 0, :].astype(jnp.int32).astype(jnp.uint8)
 
 
 def crc_append(bits: jax.Array, name: str) -> jax.Array:

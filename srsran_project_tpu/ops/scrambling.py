@@ -3,17 +3,16 @@
 Counterpart of the reference's pseudo_random_generator_impl
 (lib/phy/upper/sequence_generators/pseudo_random_generator_impl.cpp) with its
 x1/x2 LFSRs and fast-advance — re-designed for TPU as a *linear-algebra*
-generator:
+generator with only tiny constants (31x31 GF(2) matrices), so arbitrarily
+long sequences compile to small HLO:
 
-  c(n) = x1(n + Nc) XOR x2(n + Nc),  Nc = 1600
-
-x1 never depends on the seed, so its (length-Nmax) output is a precomputed
-constant.  The x2 LFSR is linear over GF(2) in its 31-bit initial state, so
-x2(n + Nc) = XOR over set bits i of c_init of S_i(n), where S_i is the
-sequence seeded with the i-th unit vector.  We precompute the 31 basis
-sequences once (NumPy, bit-packed), and a jit-traced sequence evaluation is
-then 31 predicated XORs of byte arrays — no sequential LFSR on device, seeds
-may be traced values (per-UE RNTIs).
+An LFSR state s_t = (x(t) .. x(t+30)) advances 31 steps by a constant
+matrix M: s_{t+31} = s_t M over GF(2).  The 31-bit outputs of block k ARE
+the state s_{31k}, so the whole sequence is the row-concatenation of block
+states — and all block states are produced in log2(K) doubling steps:
+states[2^j .. 2^{j+1}) = states[0 .. 2^j) @ M^{2^j}.  Matmuls run in f32 on
+the MXU (exact: sums <= 31) and the seed may be a traced value (per-UE
+RNTIs under jit).
 """
 
 from __future__ import annotations
@@ -27,60 +26,50 @@ import numpy as np
 NC = 1600
 _NBITS = 31
 
-# Maximum sequence length materialized for the basis tables.  Large enough for
-# the largest NR codeword scrambling run (273 PRB * 12 * 14 * 8 bits * 4
-# layers ~ 1.47 Mbit).  Tables are built lazily and grow on demand.
-_DEFAULT_MAX_LEN = 1 << 14
+_X1_TAPS = (0, 3)
+_X2_TAPS = (0, 1, 2, 3)
 
 
-def _lfsr_fill(x: np.ndarray, taps) -> None:
-    """Fill x[..., 31:] from x[..., :31] with s[i+31] = XOR_t s[i+t].
-
-    Vectorized in chunks of 28 (the recurrence's maximum safe lookahead:
-    computing s[i+31] needs s[i+3], so 28 new terms are independent).
-    """
-    total = x.shape[-1]
-    have = _NBITS
-    while have < total:
-        m = min(_NBITS - max(taps), total - have)
-        i0 = have - _NBITS
-        acc = x[..., i0 + taps[0] : i0 + taps[0] + m].copy()
+def _lfsr_step_block(state: np.ndarray, taps) -> np.ndarray:
+    """Advance a (…, 31) LFSR window by 31 outputs (NumPy, for matrices)."""
+    x = np.concatenate([state, np.zeros(state.shape[:-1] + (_NBITS,), np.uint8)], axis=-1)
+    for i in range(_NBITS):
+        acc = x[..., i + taps[0]]
         for t in taps[1:]:
-            acc ^= x[..., i0 + t : i0 + t + m]
-        x[..., have : have + m] = acc
-        have += m
+            acc = acc ^ x[..., i + t]
+        x[..., _NBITS + i] = acc
+    return x[..., _NBITS:]
 
 
-def _lfsr_x1(n: int) -> np.ndarray:
-    """x1 sequence (unit seed), first n outputs after the Nc advance."""
-    x = np.zeros(NC + n + _NBITS, dtype=np.uint8)
-    x[0] = 1
-    _lfsr_fill(x, (0, 3))
-    return x[NC : NC + n]
+@functools.lru_cache(maxsize=None)
+def _adv31_matrix(taps) -> np.ndarray:
+    """M (31, 31) with s_{t+31} = s_t @ M over GF(2)."""
+    eye = np.eye(_NBITS, dtype=np.uint8)
+    return _lfsr_step_block(eye, taps)
 
 
-def _lfsr_x2_basis(n: int) -> np.ndarray:
-    """(31, n) basis: row i is x2 output (after Nc) for seed = e_i."""
-    x = np.zeros((_NBITS, NC + n + _NBITS), dtype=np.uint8)
-    for bit in range(_NBITS):
-        x[bit, bit] = 1
-    _lfsr_fill(x, (0, 1, 2, 3))
-    return x[:, NC : NC + n]
+@functools.lru_cache(maxsize=None)
+def _adv31_power(taps, j: int) -> np.ndarray:
+    """M^(2^j) by repeated squaring (host, exact int)."""
+    if j == 0:
+        return _adv31_matrix(taps)
+    t = _adv31_power(taps, j - 1).astype(np.int64)
+    return ((t @ t) % 2).astype(np.uint8)
 
 
-@functools.lru_cache(maxsize=8)
-def _tables(n: int):
-    x1 = _lfsr_x1(n)
-    basis = _lfsr_x2_basis(n)
-    return x1, basis
-
-
-def _table_len(n: int) -> int:
-    """Quantize requested lengths so the lru_cache stays small."""
-    m = _DEFAULT_MAX_LEN
-    while m < n:
-        m *= 2
-    return m
+def _block_states(seed: jax.Array, taps, nof_blocks: int) -> jax.Array:
+    """(…, K, 31) block states from a traced (…, 31) seed by doubling."""
+    s = seed.astype(jnp.float32)[..., None, :]  # (…, 1, 31)
+    j = 0
+    while s.shape[-2] < nof_blocks:
+        m = jnp.asarray(_adv31_power(taps, j), jnp.float32)
+        nxt = jnp.matmul(s, m, preferred_element_type=jnp.float32)
+        nxt = (nxt.astype(jnp.int32) & 1).astype(jnp.float32)
+        s = jnp.concatenate([s, nxt], axis=-2)
+        if s.shape[-2] > nof_blocks:
+            s = s[..., :nof_blocks, :]
+        j += 1
+    return s
 
 
 def gold_ref(c_init: int, length: int) -> np.ndarray:
@@ -101,21 +90,23 @@ def gold_ref(c_init: int, length: int) -> np.ndarray:
 def gold_sequence(c_init: jax.Array, length: int) -> jax.Array:
     """Gold sequence c(n), n in [0, length), with traced c_init.
 
-    c_init: scalar (or batched (...,)) uint32/int32 seed.
+    c_init: scalar or batched (...,) uint32 seed.
     Returns (..., length) uint8 bits.
     """
-    n = _table_len(length)
-    x1, basis = _tables(n)
-    x1 = jnp.asarray(x1[:length])
-    basis = jnp.asarray(basis[:, :length])
+    total = NC + length
+    k = -(-total // _NBITS)
     c_init = jnp.asarray(c_init, dtype=jnp.uint32)
-    # Unrolled XOR-select over the 31 seed bits; XLA fuses this into a few
-    # elementwise kernels with no (..., 31, N) intermediate.
-    x2 = jnp.zeros(c_init.shape + (length,), dtype=jnp.uint8)
-    for i in range(_NBITS):
-        bit = ((c_init >> np.uint32(i)) & 1).astype(jnp.uint8)[..., None]
-        x2 = x2 ^ (bit & basis[i])
-    return x1 ^ x2
+    batch = c_init.shape
+
+    seed2 = ((c_init[..., None] >> jnp.arange(_NBITS, dtype=jnp.uint32)) & 1).astype(jnp.float32)
+    s2 = _block_states(seed2, _X2_TAPS, k)
+    x2 = s2.reshape(batch + (k * _NBITS,))[..., NC : NC + length]
+
+    seed1 = jnp.zeros(batch + (_NBITS,), jnp.float32).at[..., 0].set(1.0)
+    s1 = _block_states(seed1, _X1_TAPS, k)
+    x1 = s1.reshape(batch + (k * _NBITS,))[..., NC : NC + length]
+
+    return (x1.astype(jnp.uint8)) ^ (x2.astype(jnp.uint8))
 
 
 def scramble_bits(bits: jax.Array, c_init: jax.Array) -> jax.Array:
