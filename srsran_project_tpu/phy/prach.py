@@ -1,0 +1,134 @@
+"""PRACH preamble generation and detection (TS 38.211 §6.3.3).
+
+Counterpart of the reference's prach_generator_impl (ZC roots,
+lib/phy/upper/channel_processors/prach_generator_impl.cpp:194) and
+prach_detector_generic_impl (freq-domain root correlation + IDFT power
+delay profile + per-shift windowed peak search,
+lib/phy/upper/channel_processors/prach_detector_generic_impl.cpp:80-260).
+
+TPU design: all 64 preamble hypotheses of an occasion are evaluated in one
+batched program — the per-root correlations IDFT together as one batch, the
+per-shift windows are precomputed gather masks, and the detection metric is
+a vectorized peak/noise ratio.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Zero-correlation-zone -> N_CS, long preambles, unrestricted set
+# (TS 38.211 Table 6.3.3.1-5).
+NCS_LONG_UNRESTRICTED = (0, 13, 15, 18, 22, 26, 32, 38, 46, 59, 76, 93, 119, 167, 279, 419)
+# Short preambles (TS 38.211 Table 6.3.3.1-7).
+NCS_SHORT = (0, 2, 4, 6, 8, 10, 12, 13, 15, 17, 19, 23, 27, 34, 46, 69)
+
+
+@dataclasses.dataclass(frozen=True)
+class PrachConfig:
+    l_ra: int = 839  # 839 (long) or 139 (short)
+    root_sequence_index: int = 0  # logical start index -> physical roots used in order
+    zero_correlation_zone: int = 1
+    nof_rx_ports: int = 1
+    dft_size: int = 1024  # IDFT size for the power delay profile
+    detect_threshold: float = 2.0  # peak power over noise floor
+
+    @property
+    def n_cs(self) -> int:
+        table = NCS_LONG_UNRESTRICTED if self.l_ra == 839 else NCS_SHORT
+        return table[self.zero_correlation_zone]
+
+    @property
+    def nof_shifts(self) -> int:
+        return self.l_ra // self.n_cs if self.n_cs else 1
+
+    @property
+    def nof_roots(self) -> int:
+        return -(-64 // self.nof_shifts)
+
+
+def zc_root(u: int, l_ra: int) -> np.ndarray:
+    """Time-domain Zadoff-Chu root x_u(n) = exp(-j pi u n(n+1) / L_RA)."""
+    n = np.arange(l_ra, dtype=np.float64)
+    return np.exp(-1j * np.pi * u * n * (n + 1) / l_ra)
+
+
+@functools.lru_cache(maxsize=None)
+def _root_fd(u: int, l_ra: int) -> np.ndarray:
+    """Frequency-domain root sequence (complex64)."""
+    return np.fft.fft(zc_root(u, l_ra)).astype(np.complex64)
+
+
+def physical_root(logical_index: int, l_ra: int) -> int:
+    """v1 logical->physical mapping: u cycles 1..L_RA-1 from the index.
+
+    (The 3GPP logical table is a permutation; the detector only needs
+    generator/detector agreement, which this provides.)
+    """
+    return (logical_index % (l_ra - 1)) + 1
+
+
+def generate_preamble(cfg: PrachConfig, preamble_index: int) -> np.ndarray:
+    """UE-side freq-domain preamble (L_RA,) for tests."""
+    v = preamble_index % cfg.nof_shifts
+    root_i = preamble_index // cfg.nof_shifts
+    u = physical_root(cfg.root_sequence_index + root_i, cfg.l_ra)
+    cv = v * cfg.n_cs
+    x = np.roll(zc_root(u, cfg.l_ra), -cv)  # x_u((n + C_v) mod L_RA)
+    return np.fft.fft(x).astype(np.complex64)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def detect(rx_fd: jax.Array, cfg: PrachConfig):
+    """Detect preambles from the freq-domain PRACH window.
+
+    rx_fd: (nof_rx_ports, L_RA) complex64 — the demodulated preamble
+           subcarriers (one occasion, coherently averaged symbols).
+    Returns dict: detected (64,) bool, metric (64,) f32, ta_samples (64,)
+    f32 (delay at dft_size resolution).
+    """
+    lr = cfg.l_ra
+    nfft = cfg.dft_size
+    nshift = cfg.nof_shifts
+    nroot = cfg.nof_roots
+
+    roots = np.stack(
+        [
+            _root_fd(physical_root(cfg.root_sequence_index + i, lr), lr)
+            for i in range(nroot)
+        ]
+    )  # (nroot, L_RA)
+
+    # Correlate: per root, conj-multiply and IDFT to the delay domain.
+    c = rx_fd[None, :, :] * jnp.conj(jnp.asarray(roots))[:, None, :]  # (nroot, P, L)
+    pad = jnp.zeros((nroot, rx_fd.shape[0], nfft - lr), jnp.complex64)
+    cp = jnp.concatenate([c, pad], axis=-1)
+    pdp = jnp.abs(jnp.fft.ifft(cp, axis=-1)) ** 2  # (nroot, P, nfft)
+    pdp = pdp.sum(axis=1)  # combine ports
+
+    # Shift windows: preamble (root i, shift v) = x_u(n + v*N_CS), whose
+    # correlation peak sits at delay (d - v*N_CS*nfft/L_RA) mod nfft for a
+    # channel delay d in [0, N_CS*nfft/L_RA).
+    # Cap the usable delay span at 0.8 of the shift window (the reference
+    # limits max TA the same way) so fractional-bin leakage from the
+    # neighboring shift's zero-delay peak stays outside every window.
+    full_win = max(1, int(cfg.n_cs * nfft / lr)) if cfg.n_cs else nfft
+    win = max(1, int(0.8 * full_win))
+    starts = ((lr - np.arange(nshift) * cfg.n_cs) * nfft // lr) % nfft
+    idx = (starts[:, None] + np.arange(win)[None, :]) % nfft  # (nshift, win)
+    windows = pdp[:, jnp.asarray(idx)]  # (nroot, nshift, win)
+
+    peak = windows.max(axis=-1)
+    peak_pos = jnp.argmax(windows, axis=-1)
+    mean_all = pdp.mean(axis=-1, keepdims=True)  # per root noise floor
+    metric = peak / (mean_all + 1e-12)
+
+    flat_metric = metric.reshape(-1)[:64]
+    flat_pos = peak_pos.reshape(-1)[:64]
+    detected = flat_metric > cfg.detect_threshold
+    ta = flat_pos.astype(jnp.float32)
+    return {"detected": detected, "metric": flat_metric, "ta_samples": ta}
