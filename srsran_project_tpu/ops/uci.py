@@ -1,0 +1,63 @@
+"""UCI encoding/decoding (TS 38.212 §6.3): HARQ-ACK / CSI payload codecs.
+
+Counterpart of the reference's uci_decoder_impl
+(lib/phy/upper/channel_processors/uci/uci_decoder_impl.cpp): payloads of
+1..11 bits use the short-block (RM) code; 12+ bits use CRC-aided polar
+(CRC6 for K<=19, CRC11 above) with the UL triangular channel interleaver.
+
+Deviation noted for future parity work: the 3 parity-check bits the spec
+adds for 12 <= K <= 19 are not yet implemented (the CRC6 is); decode remains
+self-consistent with encode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import crc as crc_mod
+from . import polar, short_block
+from .polar import code as polar_code_mod
+
+
+def _crc_name(k: int) -> str | None:
+    if k <= 11:
+        return None
+    return "6" if k <= 19 else "11"
+
+
+@functools.lru_cache(maxsize=None)
+def _uci_code(k: int, e: int) -> polar.PolarCode:
+    crc_len = 6 if k <= 19 else 11
+    return polar.construct(k + crc_len, e, n_max=10)
+
+
+def encode_uci(bits: jax.Array, e: int) -> jax.Array:
+    """(..., K) UCI payload -> (..., E) coded bits."""
+    k = bits.shape[-1]
+    if k <= 11:
+        return short_block.encode(bits, e)
+    code = _uci_code(k, e)
+    with_crc = crc_mod.crc_append(bits, _crc_name(k))
+    coded = polar.encode(with_crc, code)
+    perm = jnp.asarray(polar_code_mod.channel_interleaver_pattern(e))
+    return coded[..., perm]
+
+
+def decode_uci(llrs: jax.Array, k: int):
+    """(..., E) LLRs -> (bits (..., K) uint8, ok (...,) bool)."""
+    e = llrs.shape[-1]
+    if k <= 11:
+        bits, metric = short_block.detect(llrs, k, e)
+        return bits, metric > 0.2
+    code = _uci_code(k, e)
+    perm = jnp.asarray(polar_code_mod.channel_interleaver_pattern(e))
+    deint = jnp.zeros_like(llrs)
+    deint = deint.at[..., perm].set(llrs)
+    lin = polar.rate_dematch_llrs(deint, code)
+    u = polar.decode(lin, code)
+    ok = crc_mod.crc_check(u, _crc_name(k))
+    return u[..., :k], ok
