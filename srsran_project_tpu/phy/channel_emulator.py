@@ -1,0 +1,95 @@
+"""TDL fading channel emulator for BLER testing.
+
+Counterpart of the reference's pxsch_bler_test_channel_emulator
+(tests/integrationtests/phy/upper/channel_processors/
+pxsch_bler_test_channel_emulator.cpp:42-121): TDLA/TDLB/TDLC tap profiles
+(TS 38.104 annex G delay/power tables), Rayleigh per-tap fading, optional
+CFO, AWGN at a configured SINR.  Operates directly on resource grids in the
+frequency domain: H(r,t,k) = sum_taps g * exp(-j2pi k scs tau).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ran.constants import SubcarrierSpacing, scs_khz
+
+# (delay ns, power dB) tap tables.
+PROFILES = {
+    "single": ((0, 0.0),),
+    "tdla": (
+        (0, -15.5), (10, 0.0), (15, -5.1), (20, -5.1), (25, -9.6), (50, -8.2),
+        (65, -13.1), (75, -11.5), (105, -11.0), (135, -16.2), (150, -16.6), (290, -26.2),
+    ),
+    "tdlb": (
+        (0, 0.0), (10, -2.2), (20, -0.6), (30, -0.6), (35, -0.3), (45, -1.2),
+        (55, -5.9), (120, -2.2), (170, -0.8), (245, -6.3), (330, -7.5), (480, -7.1),
+    ),
+    "tdlc": (
+        (0, -6.9), (65, 0.0), (70, -7.7), (190, -2.5), (195, -2.4), (200, -9.9),
+        (240, -8.0), (325, -6.6), (520, -7.1), (1045, -13.0), (1510, -14.2), (2595, -16.0),
+    ),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class ChannelConfig:
+    profile: str = "tdla"
+    sinr_db: float = 20.0
+    nof_tx_ports: int = 1
+    nof_rx_ports: int = 1
+    nof_sc: int = 624
+    scs: SubcarrierSpacing = SubcarrierSpacing.KHZ30
+    cfo_hz: float = 0.0
+
+
+@functools.lru_cache(maxsize=None)
+def _tap_params(profile: str, nof_sc: int, scs: SubcarrierSpacing):
+    taps = PROFILES[profile]
+    delays = np.asarray([t[0] for t in taps], np.float64) * 1e-9
+    powers_db = np.asarray([t[1] for t in taps], np.float64)
+    p = 10.0 ** (powers_db / 10.0)
+    p /= p.sum()  # unit total power
+    f = np.arange(nof_sc, dtype=np.float64) * scs_khz(scs) * 1e3
+    steer = np.exp(-2j * np.pi * f[None, :] * delays[:, None])  # (T, nsc)
+    return np.sqrt(p).astype(np.float32), steer.astype(np.complex64)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def draw_channel(key: jax.Array, cfg: ChannelConfig) -> jax.Array:
+    """Random frequency response (nrx, ntx, nsc) with unit average power."""
+    amp, steer = _tap_params(cfg.profile, cfg.nof_sc, cfg.scs)
+    ntap = len(amp)
+    g = jax.random.normal(
+        key, (cfg.nof_rx_ports, cfg.nof_tx_ports, ntap, 2), dtype=jnp.float32
+    )
+    g = (g[..., 0] + 1j * g[..., 1]) / np.sqrt(2) * jnp.asarray(amp)
+    return jnp.einsum("rtn,nk->rtk", g.astype(jnp.complex64), jnp.asarray(steer))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def apply_channel(grid: jax.Array, key: jax.Array, cfg: ChannelConfig):
+    """(ntx, nsym, nsc) grid -> (nrx, nsym, nsc) faded + AWGN grid.
+
+    Returns (rx_grid, h (nrx, ntx, nsc), noise_var scalar)."""
+    kh, kn = jax.random.split(key)
+    h = draw_channel(kh, cfg)
+    rx = jnp.einsum("rtk,tsk->rsk", h, grid.astype(jnp.complex64))
+    if cfg.cfo_hz:
+        # Per-symbol phase progression approximation of a CFO.
+        nsym = grid.shape[-2]
+        t_sym = 1e-3 / (14 * (1 << int(cfg.scs)))
+        phase = jnp.exp(2j * np.pi * cfg.cfo_hz * t_sym * jnp.arange(nsym))
+        rx = rx * phase[None, :, None].astype(jnp.complex64)
+    # Signal power per RE is E|grid|^2 * sum tap power ~ grid power; compute
+    # noise from the configured SINR against the actual mean signal power.
+    sig_pow = jnp.mean(jnp.abs(rx) ** 2)
+    nvar = sig_pow / (10.0 ** (cfg.sinr_db / 10.0))
+    noise = jax.random.normal(kn, rx.shape + (2,), dtype=jnp.float32)
+    noise = (noise[..., 0] + 1j * noise[..., 1]) * jnp.sqrt(nvar / 2)
+    return rx + noise.astype(jnp.complex64), h, nvar

@@ -1,0 +1,70 @@
+"""PxSCH BLER over TDL fading channels — the reference's
+pxsch_bler_test shape (encode -> TDL emulator -> decode, assert BLER at an
+SNR operating point)."""
+
+import jax
+import numpy as np
+import pytest
+
+from srsran_project_tpu.ops.modulation import Modulation
+from srsran_project_tpu.phy import channel_emulator as chem
+from srsran_project_tpu.phy import pdsch, pusch
+from srsran_project_tpu.phy.allocation import Allocation
+
+
+def _cfgs(mod=Modulation.QPSK, rate=0.3, rb=24, layers=1, ports=1):
+    alloc = Allocation(rb_start=0, rb_count=rb, sym_start=1, sym_count=12, dmrs_symbols=(2, 11))
+    from srsran_project_tpu.ran import tbs as tbs_mod
+
+    qm = int(mod)
+    tbs = tbs_mod.calculate_tbs(rb, 12, 24, rate, qm, layers)
+    common = dict(
+        tbs=tbs, target_code_rate=rate, modulation=mod, alloc=alloc,
+        nof_layers=layers, nof_grid_symbols=14, nof_grid_sc=rb * 12,
+    )
+    tx = pdsch.PdschConfig(nof_ports=ports, **common)
+    rx = pusch.PuschConfig(nof_rx_ports=ports, nof_ldpc_iterations=8, **common)
+    return tx, rx
+
+
+def _run_bler(tx, rx, ch_cfg, nof_slots=20, seed=0):
+    rng = np.random.default_rng(seed)
+    w = np.eye(tx.nof_layers, tx.nof_ports, dtype=np.complex64)
+    errors = 0
+    key = jax.random.PRNGKey(seed)
+    for s in range(nof_slots):
+        tb = rng.integers(0, 2, size=(tx.tbs,), dtype=np.uint8)
+        rnti = np.uint32(0x4601)
+        grid = pdsch.process(tb, rnti, w, tx)
+        key, sub = jax.random.split(key)
+        rx_grid, _, _ = chem.apply_channel(grid, sub, ch_cfg)
+        out = pusch.process(rx_grid, rnti, rx)
+        ok = bool(np.asarray(out["tb_crc_ok"]))
+        if ok:
+            ok = bool((np.asarray(out["tb_bits"]) == tb).all())
+        errors += 0 if ok else 1
+    return errors / nof_slots
+
+
+@pytest.mark.parametrize("profile", ["single", "tdla"])
+def test_bler_good_snr(profile):
+    tx, rx = _cfgs()
+    ch = chem.ChannelConfig(profile=profile, sinr_db=20.0, nof_sc=tx.nof_grid_sc)
+    bler = _run_bler(tx, rx, ch, nof_slots=10)
+    assert bler <= 0.1, bler
+
+
+def test_bler_degrades_at_low_snr():
+    tx, rx = _cfgs()
+    ch = chem.ChannelConfig(profile="tdlc", sinr_db=-10.0, nof_sc=tx.nof_grid_sc)
+    bler = _run_bler(tx, rx, ch, nof_slots=5)
+    assert bler >= 0.8
+
+
+def test_bler_2x2_tdla():
+    tx, rx = _cfgs(layers=2, ports=2)
+    ch = chem.ChannelConfig(
+        profile="tdla", sinr_db=25.0, nof_tx_ports=2, nof_rx_ports=2, nof_sc=tx.nof_grid_sc
+    )
+    bler = _run_bler(tx, rx, ch, nof_slots=10, seed=1)
+    assert bler <= 0.3, bler
