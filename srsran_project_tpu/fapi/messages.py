@@ -1,0 +1,162 @@
+"""FAPI-shaped slot command schema — the L2 <-> L1 contract.
+
+Mirrors the structure of the reference's SCF-222 message set
+(include/srsran/fapi/messages/: dl_tti_request.h, ul_tti_request.h,
+tx_data_request.h, crc_indication.h, uci_indication.h, rach_indication.h,
+rx_data_indication.h, srs_indication.h, slot_indication.h,
+error_indication.h) as Python dataclasses.  PDU "static" geometry reuses
+the PHY processor config dataclasses directly (they are the jit keys);
+dynamic per-slot values (payload bits, RNTIs, precoding) ride alongside.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import numpy as np
+
+from ..phy.pdcch import PdcchConfig
+from ..phy.pdsch import PdschConfig
+from ..phy.prach import PrachConfig
+from ..phy.pucch import PucchFormat0Config, PucchFormat1Config
+from ..phy.pucch_f2 import PucchFormat2Config
+from ..phy.pusch import PuschConfig
+from ..phy.ssb import SsbConfig
+from ..ran.slot_point import SlotPoint
+
+
+# --------------------------------------------------------------------------
+# Downlink requests
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class DlPdschPdu:
+    config: PdschConfig
+    rnti: int
+    precoding: np.ndarray  # (layers, ports) complex64
+    tb_index: int  # index into TxDataRequest.payloads
+
+
+@dataclasses.dataclass
+class DlPdcchPdu:
+    config: PdcchConfig
+    rnti: int
+    payload: np.ndarray  # DCI bits
+
+
+@dataclasses.dataclass
+class DlSsbPdu:
+    config: SsbConfig
+    payload: np.ndarray  # 32 PBCH payload bits
+    first_subcarrier: int  # SSB placement in the grid
+    first_symbol: int
+
+
+@dataclasses.dataclass
+class DlCsiRsPdu:
+    row: int  # CSI-RS resource mapping row (1 = single port density 3)
+    rb_start: int
+    rb_count: int
+    symbol: int
+    scrambling_id: int
+
+
+@dataclasses.dataclass
+class DlTtiRequest:
+    slot: SlotPoint
+    pdsch: Sequence[DlPdschPdu] = ()
+    pdcch: Sequence[DlPdcchPdu] = ()
+    ssb: Sequence[DlSsbPdu] = ()
+    csi_rs: Sequence[DlCsiRsPdu] = ()
+
+
+@dataclasses.dataclass
+class TxDataRequest:
+    slot: SlotPoint
+    payloads: Sequence[np.ndarray] = ()  # TB bit arrays, indexed by tb_index
+
+
+# --------------------------------------------------------------------------
+# Uplink requests
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class UlPuschPdu:
+    config: PuschConfig
+    rnti: int
+    harq_id: int = 0
+    new_data: bool = True
+
+
+@dataclasses.dataclass
+class UlPucchPdu:
+    config: Any  # PucchFormat0Config | PucchFormat1Config | PucchFormat2Config
+    rnti: int
+
+
+@dataclasses.dataclass
+class UlPrachPdu:
+    config: PrachConfig
+
+
+@dataclasses.dataclass
+class UlTtiRequest:
+    slot: SlotPoint
+    pusch: Sequence[UlPuschPdu] = ()
+    pucch: Sequence[UlPucchPdu] = ()
+    prach: Sequence[UlPrachPdu] = ()
+
+
+# --------------------------------------------------------------------------
+# Indications (PHY -> MAC)
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class CrcIndicationPdu:
+    rnti: int
+    harq_id: int
+    tb_crc_ok: bool
+
+
+@dataclasses.dataclass
+class RxDataIndicationPdu:
+    rnti: int
+    harq_id: int
+    payload: np.ndarray
+
+
+@dataclasses.dataclass
+class UciIndicationPdu:
+    rnti: int
+    uci_bits: np.ndarray
+    valid: bool
+    metric: float
+
+
+@dataclasses.dataclass
+class RachIndicationPdu:
+    preamble_index: int
+    metric: float
+    ta_samples: float
+
+
+@dataclasses.dataclass
+class SlotIndication:
+    slot: SlotPoint
+
+
+@dataclasses.dataclass
+class ErrorIndication:
+    slot: SlotPoint
+    message: str
+
+
+@dataclasses.dataclass
+class SlotResults:
+    slot: SlotPoint
+    crc: list = dataclasses.field(default_factory=list)
+    rx_data: list = dataclasses.field(default_factory=list)
+    uci: list = dataclasses.field(default_factory=list)
+    rach: list = dataclasses.field(default_factory=list)
+    errors: list = dataclasses.field(default_factory=list)

@@ -108,9 +108,13 @@ def tiny_cell(nof_rb: int = 6, nof_ports: int = 1) -> CellConfig:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
 def encode_slot(tb_bits: jax.Array, rnti: jax.Array, precoding: jax.Array, cfg: CellConfig):
-    """DL slot: TB payload -> baseband IQ (nof_ports, nof_samples)."""
+    """DL slot: TB payload -> baseband IQ (nof_ports, nof_samples).
+
+    Stage-jitted (PDSCH chain and OFDM modulator are separate compiled
+    programs): one fused whole-slot program makes the TPU compiler blow up
+    at 100 MHz sizes while the stages compile in seconds.
+    """
     grid = pdsch.process(tb_bits, rnti, precoding, cfg.pdsch_cfg)
     return ofdm.modulate_slot(
         grid,
@@ -122,7 +126,6 @@ def encode_slot(tb_bits: jax.Array, rnti: jax.Array, precoding: jax.Array, cfg: 
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
 def decode_slot(iq: jax.Array, rnti: jax.Array, cfg: CellConfig):
     """UL slot: baseband IQ (nof_rx_ports, nof_samples) -> decode results."""
     grid = ofdm.demodulate_slot(

@@ -73,17 +73,16 @@ def dmrs_pilots(cfg: PdschConfig, nof_pilots: int) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def process(tb_bits: jax.Array, rnti: jax.Array, precoding: jax.Array, cfg: PdschConfig) -> jax.Array:
-    """Encode one PDSCH PDU into a resource grid.
+def _bit_chain(tb_bits: jax.Array, rnti: jax.Array, cfg: PdschConfig) -> jax.Array:
+    """Segment + LDPC encode + rate match + scramble: (A,) -> (G,) bits."""
+    cw = encode_transport_block(tb_bits, cfg.sch)
+    return scrambling.scramble_bits(cw, _pdsch_c_init(jnp.asarray(rnti), cfg.n_id))
 
-    tb_bits:   (A,) payload bits
-    rnti:      scalar uint32
-    precoding: (nof_layers, nof_ports) complex64
-    Returns grid (nof_ports, nof_grid_symbols, nof_grid_sc) complex64.
-    """
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _grid_chain(cw: jax.Array, precoding: jax.Array, cfg: PdschConfig) -> jax.Array:
+    """Modulate + layer map + DM-RS + precode: (G,) bits -> port grids."""
     a = cfg.alloc
-    cw = encode_transport_block(tb_bits, cfg.sch)  # (G,)
-    cw = scrambling.scramble_bits(cw, _pdsch_c_init(jnp.asarray(rnti), cfg.n_id))
     syms = map_bits(cw, cfg.modulation)  # (G/Qm,)
     nl = cfg.nof_layers
     layered = syms.reshape(-1, nl).T  # (nl, ndata): symbol i -> layer i%nl
@@ -103,3 +102,18 @@ def process(tb_bits: jax.Array, rnti: jax.Array, precoding: jax.Array, cfg: Pdsc
     grid_l = grid_l.reshape(nl, cfg.nof_grid_symbols, cfg.nof_grid_sc)
     w = precoding.astype(jnp.complex64)
     return jnp.einsum("lp,lsk->psk", w, grid_l)
+
+
+def process(tb_bits: jax.Array, rnti: jax.Array, precoding: jax.Array, cfg: PdschConfig) -> jax.Array:
+    """Encode one PDSCH PDU into a resource grid.
+
+    tb_bits:   (A,) payload bits
+    rnti:      scalar uint32
+    precoding: (nof_layers, nof_ports) complex64
+    Returns grid (nof_ports, nof_grid_symbols, nof_grid_sc) complex64.
+
+    Stage-jitted (bit chain vs grid chain) to keep per-program compile time
+    bounded on large carriers.
+    """
+    cw = _bit_chain(tb_bits, jnp.asarray(rnti), cfg)
+    return _grid_chain(cw, jnp.asarray(precoding), cfg)

@@ -40,7 +40,7 @@ class PuschConfig:
     slot_in_frame: int = 0
     dmrs_scrambling_id: int = 0
     n_scid: int = 0
-    nof_ldpc_iterations: int = 6
+    nof_ldpc_iterations: int = 10
     equalizer: str = "mmse"
     llr_range_limit: float = 20.0
 
@@ -74,16 +74,12 @@ def _dmrs_pilots(cfg: PuschConfig, nof_pilots: int) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def process(
-    grid: jax.Array,
-    rnti: jax.Array,
-    cfg: PuschConfig,
-    harq_buffer: jax.Array | None = None,
-):
-    """Decode one PUSCH PDU from a received resource grid.
+def _front_end(grid: jax.Array, rnti: jax.Array, cfg: PuschConfig):
+    """Grid -> descrambled int8 codeword LLRs (+ channel metrics).
 
-    grid: (nof_rx_ports, nof_grid_symbols, nof_grid_sc) complex64
-    Returns dict with tb_bits, tb_crc_ok, harq_buffer, noise_var, snr_db.
+    Kept as its own jit unit: fusing the whole slot (front end + LDPC) into
+    one XLA program makes compile time blow up on large carriers, while the
+    stages compile in seconds each.
     """
     a = cfg.alloc
     nl, npr = cfg.nof_layers, cfg.nof_rx_ports
@@ -132,8 +128,24 @@ def process(
     llr = jnp.moveaxis(llr, 0, 1).reshape(-1)  # (G,)
     llr_i8 = quantize_llr(llr, cfg.llr_range_limit)
     llr_i8 = scrambling.descramble_llrs(llr_i8, _pusch_c_init(jnp.asarray(rnti), cfg.n_id))
+    return llr_i8, noise_var, snr_acc
 
-    # --- Decode ---
+
+def process(
+    grid: jax.Array,
+    rnti: jax.Array,
+    cfg: PuschConfig,
+    harq_buffer: jax.Array | None = None,
+):
+    """Decode one PUSCH PDU from a received resource grid.
+
+    grid: (nof_rx_ports, nof_grid_symbols, nof_grid_sc) complex64
+    Returns dict with tb_bits, tb_crc_ok, harq_buffer, noise_var, snr_db.
+
+    Deliberately NOT one fused jit: the front end and the LDPC decode are
+    separate compiled programs (see _front_end).
+    """
+    llr_i8, noise_var, snr_acc = _front_end(grid, jnp.asarray(rnti), cfg)
     tb, ok, harq = decode_transport_block(
         llr_i8, cfg.sch, cfg.nof_ldpc_iterations, harq_buffer
     )

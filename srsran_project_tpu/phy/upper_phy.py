@@ -1,0 +1,161 @@
+"""Upper PHY slot orchestration: FAPI requests in, grids/indications out.
+
+Counterpart of the reference's downlink_processor_multi_executor_impl /
+uplink_processor_impl / upper_phy_impl (SURVEY.md §2.1): where the
+reference fans PDUs out over executor pools and finishes the grid through
+notifier webs, here each slot is one sequence of jitted tensor programs
+accumulating into a single device-resident grid — concurrency is array
+batching, not threads.  HARQ soft-bit state is a device-resident buffer
+pool keyed like the reference's trx_buffer_identifier (rnti, harq id).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..fapi import messages as fapi
+from . import csi_rs as csi_rs_mod
+from . import pdcch as pdcch_mod
+from . import pdsch as pdsch_mod
+from . import prach as prach_mod
+from . import pucch as pucch_mod
+from . import pucch_f2 as pucch_f2_mod
+from . import pusch as pusch_mod
+from . import ssb as ssb_mod
+
+
+@dataclasses.dataclass
+class UpperPhyConfig:
+    nof_ports: int = 1
+    nof_grid_symbols: int = 14
+    nof_grid_sc: int = 624
+
+
+class HarqBufferPool:
+    """Device-resident soft-bit buffers keyed by (rnti, harq id).
+
+    Mirrors rx_buffer_pool_impl (lib/phy/upper/rx_buffer_pool_impl.cpp):
+    new_data resets, retransmissions combine inside the PUSCH decoder.
+    """
+
+    def __init__(self, max_buffers: int = 64):
+        self.max_buffers = max_buffers
+        self._buffers: dict[tuple[int, int], object] = {}
+
+    def get(self, rnti: int, harq_id: int):
+        return self._buffers.get((rnti, harq_id))
+
+    def put(self, rnti: int, harq_id: int, buf) -> None:
+        if len(self._buffers) >= self.max_buffers and (rnti, harq_id) not in self._buffers:
+            self._buffers.pop(next(iter(self._buffers)))
+        self._buffers[(rnti, harq_id)] = buf
+
+    def release(self, rnti: int, harq_id: int) -> None:
+        self._buffers.pop((rnti, harq_id), None)
+
+
+class UpperPhy:
+    """One cell's upper PHY."""
+
+    def __init__(self, cfg: UpperPhyConfig):
+        self.cfg = cfg
+        self.harq_pool = HarqBufferPool()
+
+    # ------------------------------------------------------------------
+    # Downlink: DL_TTI.request + TX_Data.request -> resource grid
+    # ------------------------------------------------------------------
+    def process_dl_tti(
+        self, request: fapi.DlTtiRequest, tx_data: fapi.TxDataRequest
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        grid = jnp.zeros(
+            (cfg.nof_ports, cfg.nof_grid_symbols, cfg.nof_grid_sc), jnp.complex64
+        )
+        for pdu in request.pdsch:
+            tb = jnp.asarray(tx_data.payloads[pdu.tb_index], jnp.uint8)
+            grid = grid + pdsch_mod.process(
+                tb, jnp.uint32(pdu.rnti), jnp.asarray(pdu.precoding, jnp.complex64), pdu.config
+            )
+        for pdu in request.pdcch:
+            g = pdcch_mod.process(jnp.asarray(pdu.payload, jnp.uint8), jnp.uint32(pdu.rnti), pdu.config)
+            grid = grid.at[0].add(g)
+        for pdu in request.ssb:
+            g = ssb_mod.assemble_ssb(jnp.asarray(pdu.payload, jnp.uint8), pdu.config)
+            grid = grid.at[
+                0,
+                pdu.first_symbol : pdu.first_symbol + ssb_mod.SSB_NSYM,
+                pdu.first_subcarrier : pdu.first_subcarrier + ssb_mod.SSB_NSC,
+            ].add(g)
+        for pdu in request.csi_rs:
+            c = csi_rs_mod.CsiRsConfig(
+                rb_start=pdu.rb_start,
+                rb_count=pdu.rb_count,
+                symbol=pdu.symbol,
+                scrambling_id=pdu.scrambling_id,
+                slot_in_frame=request.slot.slot_in_frame,
+                nof_grid_symbols=cfg.nof_grid_symbols,
+                nof_grid_sc=cfg.nof_grid_sc,
+            )
+            grid = grid.at[0].add(csi_rs_mod.generate(c))
+        return grid
+
+    # ------------------------------------------------------------------
+    # Uplink: UL_TTI.request + received grid -> indications
+    # ------------------------------------------------------------------
+    def process_ul_tti(
+        self,
+        request: fapi.UlTtiRequest,
+        rx_grid: jnp.ndarray,
+        prach_fd: jnp.ndarray | None = None,
+    ) -> fapi.SlotResults:
+        res = fapi.SlotResults(slot=request.slot)
+        for pdu in request.pusch:
+            harq = None if pdu.new_data else self.harq_pool.get(pdu.rnti, pdu.harq_id)
+            out = pusch_mod.process(rx_grid, jnp.uint32(pdu.rnti), pdu.config, harq_buffer=harq)
+            ok = bool(np.asarray(out["tb_crc_ok"]))
+            res.crc.append(fapi.CrcIndicationPdu(pdu.rnti, pdu.harq_id, ok))
+            if ok:
+                res.rx_data.append(
+                    fapi.RxDataIndicationPdu(pdu.rnti, pdu.harq_id, np.asarray(out["tb_bits"]))
+                )
+                self.harq_pool.release(pdu.rnti, pdu.harq_id)
+            else:
+                self.harq_pool.put(pdu.rnti, pdu.harq_id, out["harq_buffer"])
+        for pdu in request.pucch:
+            c = pdu.config
+            if isinstance(c, pucch_mod.PucchFormat0Config):
+                val, metric, _ = pucch_mod.format0_detect(rx_grid, c)
+                bits = np.asarray([(int(val) >> i) & 1 for i in range(c.nof_harq_bits)], np.uint8)
+                res.uci.append(
+                    fapi.UciIndicationPdu(pdu.rnti, bits, bool(metric > 0.2), float(metric))
+                )
+            elif isinstance(c, pucch_mod.PucchFormat1Config):
+                bits, _, metric = pucch_mod.format1_detect(rx_grid, c)
+                res.uci.append(
+                    fapi.UciIndicationPdu(pdu.rnti, np.asarray(bits), True, float(metric))
+                )
+            elif isinstance(c, pucch_f2_mod.PucchFormat2Config):
+                bits, ok, snr = pucch_f2_mod.process(rx_grid, c)
+                res.uci.append(
+                    fapi.UciIndicationPdu(pdu.rnti, np.asarray(bits), bool(np.asarray(ok)), float(snr))
+                )
+            else:
+                res.errors.append(fapi.ErrorIndication(request.slot, f"unsupported PUCCH {type(c)}"))
+        for pdu in request.prach:
+            if prach_fd is None:
+                res.errors.append(fapi.ErrorIndication(request.slot, "PRACH requested, no buffer"))
+                continue
+            out = prach_mod.detect(prach_fd, pdu.config)
+            det = np.asarray(out["detected"])
+            for idx in np.nonzero(det)[0]:
+                res.rach.append(
+                    fapi.RachIndicationPdu(
+                        int(idx),
+                        float(np.asarray(out["metric"])[idx]),
+                        float(np.asarray(out["ta_samples"])[idx]),
+                    )
+                )
+        return res
