@@ -1,0 +1,141 @@
+"""YAML-backed configuration system.
+
+Counterpart of the reference's CLI11+YAML config machinery
+(apps/gnb/gnb_appconfig_cli11_schema.cpp, apps/units/flexible_o_du/o_du_low/
+du_low_config.h:33-170): dataclass-schema configs loaded from YAML with
+dotted-path CLI overrides, validation, and round-trip dumping.  The expert
+PHY knobs mirror du_low_config.h.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import yaml
+
+from ..ops.modulation import Modulation
+from ..ran.constants import CyclicPrefix, SubcarrierSpacing
+
+
+@dataclasses.dataclass
+class ExpertPhyConfig:
+    """Expert upper-PHY knobs (reference: du_low_config.h:33-170)."""
+
+    max_processing_delay_slots: int = 5
+    pusch_max_nof_ldpc_iterations: int = 10
+    ldpc_decoder_early_stop: bool = False  # fixed-iteration on TPU; masked convergence TBD
+    pusch_sinr_calc_method: str = "post_equalization"
+    pusch_channel_estimator_fd_strategy: str = "filter"  # none | mean | filter
+    pusch_channel_estimator_td_strategy: str = "average"
+    pusch_channel_estimator_cfo_compensation: bool = False
+    pusch_channel_equalizer_algorithm: str = "mmse"  # zf | mmse
+    pdsch_processor_type: str = "flexible"
+    pdsch_cb_batch_length: int = 0  # 0 = whole codeword batch
+    llr_range_limit: float = 20.0
+
+
+@dataclasses.dataclass
+class CellYamlConfig:
+    nof_rb: int = 273
+    scs_khz: int = 30
+    cyclic_prefix: str = "normal"
+    nof_ports: int = 4
+    nof_layers: int = 4
+    modulation: str = "qam256"
+    target_code_rate: float = 948.0 / 1024.0
+    f_center_hz: float = 3.5e9
+    pci: int = 1
+
+
+@dataclasses.dataclass
+class DuLowConfig:
+    cell: CellYamlConfig = dataclasses.field(default_factory=CellYamlConfig)
+    expert_phy: ExpertPhyConfig = dataclasses.field(default_factory=ExpertPhyConfig)
+    log_level: str = "info"
+
+
+_MOD_MAP = {
+    "pi2bpsk": Modulation.PI_2_BPSK,
+    "bpsk": Modulation.BPSK,
+    "qpsk": Modulation.QPSK,
+    "qam16": Modulation.QAM16,
+    "qam64": Modulation.QAM64,
+    "qam256": Modulation.QAM256,
+}
+_SCS_MAP = {15: SubcarrierSpacing.KHZ15, 30: SubcarrierSpacing.KHZ30, 60: SubcarrierSpacing.KHZ60,
+            120: SubcarrierSpacing.KHZ120, 240: SubcarrierSpacing.KHZ240}
+
+
+def _from_dict(cls, d: dict):
+    import typing
+
+    hints = typing.get_type_hints(cls)
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        ftype = hints.get(f.name, f.type)
+        if isinstance(ftype, type) and dataclasses.is_dataclass(ftype) and isinstance(v, dict):
+            v = _from_dict(ftype, v)
+        kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def load_config(path: str | None = None, overrides: dict[str, Any] | None = None) -> DuLowConfig:
+    """Load YAML + apply dotted-path overrides (e.g. {"cell.nof_rb": 52})."""
+    data: dict = {}
+    if path:
+        with open(path) as f:
+            data = yaml.safe_load(f) or {}
+    cfg = _from_dict(DuLowConfig, data)
+    for key, value in (overrides or {}).items():
+        obj = cfg
+        parts = key.split(".")
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        if not hasattr(obj, parts[-1]):
+            raise KeyError(key)
+        setattr(obj, parts[-1], value)
+    validate(cfg)
+    return cfg
+
+
+def validate(cfg: DuLowConfig) -> None:
+    c = cfg.cell
+    if not 1 <= c.nof_rb <= 275:
+        raise ValueError(f"nof_rb {c.nof_rb} out of range")
+    if c.scs_khz not in _SCS_MAP:
+        raise ValueError(f"invalid scs {c.scs_khz}")
+    if c.modulation not in _MOD_MAP:
+        raise ValueError(f"invalid modulation {c.modulation}")
+    if c.nof_layers > c.nof_ports:
+        raise ValueError("nof_layers > nof_ports")
+    if not 0.0 < c.target_code_rate < 1.0:
+        raise ValueError("target_code_rate out of range")
+    e = cfg.expert_phy
+    if e.pusch_channel_equalizer_algorithm not in ("zf", "mmse"):
+        raise ValueError(e.pusch_channel_equalizer_algorithm)
+
+
+def dump_config(cfg: DuLowConfig) -> str:
+    """Round-trip the config to YAML (the reference's --dump_config)."""
+    return yaml.safe_dump(dataclasses.asdict(cfg), sort_keys=False)
+
+
+def to_cell_config(cfg: DuLowConfig):
+    """Build the runtime CellConfig from the YAML schema."""
+    from ..models.cell import CellConfig
+
+    c = cfg.cell
+    return CellConfig(
+        nof_rb=c.nof_rb,
+        scs=_SCS_MAP[c.scs_khz],
+        cp=CyclicPrefix.NORMAL if c.cyclic_prefix == "normal" else CyclicPrefix.EXTENDED,
+        nof_ports=c.nof_ports,
+        nof_layers=c.nof_layers,
+        modulation=_MOD_MAP[c.modulation],
+        target_code_rate=c.target_code_rate,
+        f_center_hz=c.f_center_hz,
+    )
