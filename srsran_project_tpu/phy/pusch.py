@@ -73,13 +73,15 @@ def _dmrs_pilots(cfg: PuschConfig, nof_pilots: int) -> jax.Array:
     return jnp.stack(outs).astype(jnp.complex64)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
 def _front_end(grid: jax.Array, rnti: jax.Array, cfg: PuschConfig):
     """Grid -> descrambled int8 codeword LLRs (+ channel metrics).
 
-    Kept as its own jit unit: fusing the whole slot (front end + LDPC) into
-    one XLA program makes compile time blow up on large carriers, while the
-    stages compile in seconds each.
+    Deliberately NOT wrapped in an outer jit: the inner blocks
+    (estimate_channel, equalize, demap_soft, gold_sequence) are each jitted
+    programs that compile in seconds, while fusing them into one XLA
+    program makes the TPU compiler blow up super-linearly on large
+    carriers; the glue between them is a handful of cached elementwise /
+    gather ops.
     """
     a = cfg.alloc
     nl, npr = cfg.nof_layers, cfg.nof_rx_ports
