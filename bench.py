@@ -7,6 +7,10 @@ Prints ONE JSON line:
 Baseline: real-time slot rate at 30 kHz SCS is 2000 slots/s (1000 DL encodes
 + 1000 UL decodes per second); vs_baseline = achieved rate / 2000
 (BASELINE.md north-star target: sustained >= 2000 slots/s DL+UL combined).
+
+The warmup pass runs with synchronous staging (strictly sequential program
+compiles — the TPU remote-compile path wedges when compilations are queued
+asynchronously); steady-state timing runs fully asynchronously.
 """
 
 import json
@@ -18,13 +22,10 @@ import numpy as np
 
 def main():
     import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
     from srsran_project_tpu.models import cell as cell_mod
+    from srsran_project_tpu.support import staging
 
     cfg = cell_mod.CellConfig()  # 273 PRB, 4x4, 256QAM MCS27-like
     rng = np.random.default_rng(0)
@@ -33,30 +34,28 @@ def main():
     w = jnp.eye(cfg.nof_layers, cfg.nof_ports, dtype=jnp.complex64)
     tb = jnp.asarray(rng.integers(0, 2, size=(cfg.tbs,), dtype=np.uint8))
 
+    # ---- Warmup: compile every stage sequentially ----
     t0 = time.time()
-    iq = cell_mod.encode_slot(tb, rnti, w, cfg)
-    iq.block_until_ready()
-    t_enc_compile = time.time() - t0
-    # Light noise so the decoder does real work.
-    noise = (
-        rng.standard_normal(iq.shape) + 1j * rng.standard_normal(iq.shape)
-    ).astype(np.complex64) * np.sqrt(1e-4 / 2)
-    iq_rx = iq + jnp.asarray(noise)
-
-    t0 = time.time()
-    out = cell_mod.decode_slot(iq_rx, rnti, cfg)
-    ok = np.asarray(out["tb_crc_ok"])
-    t_dec_compile = time.time() - t0
+    with staging.sync_stages():
+        iq = cell_mod.encode_slot(tb, rnti, w, cfg)
+        iq.block_until_ready()
+        t_enc_compile = time.time() - t0
+        noise = (
+            rng.standard_normal(iq.shape) + 1j * rng.standard_normal(iq.shape)
+        ).astype(np.complex64) * np.sqrt(1e-4 / 2)
+        iq_rx = iq + jnp.asarray(noise)
+        t0 = time.time()
+        out = cell_mod.decode_slot(iq_rx, rnti, cfg)
+        ok = np.asarray(out["tb_crc_ok"])
+        t_dec_compile = time.time() - t0
     if not bool(ok):
         print(json.dumps({"metric": "error", "value": 0, "unit": "crc_failed", "vs_baseline": 0}))
         sys.exit(1)
 
     def bench(fn, n):
-        # Distinct dummy inputs defeat result caching; same shapes reuse the jit.
+        fn(0)  # settle
         t0 = time.time()
-        outs = []
-        for i in range(n):
-            outs.append(fn(i))
+        outs = [fn(i) for i in range(n)]
         jax.block_until_ready(outs)
         return (time.time() - t0) / n
 

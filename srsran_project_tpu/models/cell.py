@@ -22,6 +22,7 @@ from ..phy import pdsch, pusch
 from ..phy.allocation import Allocation
 from ..ran import tbs as tbs_mod
 from ..ran.constants import NRE, CyclicPrefix, SubcarrierSpacing, min_dft_size
+from ..support.staging import checkpoint
 
 
 @dataclasses.dataclass(frozen=True)
@@ -115,7 +116,7 @@ def encode_slot(tb_bits: jax.Array, rnti: jax.Array, precoding: jax.Array, cfg: 
     programs): one fused whole-slot program makes the TPU compiler blow up
     at 100 MHz sizes while the stages compile in seconds.
     """
-    grid = pdsch.process(tb_bits, rnti, precoding, cfg.pdsch_cfg)
+    grid = checkpoint(pdsch.process(tb_bits, rnti, precoding, cfg.pdsch_cfg))
     return ofdm.modulate_slot(
         grid,
         cfg.scs,
@@ -128,13 +129,15 @@ def encode_slot(tb_bits: jax.Array, rnti: jax.Array, precoding: jax.Array, cfg: 
 
 def decode_slot(iq: jax.Array, rnti: jax.Array, cfg: CellConfig):
     """UL slot: baseband IQ (nof_rx_ports, nof_samples) -> decode results."""
-    grid = ofdm.demodulate_slot(
-        iq,
-        cfg.nof_rb,
-        cfg.scs,
-        cfg.dft_size,
-        cfg.cp,
-        0,
-        f_center_hz=cfg.f_center_hz,
+    grid = checkpoint(
+        ofdm.demodulate_slot(
+            iq,
+            cfg.nof_rb,
+            cfg.scs,
+            cfg.dft_size,
+            cfg.cp,
+            0,
+            f_center_hz=cfg.f_center_hz,
+        )
     )
     return pusch.process(grid, rnti, cfg.pusch_cfg)

@@ -21,6 +21,7 @@ import numpy as np
 from ..ops import scrambling
 from ..ops.modulation import Modulation, map_bits
 from ..ran import dmrs as dmrs_mod
+from ..support.staging import checkpoint
 from . import allocation as alloc_mod
 from .sch import SchConfig, encode_transport_block
 
@@ -115,5 +116,5 @@ def process(tb_bits: jax.Array, rnti: jax.Array, precoding: jax.Array, cfg: Pdsc
     Stage-jitted (bit chain vs grid chain) to keep per-program compile time
     bounded on large carriers.
     """
-    cw = _bit_chain(tb_bits, jnp.asarray(rnti), cfg)
+    cw = checkpoint(_bit_chain(tb_bits, jnp.asarray(rnti), cfg))
     return _grid_chain(cw, jnp.asarray(precoding), cfg)

@@ -20,6 +20,7 @@ from ..ops import scrambling
 from ..ops.equalizer import equalize
 from ..ops.estimator import estimate_channel
 from ..ops.modulation import Modulation, demap_soft, quantize_llr
+from ..support.staging import checkpoint
 from ..ran import dmrs as dmrs_mod
 from . import allocation as alloc_mod
 from .sch import SchConfig, decode_transport_block
@@ -99,6 +100,7 @@ def _front_end(grid: jax.Array, rnti: jax.Array, cfg: PuschConfig):
         h_l, nv_l, metrics = estimate_channel(
             y_p, r[None], jnp.asarray(wf, jnp.float32), pair_pos, a.nof_sc
         )  # h_l: (npr, nof_sc), nv_l: (npr,)
+        checkpoint(h_l)
         h_cols.append(h_l)
         nvar_acc = nvar_acc + nv_l.mean() / nl
         snr_acc = snr_acc + metrics["snr"].mean() / nl
@@ -120,16 +122,17 @@ def _front_end(grid: jax.Array, rnti: jax.Array, cfg: PuschConfig):
         noise_var,
         method=cfg.equalizer,
     )  # (ndata, nl), (ndata, nl)
+    checkpoint(x_hat)
 
     # --- Demap, de-layer-map, descramble ---
-    llr_layers = demap_soft(x_hat.T, eq_nvar.T, cfg.modulation)  # (nl, ndata*Qm)
+    llr_layers = checkpoint(demap_soft(x_hat.T, eq_nvar.T, cfg.modulation))  # (nl, ndata*Qm)
     qm = cfg.sch.qm
     # Inverse of layer mapping: codeword bit blocks of Qm alternate layers.
     ndata = llr_layers.shape[-1] // qm
     llr = llr_layers.reshape(nl, ndata, qm)
     llr = jnp.moveaxis(llr, 0, 1).reshape(-1)  # (G,)
-    llr_i8 = quantize_llr(llr, cfg.llr_range_limit)
-    llr_i8 = scrambling.descramble_llrs(llr_i8, _pusch_c_init(jnp.asarray(rnti), cfg.n_id))
+    llr_i8 = checkpoint(quantize_llr(llr, cfg.llr_range_limit))
+    llr_i8 = checkpoint(scrambling.descramble_llrs(llr_i8, _pusch_c_init(jnp.asarray(rnti), cfg.n_id)))
     return llr_i8, noise_var, snr_acc
 
 

@@ -20,6 +20,7 @@ from ..ops.ldpc import decoder as ldpc_decoder
 from ..ops.ldpc import encoder as ldpc_encoder
 from ..ops.ldpc import rate_match as rm
 from ..ops.ldpc import segmenter
+from ..support.staging import checkpoint
 
 
 @dataclasses.dataclass(frozen=True)
@@ -69,7 +70,7 @@ def encode_transport_block(tb_bits: jax.Array, cfg: SchConfig) -> jax.Array:
     """TB payload (..., A) -> codeword bits (..., G)."""
     seg = cfg.seg
     cbs = segmenter.segment_tx(tb_bits, seg)  # (..., C, K)
-    buf = ldpc_encoder.encode_to_buffer(cbs, seg.base_graph, seg.lifting_size)
+    buf = checkpoint(ldpc_encoder.encode_to_buffer(cbs, seg.base_graph, seg.lifting_size))
     k_prime = seg.nof_payload_bits_per_cb
     pieces = []
     for start, count, e in _e_groups(cfg.cb_e_bits):
@@ -111,7 +112,7 @@ def decode_transport_block(
             )
         )
         off += count * e
-    buf = jnp.concatenate(dematched, axis=-2)  # (..., C, N)
+    buf = checkpoint(jnp.concatenate(dematched, axis=-2))  # (..., C, N)
     if harq_buffer is not None:
         buf = rm.combine_harq(harq_buffer, buf)
     new_harq = buf
@@ -120,6 +121,7 @@ def decode_transport_block(
     bits, _ = ldpc_decoder.decode(
         flat.astype(jnp.float32), seg.base_graph, seg.lifting_size, nof_iterations
     )
+    checkpoint(bits)
     bits = bits.reshape(buf.shape[:-1] + (bits.shape[-1],))  # (..., C, K)
     tb, ok = segmenter.desegment_rx(bits, seg)
     return tb, ok, new_harq

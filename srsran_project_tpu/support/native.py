@@ -1,0 +1,209 @@
+"""ctypes bindings for the native runtime library (native/*.cpp).
+
+Native pieces mirror where the reference is native: O-RAN BFP IQ
+compression (lib/ofh/compression), the simulated-RF IQ transport
+(lib/radio/zmq), and the SPSC baseband ring (lower-PHY pipeline).  The
+library auto-builds on first use if a toolchain is present; BFP also has a
+NumPy fallback so tests run without it.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _native_dir() -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
+
+
+def get_lib():
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    so = os.path.join(_native_dir(), "libsrsran_tpu_native.so")
+    if not os.path.exists(so):
+        try:
+            subprocess.run(["make", "-C", _native_dir()], check=True, capture_output=True)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    lib.bfp_compressed_prb_bytes.restype = ctypes.c_int
+    lib.bfp_compress.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
+    lib.bfp_decompress.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
+    lib.iq_open_rx.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.iq_open_rx.restype = ctypes.c_int
+    lib.iq_open_tx.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.iq_open_tx.restype = ctypes.c_int
+    lib.iq_send.argtypes = [ctypes.c_int, ctypes.c_uint32, ctypes.c_int, ctypes.c_int,
+                            ctypes.c_void_p, ctypes.c_int]
+    lib.iq_send.restype = ctypes.c_int
+    lib.iq_recv.argtypes = [ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                            ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+    lib.iq_recv.restype = ctypes.c_int
+    lib.iq_close.argtypes = [ctypes.c_int]
+    lib.ring_create.argtypes = [ctypes.c_int, ctypes.c_int]
+    lib.ring_create.restype = ctypes.c_void_p
+    lib.ring_destroy.argtypes = [ctypes.c_void_p]
+    lib.ring_push.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.ring_push.restype = ctypes.c_int
+    lib.ring_pop.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.ring_pop.restype = ctypes.c_int
+    lib.ring_size.argtypes = [ctypes.c_void_p]
+    lib.ring_size.restype = ctypes.c_int
+    _LIB = lib
+    return lib
+
+
+# ---------------------------------------------------------------------------
+# BFP compression
+# ---------------------------------------------------------------------------
+
+def bfp_compress(samples: np.ndarray, width: int = 9) -> np.ndarray:
+    """int16 IQ (nof_prb*24,) -> compressed bytes."""
+    samples = np.ascontiguousarray(samples, np.int16)
+    nof_prb = samples.size // 24
+    lib = get_lib()
+    if lib is not None:
+        out = np.empty(nof_prb * lib.bfp_compressed_prb_bytes(width), np.uint8)
+        lib.bfp_compress(samples.ctypes.data, nof_prb, width, out.ctypes.data)
+        return out
+    return _bfp_compress_np(samples, nof_prb, width)
+
+
+def bfp_decompress(data: np.ndarray, nof_prb: int, width: int = 9) -> np.ndarray:
+    data = np.ascontiguousarray(data, np.uint8)
+    lib = get_lib()
+    if lib is not None:
+        out = np.empty(nof_prb * 24, np.int16)
+        lib.bfp_decompress(data.ctypes.data, nof_prb, width, out.ctypes.data)
+        return out
+    return _bfp_decompress_np(data, nof_prb, width)
+
+
+def _prb_bytes(width: int) -> int:
+    return 1 + (24 * width + 7) // 8
+
+
+def _bfp_compress_np(samples, nof_prb, width):
+    out = np.zeros(nof_prb * _prb_bytes(width), np.uint8)
+    for p in range(nof_prb):
+        blk = samples[p * 24 : (p + 1) * 24].astype(np.int32)
+        maxabs = int(np.abs(blk).max())
+        e = 0
+        while (maxabs >> e) >= (1 << (width - 1)):
+            e += 1
+        mant = (blk >> e) & ((1 << width) - 1)
+        bits = ((mant[:, None] >> np.arange(width - 1, -1, -1)) & 1).reshape(-1)
+        dst = p * _prb_bytes(width)
+        out[dst] = e
+        packed = np.packbits(bits)
+        out[dst + 1 : dst + 1 + len(packed)] = packed
+    return out
+
+
+def _bfp_decompress_np(data, nof_prb, width):
+    out = np.empty(nof_prb * 24, np.int16)
+    pb = _prb_bytes(width)
+    for p in range(nof_prb):
+        src = data[p * pb : (p + 1) * pb]
+        e = int(src[0])
+        bits = np.unpackbits(src[1:])[: 24 * width].reshape(24, width)
+        mant = (bits * (1 << np.arange(width - 1, -1, -1))).sum(axis=1).astype(np.int32)
+        mant = np.where(mant >= (1 << (width - 1)), mant - (1 << width), mant)
+        out[p * 24 : (p + 1) * 24] = (mant << e).astype(np.int16)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# IQ transport
+# ---------------------------------------------------------------------------
+
+class IqSocket:
+    """UDP IQ frame endpoint over the native transport."""
+
+    def __init__(self, fd: int):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self.fd = fd
+
+    @classmethod
+    def rx(cls, port: int, bind: str = "127.0.0.1") -> "IqSocket":
+        fd = get_lib().iq_open_rx(bind.encode(), port)
+        if fd < 0:
+            raise OSError("iq_open_rx failed")
+        return cls(fd)
+
+    @classmethod
+    def tx(cls, port: int, dest: str = "127.0.0.1") -> "IqSocket":
+        fd = get_lib().iq_open_tx(dest.encode(), port)
+        if fd < 0:
+            raise OSError("iq_open_tx failed")
+        return cls(fd)
+
+    def send(self, slot: int, symbol: int, port_id: int, iq: np.ndarray) -> int:
+        """iq: complex64 samples -> int16 interleaved on the wire (Q15)."""
+        scaled = np.empty(iq.size * 2, np.int16)
+        scaled[0::2] = np.clip(np.round(iq.real * 32767), -32768, 32767)
+        scaled[1::2] = np.clip(np.round(iq.imag * 32767), -32768, 32767)
+        return self._lib.iq_send(self.fd, slot, symbol, port_id, scaled.ctypes.data, iq.size)
+
+    def recv(self, max_samples: int = 8192, timeout_ms: int = 100):
+        buf = np.empty(max_samples * 2, np.int16)
+        slot = ctypes.c_uint32()
+        symbol = ctypes.c_int()
+        port_id = ctypes.c_int()
+        n = self._lib.iq_recv(self.fd, ctypes.byref(slot), ctypes.byref(symbol),
+                              ctypes.byref(port_id), buf.ctypes.data, max_samples, timeout_ms)
+        if n <= 0:
+            return None
+        iq = (buf[0 : 2 * n : 2].astype(np.float32) + 1j * buf[1 : 2 * n : 2].astype(np.float32)) / 32767.0
+        return slot.value, symbol.value, port_id.value, iq.astype(np.complex64)
+
+    def close(self):
+        self._lib.iq_close(self.fd)
+
+
+class SampleRing:
+    """SPSC ring of int16 sample blocks."""
+
+    def __init__(self, nof_blocks: int, block_samples: int):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self.block_samples = block_samples
+        self._h = lib.ring_create(nof_blocks, block_samples)
+        if not self._h:
+            raise MemoryError
+
+    def push(self, block: np.ndarray) -> bool:
+        block = np.ascontiguousarray(block, np.int16)
+        assert block.size == self.block_samples
+        return bool(self._lib.ring_push(self._h, block.ctypes.data))
+
+    def pop(self):
+        out = np.empty(self.block_samples, np.int16)
+        if not self._lib.ring_pop(self._h, out.ctypes.data):
+            return None
+        return out
+
+    def __len__(self):
+        return self._lib.ring_size(self._h)
+
+    def close(self):
+        if self._h:
+            self._lib.ring_destroy(self._h)
+            self._h = None
