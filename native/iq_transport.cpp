@@ -12,6 +12,7 @@
 //   then nof_samples * 2 * int16 (I,Q).
 
 #include <arpa/inet.h>
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <netinet/in.h>

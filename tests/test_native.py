@@ -1,0 +1,77 @@
+"""Native library: BFP compression, IQ transport, sample ring."""
+
+import numpy as np
+import pytest
+
+from srsran_project_tpu.support import native
+
+
+def test_bfp_roundtrip_lossless_small_values():
+    rng = np.random.default_rng(0)
+    # Values fitting in width-1 bits compress losslessly (e = 0).
+    x = rng.integers(-200, 200, size=24 * 8, dtype=np.int16)
+    c = native.bfp_compress(x, width=9)
+    back = native.bfp_decompress(c, 8, width=9)
+    np.testing.assert_array_equal(back, x)
+
+
+def test_bfp_large_values_bounded_error():
+    rng = np.random.default_rng(1)
+    x = rng.integers(-30000, 30000, size=24 * 16, dtype=np.int16)
+    c = native.bfp_compress(x, width=9)
+    back = native.bfp_decompress(c, 16, width=9)
+    # Max error bounded by the quantization step 2^e, e <= 7 for 16-bit in.
+    err = np.abs(back.astype(np.int32) - x.astype(np.int32))
+    assert err.max() < (1 << 8)
+    # Compression ratio: 9-bit mantissas + exponent vs 16-bit raw.
+    assert len(c) < x.size * 2 * 0.65
+
+
+def test_bfp_native_matches_numpy_fallback():
+    rng = np.random.default_rng(2)
+    x = rng.integers(-5000, 5000, size=24 * 4, dtype=np.int16)
+    c_native = native.bfp_compress(x, width=9)
+    c_np = native._bfp_compress_np(x, 4, 9)
+    np.testing.assert_array_equal(c_native, c_np)
+    d_native = native.bfp_decompress(c_native, 4, 9)
+    d_np = native._bfp_decompress_np(np.asarray(c_np), 4, 9)
+    np.testing.assert_array_equal(d_native, d_np)
+
+
+@pytest.mark.skipif(native.get_lib() is None, reason="native lib unavailable")
+def test_iq_transport_loopback():
+    rx = native.IqSocket.rx(47331)
+    tx = native.IqSocket.tx(47331)
+    rng = np.random.default_rng(3)
+    iq = (rng.standard_normal(3000) + 1j * rng.standard_normal(3000)).astype(np.complex64) * 0.1
+    tx.send(slot=7, symbol=3, port_id=1, iq=iq)
+    got = []
+    while True:
+        r = rx.recv(max_samples=4096, timeout_ms=500)
+        if r is None:
+            break
+        slot, symbol, port_id, data = r
+        assert (slot, symbol, port_id) == (7, 3, 1)
+        got.append(data)
+        if sum(g.size for g in got) >= iq.size:
+            break
+    data = np.concatenate(got)
+    assert data.size == iq.size
+    np.testing.assert_allclose(data, iq, atol=1e-4)
+    tx.close()
+    rx.close()
+
+
+@pytest.mark.skipif(native.get_lib() is None, reason="native lib unavailable")
+def test_sample_ring():
+    ring = native.SampleRing(nof_blocks=4, block_samples=128)
+    blocks = [np.full(128, i, np.int16) for i in range(4)]
+    for b in blocks:
+        assert ring.push(b)
+    assert not ring.push(blocks[0])  # full
+    assert len(ring) == 4
+    for i in range(4):
+        out = ring.pop()
+        np.testing.assert_array_equal(out, blocks[i])
+    assert ring.pop() is None
+    ring.close()
