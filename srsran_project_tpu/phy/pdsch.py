@@ -73,18 +73,22 @@ def dmrs_pilots(cfg: PdschConfig, nof_pilots: int) -> jax.Array:
     return jnp.stack(outs).astype(jnp.complex64)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
 def _bit_chain(tb_bits: jax.Array, rnti: jax.Array, cfg: PdschConfig) -> jax.Array:
-    """Segment + LDPC encode + rate match + scramble: (A,) -> (G,) bits."""
-    cw = encode_transport_block(tb_bits, cfg.sch)
-    return scrambling.scramble_bits(cw, _pdsch_c_init(jnp.asarray(rnti), cfg.n_id))
+    """Segment + LDPC encode + rate match + scramble: (A,) -> (G,) bits.
+
+    Plain Python over individually-jitted blocks: fusing several blocks
+    into one XLA program blows up the TPU compiler at 100 MHz sizes, while
+    each block alone compiles in seconds (CRC/LDPC/rate-match/Gold are the
+    compiled units; glue is cached elementwise ops).
+    """
+    cw = checkpoint(encode_transport_block(tb_bits, cfg.sch))
+    return checkpoint(scrambling.scramble_bits(cw, _pdsch_c_init(jnp.asarray(rnti), cfg.n_id)))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
 def _grid_chain(cw: jax.Array, precoding: jax.Array, cfg: PdschConfig) -> jax.Array:
     """Modulate + layer map + DM-RS + precode: (G,) bits -> port grids."""
     a = cfg.alloc
-    syms = map_bits(cw, cfg.modulation)  # (G/Qm,)
+    syms = checkpoint(map_bits(cw, cfg.modulation))  # (G/Qm,)
     nl = cfg.nof_layers
     layered = syms.reshape(-1, nl).T  # (nl, ndata): symbol i -> layer i%nl
 
