@@ -35,11 +35,13 @@ def main():
     tb = jnp.asarray(rng.integers(0, 2, size=(cfg.tbs,), dtype=np.uint8))
 
     # ---- Warmup: compile every stage sequentially ----
+    print("# warmup: encode", file=sys.stderr, flush=True)
     t0 = time.time()
     with staging.sync_stages():
         iq = cell_mod.encode_slot(tb, rnti, w, cfg)
         iq.block_until_ready()
         t_enc_compile = time.time() - t0
+        print(f"# warmup: encode done {t_enc_compile:.1f}s", file=sys.stderr, flush=True)
         noise = (
             rng.standard_normal(iq.shape) + 1j * rng.standard_normal(iq.shape)
         ).astype(np.complex64) * np.sqrt(1e-4 / 2)
@@ -48,6 +50,7 @@ def main():
         out = cell_mod.decode_slot(iq_rx, rnti, cfg)
         ok = np.asarray(out["tb_crc_ok"])
         t_dec_compile = time.time() - t0
+        print(f"# warmup: decode done {t_dec_compile:.1f}s", file=sys.stderr, flush=True)
     if not bool(ok):
         print(json.dumps({"metric": "error", "value": 0, "unit": "crc_failed", "vs_baseline": 0}))
         sys.exit(1)

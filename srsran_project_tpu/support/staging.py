@@ -15,10 +15,15 @@ Usage:
 from __future__ import annotations
 
 import contextlib
+import os
+import sys
+import time
 
 import jax
 
 _SYNC = False
+_DEBUG = os.environ.get("SRSRAN_TPU_STAGE_DEBUG") == "1"
+_COUNT = 0
 
 
 def sync_enabled() -> bool:
@@ -27,8 +32,13 @@ def sync_enabled() -> bool:
 
 def checkpoint(x):
     """Block on x if synchronous staging is active; returns x."""
+    global _COUNT
     if _SYNC:
+        t0 = time.monotonic()
         jax.block_until_ready(x)
+        if _DEBUG:
+            _COUNT += 1
+            print(f"# stage {_COUNT}: {time.monotonic()-t0:.1f}s", file=sys.stderr, flush=True)
     return x
 
 
