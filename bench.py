@@ -4,44 +4,47 @@ PUSCH decode (UL) throughput on one chip.
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Baseline: real-time slot rate at 30 kHz SCS is 2000 slots/s (1000 DL encodes
-+ 1000 UL decodes per second); vs_baseline = achieved rate / 2000
-(BASELINE.md north-star target: sustained >= 2000 slots/s DL+UL combined).
+Baseline: real-time slot rate at 30 kHz SCS is 2000 slot operations/s
+(1000 DL encodes + 1000 UL decodes per second); vs_baseline = rate / 2000.
 
-The warmup pass runs with synchronous staging (strictly sequential program
-compiles — the TPU remote-compile path wedges when compilations are queued
-asynchronously); steady-state timing runs fully asynchronously.
+Robustness: the TPU tunnel's compile path hangs or errors sporadically, so
+the measurement runs in a worker subprocess with a timeout and is retried a
+few times (fresh process each attempt; a persistent compile cache makes
+retries cheaper when executable serialization is supported).
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
-import numpy as np
+ATTEMPT_TIMEOUT_S = int(os.environ.get("BENCH_ATTEMPT_TIMEOUT_S", "1500"))
+MAX_ATTEMPTS = int(os.environ.get("BENCH_MAX_ATTEMPTS", "3"))
+RECOVERY_SLEEP_S = 90
 
 
-def main():
+def worker() -> None:
+    import numpy as np
     import jax
     import jax.numpy as jnp
 
     from srsran_project_tpu.models import cell as cell_mod
     from srsran_project_tpu.support import staging
 
-    cfg = cell_mod.CellConfig()  # 273 PRB, 4x4, 256QAM MCS27-like
+    cfg = cell_mod.CellConfig()  # 273 PRB, 4x4, 256QAM
     rng = np.random.default_rng(0)
-
     rnti = jnp.uint32(0x4601)
     w = jnp.eye(cfg.nof_layers, cfg.nof_ports, dtype=jnp.complex64)
     tb = jnp.asarray(rng.integers(0, 2, size=(cfg.tbs,), dtype=np.uint8))
 
-    # ---- Warmup: compile every stage sequentially ----
     print("# warmup: encode", file=sys.stderr, flush=True)
     t0 = time.time()
     with staging.sync_stages():
         iq = cell_mod.encode_slot(tb, rnti, w, cfg)
         iq.block_until_ready()
-        t_enc_compile = time.time() - t0
-        print(f"# warmup: encode done {t_enc_compile:.1f}s", file=sys.stderr, flush=True)
+        t_enc_c = time.time() - t0
+        print(f"# warmup: encode done {t_enc_c:.1f}s", file=sys.stderr, flush=True)
         noise = (
             rng.standard_normal(iq.shape) + 1j * rng.standard_normal(iq.shape)
         ).astype(np.complex64) * np.sqrt(1e-4 / 2)
@@ -49,14 +52,13 @@ def main():
         t0 = time.time()
         out = cell_mod.decode_slot(iq_rx, rnti, cfg)
         ok = np.asarray(out["tb_crc_ok"])
-        t_dec_compile = time.time() - t0
-        print(f"# warmup: decode done {t_dec_compile:.1f}s", file=sys.stderr, flush=True)
+        t_dec_c = time.time() - t0
+        print(f"# warmup: decode done {t_dec_c:.1f}s crc={bool(ok)}", file=sys.stderr, flush=True)
     if not bool(ok):
-        print(json.dumps({"metric": "error", "value": 0, "unit": "crc_failed", "vs_baseline": 0}))
-        sys.exit(1)
+        raise RuntimeError("CRC failed in warmup")
 
     def bench(fn, n):
-        fn(0)  # settle
+        fn(0)
         t0 = time.time()
         outs = [fn(i) for i in range(n)]
         jax.block_until_ready(outs)
@@ -64,25 +66,55 @@ def main():
 
     n = 20
     t_enc = bench(lambda i: cell_mod.encode_slot(tb, jnp.uint32(0x4601 + i), w, cfg), n)
+    print(f"# encode {t_enc*1e3:.2f} ms/slot", file=sys.stderr, flush=True)
     t_dec = bench(lambda i: cell_mod.decode_slot(iq_rx, jnp.uint32(0x4601), cfg)["tb_bits"], n)
+    print(f"# decode {t_dec*1e3:.2f} ms/slot", file=sys.stderr, flush=True)
 
-    # DL+UL slot rate: one "slot of work" = 1 encode + 1 decode; the
-    # real-time bar is 1000 such slot pairs per second (2000 slot ops/s).
     slot_ops_per_s = 1.0 / t_enc + 1.0 / t_dec
-    mbps = cfg.tbs * (1.0 / t_enc + 1.0 / t_dec) / 1e6
+    mbps = cfg.tbs * slot_ops_per_s / 1e6
     result = {
         "metric": "pdsch_encode+pusch_decode_slot_rate_100mhz_4x4",
         "value": round(slot_ops_per_s, 1),
         "unit": "slots/s",
         "vs_baseline": round(slot_ops_per_s / 2000.0, 3),
     }
-    print(json.dumps(result))
+    print("RESULT " + json.dumps(result), flush=True)
     print(
-        f"# tbs={cfg.tbs} bits/slot, encode {t_enc*1e3:.2f} ms/slot, "
-        f"decode {t_dec*1e3:.2f} ms/slot, agg {mbps:.0f} Mbps, "
-        f"compile {t_enc_compile:.1f}s/{t_dec_compile:.1f}s",
+        f"# tbs={cfg.tbs} bits/slot, encode {t_enc*1e3:.2f} ms, decode {t_dec*1e3:.2f} ms, "
+        f"agg {mbps:.0f} Mbps, warmup {t_enc_c:.0f}s/{t_dec_c:.0f}s",
         file=sys.stderr,
+        flush=True,
     )
+
+
+def main() -> None:
+    if "--worker" in sys.argv:
+        worker()
+        return
+    for attempt in range(MAX_ATTEMPTS):
+        if attempt:
+            print(f"# retry {attempt} after {RECOVERY_SLEEP_S}s", file=sys.stderr, flush=True)
+            time.sleep(RECOVERY_SLEEP_S)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker"],
+                timeout=ATTEMPT_TIMEOUT_S,
+                capture_output=True,
+                text=True,
+            )
+        except subprocess.TimeoutExpired as e:
+            sys.stderr.write((e.stderr or "")[-2000:] if isinstance(e.stderr, str) else "")
+            print(f"# attempt {attempt} timed out", file=sys.stderr, flush=True)
+            continue
+        sys.stderr.write(proc.stderr[-4000:])
+        for line in proc.stdout.splitlines():
+            if line.startswith("RESULT "):
+                print(line[len("RESULT "):])
+                return
+        print(f"# attempt {attempt} failed rc={proc.returncode}", file=sys.stderr, flush=True)
+    print(json.dumps({"metric": "pdsch_encode+pusch_decode_slot_rate_100mhz_4x4",
+                      "value": 0, "unit": "slots/s", "vs_baseline": 0}))
+    sys.exit(1)
 
 
 if __name__ == "__main__":
