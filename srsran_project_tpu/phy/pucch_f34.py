@@ -1,0 +1,149 @@
+"""PUCCH Formats 3 and 4: DFT-s-OFDM UCI (TS 38.211 §6.3.2.6).
+
+Counterpart of the reference's pucch_demodulator_format3/format4
+(lib/phy/upper/channel_processors/pucch/pucch_demodulator_format{3,4}.cpp).
+Format 3: QPSK UCI symbols transform-precoded over 1-16 PRBs; Format 4:
+one PRB with a pre-DFT orthogonal cover code (OCC length 2 or 4).  DM-RS
+symbols carry low-PAPR sequences (Table 6.4.1.3.3.2-1 positions, no
+frequency hopping, no additional DM-RS).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import scrambling, sequences, transform_precoding as tp, uci as uci_mod
+from ..ops.modulation import Modulation, demap_soft, map_bits
+from ..ran.constants import NRE
+
+# DM-RS symbol indices within the PUCCH allocation (TS 38.211
+# Table 6.4.1.3.3.2-1, no hopping, no additional DM-RS).
+_DMRS_POS = {4: (1,), 5: (0, 3), 6: (1, 4), 7: (1, 4), 8: (1, 5), 9: (1, 6),
+             10: (2, 7), 11: (2, 7), 12: (2, 8), 13: (2, 9), 14: (3, 10)}
+
+
+@dataclasses.dataclass(frozen=True)
+class PucchFormat34Config:
+    prb_start: int
+    nof_prb: int  # 1 for format 4
+    start_symbol: int
+    nof_symbols: int  # 4..14
+    nof_uci_bits: int
+    rnti: int
+    n_id: int = 0  # scrambling + sequence id
+    occ_length: int = 1  # 1 => format 3; 2/4 => format 4
+    occ_index: int = 0
+    slot_in_frame: int = 0
+    nof_rx_ports: int = 1
+    nof_grid_sc: int = 624
+
+    @property
+    def data_symbols(self) -> tuple[int, ...]:
+        dm = _DMRS_POS[self.nof_symbols]
+        return tuple(i for i in range(self.nof_symbols) if i not in dm)
+
+    @property
+    def dmrs_symbols(self) -> tuple[int, ...]:
+        return _DMRS_POS[self.nof_symbols]
+
+    @property
+    def nof_data_sc(self) -> int:
+        return self.nof_prb * NRE
+
+    @property
+    def nof_coded_bits(self) -> int:
+        # QPSK over data symbols; OCC divides the payload capacity.
+        return 2 * len(self.data_symbols) * self.nof_data_sc // self.occ_length
+
+
+def _c_init(cfg: PucchFormat34Config) -> int:
+    return ((cfg.rnti << 15) + cfg.n_id) % (1 << 31)
+
+
+@functools.lru_cache(maxsize=None)
+def _dmrs_seq(cfg: PucchFormat34Config, sym_rel: int) -> np.ndarray:
+    """Low-PAPR DM-RS for one DM-RS symbol over the allocation."""
+    u = cfg.n_id % 30
+    base = sequences.base_sequence(u, 0, cfg.nof_data_sc)
+    # Per-symbol cyclic shift from the cell PRN (alpha hopping).
+    sym_abs = cfg.start_symbol + sym_rel
+    seq = scrambling.gold_ref(cfg.n_id % (1 << 31), 8 * 14 * (cfg.slot_in_frame + 1))
+    bits = seq[8 * (14 * cfg.slot_in_frame + sym_abs) : 8 * (14 * cfg.slot_in_frame + sym_abs) + 8]
+    ncs = int(sum(int(b) << m for m, b in enumerate(bits)))
+    alpha = 2.0 * np.pi * (ncs % NRE) / NRE
+    ramp = np.exp(1j * alpha * np.arange(cfg.nof_data_sc))
+    return (base * ramp).astype(np.complex64)
+
+
+def _occ(cfg: PucchFormat34Config) -> np.ndarray:
+    n = cfg.occ_length
+    i = cfg.occ_index
+    return np.exp(2j * np.pi * i * np.arange(n) / n).astype(np.complex64)
+
+
+def generate(cfg: PucchFormat34Config, bits: np.ndarray) -> np.ndarray:
+    """UE-side contribution: (14, nof_grid_sc) grid."""
+    coded = np.asarray(uci_mod.encode_uci(bits, cfg.nof_coded_bits))
+    scr = np.asarray(scrambling.scramble_bits(coded, np.uint32(_c_init(cfg))))
+    syms = np.asarray(map_bits(scr, Modulation.QPSK))  # (nof_coded/2,)
+    m = cfg.nof_data_sc
+    per_sym = m // cfg.occ_length
+    blocks = syms.reshape(len(cfg.data_symbols), per_sym)
+    occ = _occ(cfg)
+    grid = np.zeros((14, cfg.nof_grid_sc), np.complex64)
+    sc = slice(cfg.prb_start * NRE, cfg.prb_start * NRE + m)
+    for i, rel in enumerate(cfg.data_symbols):
+        # Pre-DFT OCC spreading: repeat the block occ_length times, weighted.
+        x = np.concatenate([blocks[i] * occ[k] for k in range(cfg.occ_length)])
+        grid[cfg.start_symbol + rel, sc] = np.asarray(tp.precode(x))
+    for rel in cfg.dmrs_symbols:
+        grid[cfg.start_symbol + rel, sc] = _dmrs_seq(cfg, rel)
+    return grid
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def process(grid: jax.Array, cfg: PucchFormat34Config):
+    """(P, 14, nsc) received grid -> (uci bits, ok, snr_db)."""
+    m = cfg.nof_data_sc
+    sc0 = cfg.prb_start * NRE
+    p = cfg.nof_rx_ports
+
+    # Channel estimate per port from DM-RS symbols (frequency-flat per sc).
+    h_acc = 0.0
+    for rel in cfg.dmrs_symbols:
+        y = grid[:, cfg.start_symbol + rel, sc0 : sc0 + m]
+        h_acc = h_acc + y * jnp.conj(jnp.asarray(_dmrs_seq(cfg, rel)))
+    h = h_acc / len(cfg.dmrs_symbols)  # (P, m)
+    # Noise: residual across DM-RS symbols.
+    resid = 0.0
+    for rel in cfg.dmrs_symbols:
+        y = grid[:, cfg.start_symbol + rel, sc0 : sc0 + m]
+        resid = resid + jnp.abs(y * jnp.conj(jnp.asarray(_dmrs_seq(cfg, rel))) - h) ** 2
+    denom = max(len(cfg.dmrs_symbols) - 1, 1)
+    nvar = jnp.maximum(resid.mean() / denom, 1e-10)
+
+    # Equalize each data symbol (MRC), inverse transform precoding, OCC despread.
+    occ = jnp.asarray(_occ(cfg))
+    per_sym = m // cfg.occ_length
+    parts = []
+    gain = (jnp.abs(h) ** 2).sum(axis=0).mean()
+    for rel in cfg.data_symbols:
+        y = grid[:, cfg.start_symbol + rel, sc0 : sc0 + m]
+        z = (jnp.conj(h) * y).sum(axis=0) / ((jnp.abs(h) ** 2).sum(axis=0) + 1e-12)
+        x = tp.deprecode(z)  # (m,)
+        xb = x.reshape(cfg.occ_length, per_sym)
+        despread = (xb * jnp.conj(occ)[:, None]).mean(axis=0)
+        parts.append(despread)
+    x_all = jnp.concatenate(parts)  # (nof_coded/2,)
+    eq_nvar = jnp.broadcast_to(nvar / jnp.maximum(gain, 1e-9), x_all.shape)
+    llr = demap_soft(x_all, eq_nvar, Modulation.QPSK)
+    seq = scrambling.gold_sequence(jnp.uint32(_c_init(cfg)), llr.shape[-1])
+    llr = jnp.where(seq == 1, -llr, llr)
+    bits, ok = uci_mod.decode_uci(llr, cfg.nof_uci_bits)
+    snr_db = 10.0 * jnp.log10(jnp.maximum(gain / nvar, 1e-12))
+    return bits, ok, snr_db
