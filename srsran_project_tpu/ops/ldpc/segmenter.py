@@ -101,11 +101,16 @@ def desegment_rx(cb_bits: jax.Array, params: SegmentParams):
     c = params.nof_codeblocks
     k_prime = params.nof_payload_bits_per_cb
     payload = cb_bits[..., :k_prime]
-    cb_ok = jnp.ones(cb_bits.shape[:-2] + (c,), dtype=bool)
+    # Accumulate failures as integer counts (scalar-bool reductions and
+    # bool & bool proved fragile on the axon TPU backend).
+    nof_bad = jnp.zeros(cb_bits.shape[:-2], jnp.int32)
     if c > 1:
-        cb_ok = crc_mod.crc_check(payload, "24B")
+        cb_crc = crc_mod.crc(payload, "24B").astype(jnp.int32)
+        nof_bad = nof_bad + cb_crc.sum(axis=(-2, -1))
         payload = payload[..., : k_prime - CB_CRC_BITS]
     tb_with_crc = payload.reshape(payload.shape[:-2] + (-1,))
-    tb_ok = crc_mod.crc_check(tb_with_crc, params.tb_crc) & jnp.all(cb_ok, axis=-1)
+    tb_crc = crc_mod.crc(tb_with_crc, params.tb_crc).astype(jnp.int32)
+    nof_bad = nof_bad + tb_crc.sum(axis=-1)
+    tb_ok = nof_bad == 0
     l_tb = crc_mod.POLYS[params.tb_crc][1]
-    return tb_with_crc[..., :-l_tb], tb_ok
+    return tb_with_crc[..., : tb_with_crc.shape[-1] - l_tb], tb_ok
