@@ -100,13 +100,12 @@ def decode(
         total_sign = jnp.where(jnp.sum(neg, axis=1, keepdims=True) % 2 == 1, -1.0, 1.0)
         m1 = jnp.min(absv, axis=1, keepdims=True)
         is_min = absv == m1
-        # Second minimum: min over edges excluding one argmin occurrence.
-        # With ties, m2 == m1, which the masked formula below reproduces.
+        # Second minimum: if the minimum occurs on 2+ edges, every edge's
+        # "min over the others" equals m1; otherwise mask the unique min.
         m2 = jnp.min(jnp.where(is_min, jnp.inf, absv), axis=1, keepdims=True)
-        m2 = jnp.where(jnp.isinf(m2), m1, m2)
-        arg = jnp.argmin(absv, axis=1, keepdims=True)
-        eidx = jnp.arange(dmax).reshape(1, dmax, 1)
-        mag = jnp.where(eidx == arg, m2, m1)
+        nof_min = jnp.sum(is_min, axis=1, keepdims=True)
+        m2 = jnp.where((nof_min > 1) | jnp.isinf(m2), m1, m2)
+        mag = jnp.where(is_min, m2, m1)
         sign_v = jnp.where(v < 0, -1.0, 1.0)
         r_new = SCALING * total_sign * sign_v * mag
         r_new = jnp.where(layer_valid, r_new, 0.0)
