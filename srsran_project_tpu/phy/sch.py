@@ -17,10 +17,19 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.ldpc import decoder as ldpc_decoder
+from ..ops.ldpc import decoder_pallas as ldpc_decoder_pallas
 from ..ops.ldpc import encoder as ldpc_encoder
 from ..ops.ldpc import rate_match as rm
 from ..ops.ldpc import segmenter
 from ..support.staging import checkpoint
+
+
+def _use_pallas_decoder() -> bool:
+    """Pallas kernel on real TPU (25x the XLA gather/scatter version);
+    XLA path on CPU (pallas interpret mode is far slower there)."""
+    import jax
+
+    return jax.devices()[0].platform != "cpu"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -118,9 +127,14 @@ def decode_transport_block(
     new_harq = buf
 
     flat = buf.reshape((-1,) + buf.shape[-1:])
-    bits, _ = ldpc_decoder.decode(
-        flat.astype(jnp.float32), seg.base_graph, seg.lifting_size, nof_iterations
-    )
+    if _use_pallas_decoder():
+        bits, _ = ldpc_decoder_pallas.decode_pallas(
+            flat.astype(jnp.float32), seg.base_graph, seg.lifting_size, nof_iterations
+        )
+    else:
+        bits, _ = ldpc_decoder.decode(
+            flat.astype(jnp.float32), seg.base_graph, seg.lifting_size, nof_iterations
+        )
     checkpoint(bits)
     bits = bits.reshape(buf.shape[:-1] + (bits.shape[-1],))  # (..., C, K)
     tb, ok = segmenter.desegment_rx(bits, seg)
