@@ -1,0 +1,150 @@
+"""Slot scheduler simulator: the L2 front-end that drives the PHY.
+
+Scope-parity counterpart of the reference's scheduler + DU test mode
+(lib/scheduler/cell_scheduler.cpp:92 run_slot; mac_test_mode_adapter) at
+simulator fidelity: a round-robin policy partitions the carrier across
+active UEs each slot, builds FAPI DL_TTI/UL_TTI/TX_Data requests, tracks
+per-UE HARQ processes (8, RV cycle 0-2-3-1), consumes CRC indications, and
+accounts throughput — enough to drive the upper PHY end-to-end the way the
+reference's tests drive it without a real MAC.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..fapi import messages as fapi
+from ..ops.modulation import Modulation
+from ..phy.allocation import Allocation
+from ..phy.pdsch import PdschConfig
+from ..phy.pusch import PuschConfig
+from ..ran import tbs as tbs_mod
+from ..ran.constants import NRE
+from ..ran.slot_point import SlotPoint
+
+RV_SEQUENCE = (0, 2, 3, 1)
+NOF_HARQ = 8
+
+
+@dataclasses.dataclass
+class HarqProcess:
+    active: bool = False
+    tb: np.ndarray | None = None
+    nof_tx: int = 0
+
+
+@dataclasses.dataclass
+class UeContext:
+    rnti: int
+    mcs: int = 10
+    mcs_table: str = "qam64"
+    harqs: list = dataclasses.field(default_factory=lambda: [HarqProcess() for _ in range(NOF_HARQ)])
+    dl_bits_acked: int = 0
+    ul_bits_ok: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class SchedulerConfig:
+    nof_grid_sc: int = 624
+    nof_rb: int = 52
+    sym_start: int = 1
+    sym_count: int = 12
+    dmrs_symbols: tuple[int, ...] = (2,)
+    max_ues_per_slot: int = 4
+    nof_layers: int = 1
+    nof_ports: int = 1
+
+
+class RoundRobinScheduler:
+    """FDM round-robin: each slot splits the band evenly over up to K UEs.
+
+    Mirrors scheduler_time_rr.cpp's role at simulator fidelity.
+    """
+
+    def __init__(self, cfg: SchedulerConfig):
+        self.cfg = cfg
+        self.ues: dict[int, UeContext] = {}
+        self._rr_offset = 0
+
+    def add_ue(self, rnti: int, mcs: int = 10) -> UeContext:
+        ue = UeContext(rnti=rnti, mcs=mcs)
+        self.ues[rnti] = ue
+        return ue
+
+    def _grant_configs(self, ue: UeContext, rb_start: int, rb_count: int, rv: int):
+        qm, rate = tbs_mod.mcs_to_qm_rate(ue.mcs, ue.mcs_table)
+        mod = {1: Modulation.BPSK, 2: Modulation.QPSK, 4: Modulation.QAM16,
+               6: Modulation.QAM64, 8: Modulation.QAM256}[qm]
+        c = self.cfg
+        alloc = Allocation(rb_start=rb_start, rb_count=rb_count, sym_start=c.sym_start,
+                           sym_count=c.sym_count, dmrs_symbols=c.dmrs_symbols)
+        tbs = tbs_mod.calculate_tbs(rb_count, c.sym_count, NRE * len(c.dmrs_symbols),
+                                    rate, qm, c.nof_layers)
+        common = dict(tbs=tbs, target_code_rate=rate, modulation=mod, alloc=alloc,
+                      nof_layers=c.nof_layers, nof_grid_symbols=14,
+                      nof_grid_sc=c.nof_grid_sc, rv=rv)
+        return (PdschConfig(nof_ports=c.nof_ports, **common),
+                PuschConfig(nof_rx_ports=c.nof_ports, **common), tbs)
+
+    def run_slot(self, slot: SlotPoint, rng: np.random.Generator):
+        """Produce (DlTtiRequest, TxDataRequest, UlTtiRequest, grants)."""
+        c = self.cfg
+        active = list(self.ues.values())
+        if not active:
+            return (fapi.DlTtiRequest(slot=slot), fapi.TxDataRequest(slot=slot),
+                    fapi.UlTtiRequest(slot=slot), [])
+        n = min(len(active), c.max_ues_per_slot)
+        # Rotate the RR window.
+        sel = [active[(self._rr_offset + i) % len(active)] for i in range(n)]
+        self._rr_offset = (self._rr_offset + n) % len(active)
+        rb_each = c.nof_rb // n
+
+        pdsch_pdus, payloads, pusch_pdus, grants = [], [], [], []
+        for i, ue in enumerate(sel):
+            harq_id = slot.count % NOF_HARQ
+            hp = ue.harqs[harq_id]
+            if hp.active:
+                hp.nof_tx += 1
+                rv = RV_SEQUENCE[min(hp.nof_tx, 3)]
+                new_data = False
+                tb = hp.tb
+            else:
+                rv = 0
+                new_data = True
+                tb = None
+            dl_cfg, ul_cfg, tbs = self._grant_configs(ue, i * rb_each, rb_each, rv)
+            if tb is None:
+                tb = rng.integers(0, 2, size=(tbs,), dtype=np.uint8)
+                hp.active, hp.tb, hp.nof_tx = True, tb, 0
+            w = np.eye(c.nof_layers, c.nof_ports, dtype=np.complex64)
+            pdsch_pdus.append(fapi.DlPdschPdu(dl_cfg, ue.rnti, w, len(payloads)))
+            payloads.append(tb)
+            pusch_pdus.append(fapi.UlPuschPdu(ul_cfg, ue.rnti, harq_id=harq_id,
+                                              new_data=new_data))
+            grants.append((ue.rnti, harq_id, tbs))
+        return (fapi.DlTtiRequest(slot=slot, pdsch=pdsch_pdus),
+                fapi.TxDataRequest(slot=slot, payloads=payloads),
+                fapi.UlTtiRequest(slot=slot, pusch=pusch_pdus), grants)
+
+    def handle_results(self, res: fapi.SlotResults):
+        """Consume CRC indications: ACK clears the HARQ, NACK keeps it for retx."""
+        for crc in res.crc:
+            ue = self.ues.get(crc.rnti)
+            if ue is None:
+                continue
+            hp = ue.harqs[crc.harq_id]
+            if crc.tb_crc_ok:
+                if hp.tb is not None:
+                    ue.ul_bits_ok += len(hp.tb)
+                hp.active, hp.tb, hp.nof_tx = False, None, 0
+            elif hp.nof_tx >= 3:
+                hp.active, hp.tb, hp.nof_tx = False, None, 0  # drop after 4 tx
+
+    def report(self) -> dict:
+        return {
+            rnti: {"ul_bits_ok": ue.ul_bits_ok,
+                   "harq_active": sum(h.active for h in ue.harqs)}
+            for rnti, ue in self.ues.items()
+        }
