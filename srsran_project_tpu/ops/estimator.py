@@ -46,6 +46,23 @@ def _smooth_freq(h: jax.Array, taps: np.ndarray) -> jax.Array:
     return out
 
 
+def estimate_ta_samples(h_freq: jax.Array, dft_size: int = 4096) -> jax.Array:
+    """Time-alignment estimate via IDFT peak search (reference:
+    time_alignment_estimator_dft_impl.h:37).
+
+    h_freq: (..., Nf) channel samples at uniform frequency spacing df.
+    Returns the delay in units of 1/(Nf*df*dft_size/Nf) — i.e. the peak bin
+    of the dft_size-point delay profile; convert with
+    tau = bin / (dft_size * df).  Negative delays map to high bins.
+    """
+    nf = h_freq.shape[-1]
+    pad = jnp.zeros(h_freq.shape[:-1] + (dft_size - nf,), h_freq.dtype)
+    p = jnp.abs(jnp.fft.ifft(jnp.concatenate([h_freq, pad], axis=-1), axis=-1)) ** 2
+    peak = jnp.argmax(p, axis=-1)
+    # Signed interpretation: bins above dft_size/2 are negative delays.
+    return jnp.where(peak > dft_size // 2, peak - dft_size, peak).astype(jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("pair_positions", "nof_sc", "smooth"))
 def estimate_channel(
     y_pilots: jax.Array,
@@ -101,8 +118,23 @@ def estimate_channel(
     epre = (jnp.abs(y_pilots) ** 2).mean(axis=(-2, -1))
     rsrp = (jnp.abs(h_pair) ** 2).mean(axis=-1).mean(axis=-1)
     snr = rsrp / noise_var
+
+    # CFO estimate from the phase progression across DM-RS symbols
+    # (radians per DM-RS symbol interval; reference CFO comp strategy).
+    nsym_d = y_pilots.shape[-2]
+    if nsym_d > 1:
+        prod = (h_pair[..., 1:, :] * jnp.conj(h_pair[..., :-1, :])).sum(axis=(-2, -1))
+        cfo_phase = jnp.angle(prod)
+    else:
+        cfo_phase = jnp.zeros(h_t.shape[:-1], jnp.float32)
+
+    # TA: delay-domain peak of the despread pilot-pair channel.
+    ta = estimate_ta_samples(h_t, dft_size=4096)
+
     return h.astype(jnp.complex64), noise_var.astype(jnp.float32), {
         "epre": epre,
         "rsrp": rsrp,
         "snr": snr,
+        "cfo_phase_per_dmrs_symbol": cfo_phase,
+        "ta_peak_bin_4096": ta,
     }
