@@ -36,6 +36,11 @@ class DlPdschPdu:
     rnti: int
     precoding: np.ndarray  # (layers, ports) complex64
     tb_index: int  # index into TxDataRequest.payloads
+    # Dynamic frequency placement: when set, `config` describes a compact
+    # rb_start=0 grid of alloc.rb_count PRBs and the PDU is placed at this
+    # PRB offset with a dynamic slice — so equal-size grants of different
+    # UEs share one compiled program.
+    first_rb: int | None = None
 
 
 @dataclasses.dataclass
@@ -87,6 +92,7 @@ class UlPuschPdu:
     rnti: int
     harq_id: int = 0
     new_data: bool = True
+    first_rb: int | None = None  # see DlPdschPdu.first_rb
 
 
 @dataclasses.dataclass

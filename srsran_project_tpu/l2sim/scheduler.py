@@ -73,18 +73,21 @@ class RoundRobinScheduler:
         self.ues[rnti] = ue
         return ue
 
-    def _grant_configs(self, ue: UeContext, rb_start: int, rb_count: int, rv: int):
+    def _grant_configs(self, ue: UeContext, rb_count: int, rv: int):
+        """Compact rb_start=0 configs: every equal-size grant (any UE, any
+        PRB offset) shares one compiled PHY program; placement happens with
+        a dynamic slice via the PDU's first_rb."""
         qm, rate = tbs_mod.mcs_to_qm_rate(ue.mcs, ue.mcs_table)
         mod = {1: Modulation.BPSK, 2: Modulation.QPSK, 4: Modulation.QAM16,
                6: Modulation.QAM64, 8: Modulation.QAM256}[qm]
         c = self.cfg
-        alloc = Allocation(rb_start=rb_start, rb_count=rb_count, sym_start=c.sym_start,
+        alloc = Allocation(rb_start=0, rb_count=rb_count, sym_start=c.sym_start,
                            sym_count=c.sym_count, dmrs_symbols=c.dmrs_symbols)
         tbs = tbs_mod.calculate_tbs(rb_count, c.sym_count, NRE * len(c.dmrs_symbols),
                                     rate, qm, c.nof_layers)
         common = dict(tbs=tbs, target_code_rate=rate, modulation=mod, alloc=alloc,
                       nof_layers=c.nof_layers, nof_grid_symbols=14,
-                      nof_grid_sc=c.nof_grid_sc, rv=rv)
+                      nof_grid_sc=rb_count * NRE, rv=rv)
         return (PdschConfig(nof_ports=c.nof_ports, **common),
                 PuschConfig(nof_rx_ports=c.nof_ports, **common), tbs)
 
@@ -114,15 +117,16 @@ class RoundRobinScheduler:
                 rv = 0
                 new_data = True
                 tb = None
-            dl_cfg, ul_cfg, tbs = self._grant_configs(ue, i * rb_each, rb_each, rv)
+            dl_cfg, ul_cfg, tbs = self._grant_configs(ue, rb_each, rv)
             if tb is None:
                 tb = rng.integers(0, 2, size=(tbs,), dtype=np.uint8)
                 hp.active, hp.tb, hp.nof_tx = True, tb, 0
             w = np.eye(c.nof_layers, c.nof_ports, dtype=np.complex64)
-            pdsch_pdus.append(fapi.DlPdschPdu(dl_cfg, ue.rnti, w, len(payloads)))
+            pdsch_pdus.append(fapi.DlPdschPdu(dl_cfg, ue.rnti, w, len(payloads),
+                                              first_rb=i * rb_each))
             payloads.append(tb)
             pusch_pdus.append(fapi.UlPuschPdu(ul_cfg, ue.rnti, harq_id=harq_id,
-                                              new_data=new_data))
+                                              new_data=new_data, first_rb=i * rb_each))
             grants.append((ue.rnti, harq_id, tbs))
         return (fapi.DlTtiRequest(slot=slot, pdsch=pdsch_pdus),
                 fapi.TxDataRequest(slot=slot, payloads=payloads),

@@ -76,9 +76,21 @@ class UpperPhy:
         )
         for pdu in request.pdsch:
             tb = jnp.asarray(tx_data.payloads[pdu.tb_index], jnp.uint8)
-            grid = grid + pdsch_mod.process(
+            sub = pdsch_mod.process(
                 tb, jnp.uint32(pdu.rnti), jnp.asarray(pdu.precoding, jnp.complex64), pdu.config
             )
+            if pdu.first_rb is None:
+                grid = grid + sub
+            else:
+                # Compact-grid PDU: place at the granted PRB offset so all
+                # equal-size grants share one compiled program.
+                import jax
+
+                off = jnp.asarray(pdu.first_rb * 12, jnp.int32)
+                window = jax.lax.dynamic_slice(
+                    grid, (0, 0, off), (grid.shape[0], grid.shape[1], sub.shape[2])
+                )
+                grid = jax.lax.dynamic_update_slice(grid, window + sub, (0, 0, off))
         for pdu in request.pdcch:
             g = pdcch_mod.process(jnp.asarray(pdu.payload, jnp.uint8), jnp.uint32(pdu.rnti), pdu.config)
             grid = grid.at[0].add(g)
@@ -114,7 +126,17 @@ class UpperPhy:
         res = fapi.SlotResults(slot=request.slot)
         for pdu in request.pusch:
             harq = None if pdu.new_data else self.harq_pool.get(pdu.rnti, pdu.harq_id)
-            out = pusch_mod.process(rx_grid, jnp.uint32(pdu.rnti), pdu.config, harq_buffer=harq)
+            pdu_grid = rx_grid
+            if pdu.first_rb is not None:
+                import jax
+
+                w = pdu.config.nof_grid_sc
+                pdu_grid = jax.lax.dynamic_slice(
+                    rx_grid,
+                    (0, 0, jnp.asarray(pdu.first_rb * 12, jnp.int32)),
+                    (rx_grid.shape[0], rx_grid.shape[1], w),
+                )
+            out = pusch_mod.process(pdu_grid, jnp.uint32(pdu.rnti), pdu.config, harq_buffer=harq)
             ok = bool(np.asarray(out["tb_crc_ok"]))
             res.crc.append(fapi.CrcIndicationPdu(pdu.rnti, pdu.harq_id, ok))
             if ok:
