@@ -57,16 +57,22 @@ def worker() -> None:
     if not bool(ok):
         raise RuntimeError("CRC failed in warmup")
 
+    full_sync = os.environ.get("BENCH_FULL_SYNC", "1") == "1"
+
     def bench(fn, n):
-        fn(0)
-        t0 = time.time()
-        outs = [fn(i) for i in range(n)]
-        jax.block_until_ready(outs)
-        return (time.time() - t0) / n
+        import contextlib
+
+        ctx = staging.sync_stages() if full_sync else contextlib.nullcontext()
+        with ctx:
+            fn(0)
+            t0 = time.time()
+            outs = [fn(i) for i in range(n)]
+            jax.block_until_ready(outs)
+            return (time.time() - t0) / n
 
     n = 20
     t_enc = bench(lambda i: cell_mod.encode_slot(tb, jnp.uint32(0x4601 + i), w, cfg), n)
-    print(f"# encode {t_enc*1e3:.2f} ms/slot", file=sys.stderr, flush=True)
+    print(f"# encode {t_enc*1e3:.2f} ms/slot (full_sync={full_sync})", file=sys.stderr, flush=True)
     t_dec = bench(lambda i: cell_mod.decode_slot(iq_rx, jnp.uint32(0x4601), cfg)["tb_bits"], n)
     print(f"# decode {t_dec*1e3:.2f} ms/slot", file=sys.stderr, flush=True)
 

@@ -98,6 +98,8 @@ def desegment_rx(cb_bits: jax.Array, params: SegmentParams):
     Checks per-CB CRCs (when segmented) and the TB CRC; returns the payload
     and a boolean per-TB success flag.
     """
+    from ...support.staging import checkpoint
+
     c = params.nof_codeblocks
     k_prime = params.nof_payload_bits_per_cb
     payload = cb_bits[..., :k_prime]
@@ -105,12 +107,12 @@ def desegment_rx(cb_bits: jax.Array, params: SegmentParams):
     # bool & bool proved fragile on the axon TPU backend).
     nof_bad = jnp.zeros(cb_bits.shape[:-2], jnp.int32)
     if c > 1:
-        cb_crc = crc_mod.crc(payload, "24B").astype(jnp.int32)
+        cb_crc = checkpoint(crc_mod.crc(payload, "24B")).astype(jnp.int32)
         nof_bad = nof_bad + cb_crc.sum(axis=(-2, -1))
         payload = payload[..., : k_prime - CB_CRC_BITS]
     tb_with_crc = payload.reshape(payload.shape[:-2] + (-1,))
-    tb_crc = crc_mod.crc(tb_with_crc, params.tb_crc).astype(jnp.int32)
+    tb_crc = checkpoint(crc_mod.crc(tb_with_crc, params.tb_crc)).astype(jnp.int32)
     nof_bad = nof_bad + tb_crc.sum(axis=-1)
-    tb_ok = nof_bad == 0
+    tb_ok = checkpoint(nof_bad == 0)
     l_tb = crc_mod.POLYS[params.tb_crc][1]
     return tb_with_crc[..., : tb_with_crc.shape[-1] - l_tb], tb_ok
