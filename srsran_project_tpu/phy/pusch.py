@@ -44,6 +44,7 @@ class PuschConfig:
     nof_ldpc_iterations: int = 10
     equalizer: str = "mmse"
     llr_range_limit: float = 20.0
+    cfo_compensation: bool = False  # reference knob: du_low_config.h CFO comp
 
     @functools.cached_property
     def sch(self) -> SchConfig:
@@ -89,22 +90,37 @@ def _front_end(grid: jax.Array, rnti: jax.Array, cfg: PuschConfig):
     gflat = grid.reshape(npr, -1)
 
     # --- Channel estimation per (rx port, layer) ---
-    h_cols = []
-    nvar_acc = 0.0
-    snr_acc = 0.0
-    for layer in range(nl):
-        idx, wf, pair_pos, seq_idx = alloc_mod.pilot_re_indices(a, layer, cfg.nof_grid_sc)
-        nof_pilots_total = int(seq_idx[-1]) + 1
-        r = _dmrs_pilots(cfg, nof_pilots_total)[:, jnp.asarray(seq_idx)]  # (nsym_d, Np)
-        y_p = gflat[:, jnp.asarray(idx).reshape(-1)].reshape(npr, len(a.dmrs_symbols), -1)
-        h_l, nv_l, metrics = estimate_channel(
-            y_p, r[None], jnp.asarray(wf, jnp.float32), pair_pos, a.nof_sc
-        )  # h_l: (npr, nof_sc), nv_l: (npr,)
-        checkpoint(h_l)
-        h_cols.append(h_l)
-        nvar_acc = nvar_acc + nv_l.mean() / nl
-        snr_acc = snr_acc + metrics["snr"].mean() / nl
-    h = jnp.stack(h_cols, axis=-1)  # (npr, nof_sc, nl)
+    def estimate_all(gf):
+        h_cols = []
+        nvar_acc = 0.0
+        snr_acc = 0.0
+        cfo_acc = 0.0
+        for layer in range(nl):
+            idx, wf, pair_pos, seq_idx = alloc_mod.pilot_re_indices(a, layer, cfg.nof_grid_sc)
+            nof_pilots_total = int(seq_idx[-1]) + 1
+            r = _dmrs_pilots(cfg, nof_pilots_total)[:, jnp.asarray(seq_idx)]  # (nsym_d, Np)
+            y_p = gf[:, jnp.asarray(idx).reshape(-1)].reshape(npr, len(a.dmrs_symbols), -1)
+            h_l, nv_l, metrics = estimate_channel(
+                y_p, r[None], jnp.asarray(wf, jnp.float32), pair_pos, a.nof_sc
+            )  # h_l: (npr, nof_sc), nv_l: (npr,)
+            checkpoint(h_l)
+            h_cols.append(h_l)
+            nvar_acc = nvar_acc + nv_l.mean() / nl
+            snr_acc = snr_acc + metrics["snr"].mean() / nl
+            cfo_acc = cfo_acc + metrics["cfo_phase_per_dmrs_symbol"].mean() / nl
+        return jnp.stack(h_cols, axis=-1), nvar_acc, snr_acc, cfo_acc
+
+    h, nvar_acc, snr_acc, cfo_acc = estimate_all(gflat)
+    if cfg.cfo_compensation and len(a.dmrs_symbols) > 1:
+        # Derotate the grid by the estimated CFO slope (reference CFO-comp
+        # strategy), then RE-estimate so the channel phase reference matches
+        # the derotated data symbols.
+        d_sym = a.dmrs_symbols[1] - a.dmrs_symbols[0]
+        slope = cfo_acc / d_sym
+        sym_idx = jnp.arange(cfg.nof_grid_symbols, dtype=jnp.float32)
+        derot = jnp.exp(-1j * slope * sym_idx).astype(jnp.complex64)
+        gflat = (grid * derot[None, :, None]).reshape(npr, -1)
+        h, nvar_acc, snr_acc, _ = estimate_all(gflat)
     noise_var = nvar_acc
 
     # --- Extract data REs and equalize ---
