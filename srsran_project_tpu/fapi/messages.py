@@ -107,11 +107,18 @@ class UlPrachPdu:
 
 
 @dataclasses.dataclass
+class UlSrsPdu:
+    config: Any  # phy.srs.SrsConfig
+    rnti: int
+
+
+@dataclasses.dataclass
 class UlTtiRequest:
     slot: SlotPoint
     pusch: Sequence[UlPuschPdu] = ()
     pucch: Sequence[UlPucchPdu] = ()
     prach: Sequence[UlPrachPdu] = ()
+    srs: Sequence[UlSrsPdu] = ()
 
 
 # --------------------------------------------------------------------------
@@ -148,6 +155,14 @@ class RachIndicationPdu:
 
 
 @dataclasses.dataclass
+class SrsIndicationPdu:
+    rnti: int
+    snr_db: float
+    phase_slope: float  # wideband delay indicator (radians per comb step)
+    h: np.ndarray  # (ports, seq_length) channel estimate
+
+
+@dataclasses.dataclass
 class SlotIndication:
     slot: SlotPoint
 
@@ -165,4 +180,5 @@ class SlotResults:
     rx_data: list = dataclasses.field(default_factory=list)
     uci: list = dataclasses.field(default_factory=list)
     rach: list = dataclasses.field(default_factory=list)
+    srs: list = dataclasses.field(default_factory=list)
     errors: list = dataclasses.field(default_factory=list)

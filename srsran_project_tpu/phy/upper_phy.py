@@ -24,6 +24,7 @@ from . import prach as prach_mod
 from . import pucch as pucch_mod
 from . import pucch_f2 as pucch_f2_mod
 from . import pusch as pusch_mod
+from . import srs as srs_mod
 from . import ssb as ssb_mod
 
 
@@ -166,6 +167,17 @@ class UpperPhy:
                 )
             else:
                 res.errors.append(fapi.ErrorIndication(request.slot, f"unsupported PUCCH {type(c)}"))
+        for pdu in request.srs:
+            est = srs_mod.estimate(rx_grid, pdu.config)
+            snr = float(np.asarray(est["epre"]).mean() / max(float(np.asarray(est["noise_var"]).mean()), 1e-12))
+            res.srs.append(
+                fapi.SrsIndicationPdu(
+                    pdu.rnti,
+                    10.0 * np.log10(max(snr, 1e-12)),
+                    float(np.asarray(est["phase_slope"]).mean()),
+                    np.asarray(est["h"]),
+                )
+            )
         for pdu in request.prach:
             if prach_fd is None:
                 res.errors.append(fapi.ErrorIndication(request.slot, "PRACH requested, no buffer"))

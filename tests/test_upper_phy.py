@@ -113,3 +113,20 @@ def test_prach_dispatch():
     res = phy.process_ul_tti(req, np.zeros((1, 14, 624), np.complex64), prach_fd=fd)
     assert len(res.rach) == 1
     assert res.rach[0].preamble_index == 17
+
+
+def test_srs_dispatch():
+    from srsran_project_tpu.phy import srs as srs_mod
+
+    phy = UpperPhy(UpperPhyConfig(nof_ports=1))
+    cfg = srs_mod.SrsConfig(rb_start=0, rb_count=16, start_symbol=13, nof_symbols=1, comb=2,
+                            sequence_id=3)
+    grid = np.zeros((1, 14, 624), np.complex64)
+    grid[0] = 0.7 * srs_mod.generate(cfg)
+    req = fapi.UlTtiRequest(slot=_slot(), srs=[fapi.UlSrsPdu(cfg, 0x55)])
+    res = phy.process_ul_tti(req, grid)
+    assert len(res.srs) == 1
+    ind = res.srs[0]
+    assert ind.rnti == 0x55
+    assert ind.h.shape == (1, cfg.seq_length)
+    np.testing.assert_allclose(np.abs(ind.h).mean(), 0.7, atol=0.05)
