@@ -3,7 +3,7 @@
 import numpy as np
 import pytest
 
-from srsran_project_tpu.ops.modulation import (
+from srsran_project_tpu.ops.modulation import (  # noqa
     Modulation,
     bits_per_symbol,
     demap_soft,
@@ -94,3 +94,19 @@ def test_quantize_llr():
     assert q.dtype == np.int8
     assert q[0] == 0 and q[3] == 120 and q[4] == -120
     assert q[1] == round(120 / 20) and q[2] == -round(120 / 20)
+
+
+def test_evm_and_hard_decision():
+    from srsran_project_tpu.ops.modulation.evm import evm, hard_decision_bits
+
+    rng = np.random.default_rng(9)
+    bits = rng.integers(0, 2, size=(60 * 4,), dtype=np.uint8)
+    syms = np.asarray(map_bits(bits, Modulation.QAM16))
+    noisy = syms + 0.03 * (rng.standard_normal(syms.shape) + 1j * rng.standard_normal(syms.shape))
+    noisy = noisy.astype(np.complex64)
+    e_known = float(np.asarray(evm(noisy, Modulation.QAM16, reference=syms)))
+    e_dd = float(np.asarray(evm(noisy, Modulation.QAM16)))
+    assert 0.02 < e_known < 0.07
+    assert abs(e_known - e_dd) < 0.01  # no decision errors at this SNR
+    hard = np.asarray(hard_decision_bits(noisy, Modulation.QAM16))
+    np.testing.assert_array_equal(hard, bits)
