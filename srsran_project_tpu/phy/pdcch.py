@@ -28,13 +28,22 @@ class PdcchConfig:
     aggregation_level: int  # 1, 2, 4, 8, 16 (CCEs)
     cce_index: int
     coreset_rb_start: int
-    coreset_rb_count: int  # multiple of 6
-    symbol: int = 0
+    coreset_rb_count: int  # multiple of 6 / duration
+    symbol: int = 0  # first CORESET symbol
+    duration: int = 1  # CORESET duration in symbols (1-3)
+    interleaved: bool = False  # CCE-to-REG interleaving (TS 38.211 §7.3.2.2)
+    reg_bundle_size: int = 6  # L: 2, 3 or 6
+    interleaver_rows: int = 2  # R: 2, 3 or 6
+    shift_index: int = 0  # n_shift (cell id by default in spec)
     n_id: int = 0  # pdcch-DMRS-ScramblingID / cell id
     n_rnti: int = 0  # for data scrambling (UE-specific search space)
     nof_grid_symbols: int = 14
     nof_grid_sc: int = 624
     slot_in_frame: int = 0
+
+    @property
+    def nof_regs(self) -> int:
+        return self.coreset_rb_count * self.duration
 
     @property
     def nof_coded_bits(self) -> int:
@@ -62,25 +71,59 @@ def _crc24c_with_rnti(payload: jax.Array, rnti: jax.Array) -> jax.Array:
 
 
 @functools.lru_cache(maxsize=None)
+def _cce_to_regs(cfg: PdcchConfig) -> list[int]:
+    """REG indices of this PDU's CCEs, after optional REG-bundle
+    interleaving (TS 38.211 §7.3.2.2).
+
+    REGs are numbered time-first within the CORESET: REG j sits at symbol
+    (j mod duration), PRB (j // duration).  CCE i consists of bundles
+    f(6i/L + 0..6/L-1), where f is the block interleaver over
+    N_bundle = N_REG / L with R rows: f(cR + r) = (rC + c + n_shift) mod N.
+    """
+    l = cfg.reg_bundle_size
+    n_reg = cfg.nof_regs
+    n_bundle = n_reg // l
+    if cfg.interleaved:
+        r_rows = cfg.interleaver_rows
+        c_cols = n_bundle // r_rows
+        assert r_rows * c_cols == n_bundle, "N_bundle must divide by R"
+        f = [0] * n_bundle
+        for x in range(n_bundle):
+            c, r = divmod(x, r_rows)
+            f[x] = (r * c_cols + c + cfg.shift_index) % n_bundle
+    else:
+        f = list(range(n_bundle))
+    regs = []
+    bundles_per_cce = 6 // l
+    for i in range(cfg.cce_index, cfg.cce_index + cfg.aggregation_level):
+        for b in range(bundles_per_cce):
+            bundle = f[i * bundles_per_cce + b]
+            regs.extend(range(bundle * l, (bundle + 1) * l))
+    return regs
+
+
+@functools.lru_cache(maxsize=None)
 def _re_indices(cfg: PdcchConfig):
-    """(data_flat_idx (Nd,), dmrs_flat_idx (Np,), dmrs_seq_idx (Np,))."""
-    data, dmrs, seq = [], [], []
-    # Non-interleaved: CCE i -> REGs 6i..6i+5; 1-symbol CORESET: REG = PRB.
-    first_reg = cfg.cce_index * 6
-    for reg in range(first_reg, first_reg + cfg.aggregation_level * 6):
-        prb = cfg.coreset_rb_start + reg
-        base = cfg.symbol * cfg.nof_grid_sc + prb * NRE
+    """(data_flat_idx (Nd,), dmrs_flat_idx (Np,), dmrs_seq_idx (Np,),
+    dmrs_sym (Np,))."""
+    data, dmrs, seq, dsym = [], [], [], []
+    for reg in _cce_to_regs(cfg):
+        sym = cfg.symbol + (reg % cfg.duration)
+        prb = cfg.coreset_rb_start + reg // cfg.duration
+        base = sym * cfg.nof_grid_sc + prb * NRE
         for re in range(NRE):
             if re % 4 == 1:
                 dmrs.append(base + re)
                 # DM-RS sequence index counts pilot triplets from CRB0.
                 seq.append(prb * 3 + re // 4)
+                dsym.append(sym)
             else:
                 data.append(base + re)
     return (
         np.asarray(data, np.int32),
         np.asarray(dmrs, np.int32),
         np.asarray(seq, np.int32),
+        np.asarray(dsym, np.int32),
     )
 
 
@@ -93,19 +136,19 @@ def process(payload: jax.Array, rnti: jax.Array, cfg: PdcchConfig) -> jax.Array:
     coded = scrambling.scramble_bits(coded, c_init)
     syms = map_bits(coded, Modulation.QPSK)
 
-    data_idx, dmrs_idx, seq_idx = _re_indices(cfg)
+    data_idx, dmrs_idx, seq_idx, dmrs_sym = _re_indices(cfg)
     grid = jnp.zeros((cfg.nof_grid_symbols * cfg.nof_grid_sc,), jnp.complex64)
     grid = grid.at[jnp.asarray(data_idx)].set(syms)
 
-    # PDCCH DM-RS (TS 38.211 §7.4.1.3): c_init from slot/symbol/n_id.
-    sym = cfg.symbol
-    ci = ((1 << 17) * (14 * cfg.slot_in_frame + sym + 1) * (2 * cfg.n_id + 1) + 2 * cfg.n_id) % (
-        1 << 31
-    )
+    # PDCCH DM-RS (TS 38.211 §7.4.1.3): per-symbol c_init from slot/n_id.
     nseq = int(seq_idx.max()) + 1
-    c = scrambling.gold_sequence(np.uint32(ci), 2 * nseq)
-    re_p = 1.0 - 2.0 * c[0::2].astype(jnp.float32)
-    im_p = 1.0 - 2.0 * c[1::2].astype(jnp.float32)
-    pilots = ((re_p + 1j * im_p) / np.sqrt(2)).astype(jnp.complex64)
-    grid = grid.at[jnp.asarray(dmrs_idx)].set(pilots[jnp.asarray(seq_idx)])
+    for sym in sorted(set(int(s) for s in dmrs_sym)):
+        ci = ((1 << 17) * (14 * cfg.slot_in_frame + sym + 1) * (2 * cfg.n_id + 1)
+              + 2 * cfg.n_id) % (1 << 31)
+        c = scrambling.gold_sequence(np.uint32(ci), 2 * nseq)
+        re_p = 1.0 - 2.0 * c[0::2].astype(jnp.float32)
+        im_p = 1.0 - 2.0 * c[1::2].astype(jnp.float32)
+        pilots = ((re_p + 1j * im_p) / np.sqrt(2)).astype(jnp.complex64)
+        mask = dmrs_sym == sym
+        grid = grid.at[jnp.asarray(dmrs_idx[mask])].set(pilots[jnp.asarray(seq_idx[mask])])
     return grid.reshape(cfg.nof_grid_symbols, cfg.nof_grid_sc)
