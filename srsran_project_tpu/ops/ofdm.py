@@ -121,7 +121,10 @@ def modulate_slot(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nof_rb", "scs", "dft_size", "cp", "slot_in_subframe", "f_center_hz", "scale"),
+    static_argnames=(
+        "nof_rb", "scs", "dft_size", "cp", "slot_in_subframe", "f_center_hz", "scale",
+        "window_offset",
+    ),
 )
 def demodulate_slot(
     samples: jax.Array,
@@ -132,20 +135,31 @@ def demodulate_slot(
     slot_in_subframe: int = 0,
     f_center_hz: float = 0.0,
     scale: float | None = None,
+    window_offset: float = 0.0,
 ) -> jax.Array:
-    """Baseband samples (..., slot_nof_samples) -> grid (..., nsym, nsc)."""
+    """Baseband samples (..., slot_nof_samples) -> grid (..., nsym, nsc).
+
+    window_offset in [0, 1): advance the DFT window INTO the cyclic prefix
+    by that fraction of the CP (the reference's intra-CP window,
+    ofdm_demodulator_impl.cpp:63-77), compensated per-bin with a linear
+    phase ramp.  Improves robustness to negative timing errors / ISI.
+    """
     nsym = nof_symbols_per_slot(cp)
     nsc = nof_rb * NRE
     if scale is None:
         scale = 1.0 / np.sqrt(dft_size)
     cps, _ = _slot_geometry(scs, dft_size, cp, slot_in_subframe)
 
-    # Static slicing of each symbol's useful part (CP stripped).
+    # Static slicing of each symbol's useful part; optionally start the
+    # window `adv_l` samples early (inside the CP).
     offs = 0
     syms = []
+    advs = []
     for l in range(nsym):
+        adv = int(window_offset * cps[l])
+        advs.append(adv)
         offs += cps[l]
-        syms.append(samples[..., offs : offs + dft_size])
+        syms.append(samples[..., offs - adv : offs - adv + dft_size])
         offs += dft_size
     x = jnp.stack(syms, axis=-2)  # (..., nsym, dft)
 
@@ -154,4 +168,13 @@ def demodulate_slot(
 
     spec = jnp.fft.fft(x, axis=-1).astype(jnp.complex64) / (dft_size * scale)
     half = nsc // 2
-    return jnp.concatenate([spec[..., dft_size - half :], spec[..., :half]], axis=-1)
+    grid = jnp.concatenate([spec[..., dft_size - half :], spec[..., :half]], axis=-1)
+    if window_offset:
+        # A window advanced by `adv` samples rotates bin k by
+        # exp(+j*2*pi*k*adv/N) (k = signed subcarrier index); undo it.
+        k = np.arange(nsc) - half
+        corr = np.stack(
+            [np.exp(2j * np.pi * k * adv / dft_size) for adv in advs]
+        ).astype(np.complex64)  # (nsym, nsc)
+        grid = grid * jnp.asarray(corr)
+    return grid

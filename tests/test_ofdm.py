@@ -72,3 +72,15 @@ def test_extended_cp():
         ofdm.demodulate_slot(x, nof_rb, SubcarrierSpacing.KHZ60, dft, CyclicPrefix.EXTENDED, 0)
     )
     np.testing.assert_allclose(back, grid, atol=2e-3)
+
+
+def test_dft_window_offset_roundtrip():
+    rng = np.random.default_rng(5)
+    nof_rb, dft = 24, 512
+    grid = _random_grid(rng, (14, nof_rb * 12))
+    x = np.asarray(ofdm.modulate_slot(grid, SubcarrierSpacing.KHZ15, dft, CyclicPrefix.NORMAL, 0))
+    back = np.asarray(
+        ofdm.demodulate_slot(x, nof_rb, SubcarrierSpacing.KHZ15, dft, CyclicPrefix.NORMAL, 0,
+                             window_offset=0.5)
+    )
+    np.testing.assert_allclose(back, grid, atol=3e-3)
