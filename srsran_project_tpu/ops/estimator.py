@@ -63,7 +63,9 @@ def estimate_ta_samples(h_freq: jax.Array, dft_size: int = 4096) -> jax.Array:
     return jnp.where(peak > dft_size // 2, peak - dft_size, peak).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("pair_positions", "nof_sc", "smooth"))
+@functools.partial(
+    jax.jit, static_argnames=("pair_positions", "nof_sc", "smooth", "compute_ta", "compute_cfo")
+)
 def estimate_channel(
     y_pilots: jax.Array,
     ref_pilots: jax.Array,
@@ -71,6 +73,8 @@ def estimate_channel(
     pair_positions: tuple[float, ...],
     nof_sc: int,
     smooth: bool = True,
+    compute_ta: bool = False,
+    compute_cfo: bool = False,
 ):
     """Estimate one (rx port, layer) channel over an allocation.
 
@@ -119,22 +123,20 @@ def estimate_channel(
     rsrp = (jnp.abs(h_pair) ** 2).mean(axis=-1).mean(axis=-1)
     snr = rsrp / noise_var
 
+    metrics = {"epre": epre, "rsrp": rsrp, "snr": snr}
+
     # CFO estimate from the phase progression across DM-RS symbols
     # (radians per DM-RS symbol interval; reference CFO comp strategy).
     nsym_d = y_pilots.shape[-2]
-    if nsym_d > 1:
-        prod = (h_pair[..., 1:, :] * jnp.conj(h_pair[..., :-1, :])).sum(axis=(-2, -1))
-        cfo_phase = jnp.angle(prod)
-    else:
-        cfo_phase = jnp.zeros(h_t.shape[:-1], jnp.float32)
+    if compute_cfo:
+        if nsym_d > 1:
+            prod = (h_pair[..., 1:, :] * jnp.conj(h_pair[..., :-1, :])).sum(axis=(-2, -1))
+            metrics["cfo_phase_per_dmrs_symbol"] = jnp.angle(prod)
+        else:
+            metrics["cfo_phase_per_dmrs_symbol"] = jnp.zeros(h_t.shape[:-1], jnp.float32)
 
-    # TA: delay-domain peak of the despread pilot-pair channel.
-    ta = estimate_ta_samples(h_t, dft_size=4096)
+    if compute_ta:
+        # TA: delay-domain peak of the despread pilot-pair channel.
+        metrics["ta_peak_bin_4096"] = estimate_ta_samples(h_t, dft_size=4096)
 
-    return h.astype(jnp.complex64), noise_var.astype(jnp.float32), {
-        "epre": epre,
-        "rsrp": rsrp,
-        "snr": snr,
-        "cfo_phase_per_dmrs_symbol": cfo_phase,
-        "ta_peak_bin_4096": ta,
-    }
+    return h.astype(jnp.complex64), noise_var.astype(jnp.float32), metrics

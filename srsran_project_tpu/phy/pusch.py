@@ -101,13 +101,15 @@ def _front_end(grid: jax.Array, rnti: jax.Array, cfg: PuschConfig):
             r = _dmrs_pilots(cfg, nof_pilots_total)[:, jnp.asarray(seq_idx)]  # (nsym_d, Np)
             y_p = gf[:, jnp.asarray(idx).reshape(-1)].reshape(npr, len(a.dmrs_symbols), -1)
             h_l, nv_l, metrics = estimate_channel(
-                y_p, r[None], jnp.asarray(wf, jnp.float32), pair_pos, a.nof_sc
+                y_p, r[None], jnp.asarray(wf, jnp.float32), pair_pos, a.nof_sc,
+                compute_cfo=cfg.cfo_compensation,
             )  # h_l: (npr, nof_sc), nv_l: (npr,)
             checkpoint(h_l)
             h_cols.append(h_l)
             nvar_acc = nvar_acc + nv_l.mean() / nl
             snr_acc = snr_acc + metrics["snr"].mean() / nl
-            cfo_acc = cfo_acc + metrics["cfo_phase_per_dmrs_symbol"].mean() / nl
+            if cfg.cfo_compensation:
+                cfo_acc = cfo_acc + metrics["cfo_phase_per_dmrs_symbol"].mean() / nl
         return jnp.stack(h_cols, axis=-1), nvar_acc, snr_acc, cfo_acc
 
     h, nvar_acc, snr_acc, cfo_acc = estimate_all(gflat)

@@ -20,7 +20,8 @@ def _run(h_true, nvar, nsym=2, npairs=36, seed=0, wf_pattern=None):
     ) * np.sqrt(nvar / 2)
     pair_pos = tuple(float(4 * i + 1.0) for i in range(npairs))
     return estimator.estimate_channel(
-        y[None], ref[None], wf, pair_pos, nof_sc=4 * npairs, smooth=False
+        y[None], ref[None], wf, pair_pos, nof_sc=4 * npairs, smooth=False,
+        compute_ta=True, compute_cfo=True,
     )
 
 
@@ -66,7 +67,8 @@ def test_cfo_estimate_sign():
     y = np.stack([ref[0], ref[1] * np.exp(1j * phase)])[None]
     pair_pos = tuple(float(4 * i + 1.0) for i in range(npil // 2))
     _, _, m = estimator.estimate_channel(
-        y, ref[None], np.ones(npil, np.float32), pair_pos, nof_sc=npil * 2, smooth=False
+        y, ref[None], np.ones(npil, np.float32), pair_pos, nof_sc=npil * 2, smooth=False,
+        compute_ta=True, compute_cfo=True,
     )
     cfo = float(np.asarray(m["cfo_phase_per_dmrs_symbol"])[0])
     assert abs(cfo - phase) < 0.02
