@@ -23,6 +23,7 @@ from ..phy.pusch import PuschConfig
 from ..ran import tbs as tbs_mod
 from ..ran.constants import NRE
 from ..ran.slot_point import SlotPoint
+from ..ran.tdd import SlotDirection, TddPattern
 
 RV_SEQUENCE = (0, 2, 3, 1)
 NOF_HARQ = 8
@@ -55,6 +56,7 @@ class SchedulerConfig:
     max_ues_per_slot: int = 4
     nof_layers: int = 1
     nof_ports: int = 1
+    tdd_pattern: TddPattern | None = None  # None = FDD (DL+UL every slot)
 
 
 class RoundRobinScheduler:
@@ -92,8 +94,13 @@ class RoundRobinScheduler:
                 PuschConfig(nof_rx_ports=c.nof_ports, **common), tbs)
 
     def run_slot(self, slot: SlotPoint, rng: np.random.Generator):
-        """Produce (DlTtiRequest, TxDataRequest, UlTtiRequest, grants)."""
+        """Produce (DlTtiRequest, TxDataRequest, UlTtiRequest, grants).
+
+        With a TDD pattern, DL slots carry only PDSCH and UL slots only
+        PUSCH; the special slot is idle in this simulator.
+        """
         c = self.cfg
+        tdd_dir = c.tdd_pattern.direction(slot.count) if c.tdd_pattern else None
         active = list(self.ues.values())
         if not active:
             return (fapi.DlTtiRequest(slot=slot), fapi.TxDataRequest(slot=slot),
@@ -128,6 +135,12 @@ class RoundRobinScheduler:
             pusch_pdus.append(fapi.UlPuschPdu(ul_cfg, ue.rnti, harq_id=harq_id,
                                               new_data=new_data, first_rb=i * rb_each))
             grants.append((ue.rnti, harq_id, tbs))
+        if tdd_dir == SlotDirection.DOWNLINK:
+            pusch_pdus = []
+        elif tdd_dir == SlotDirection.UPLINK:
+            pdsch_pdus, payloads = [], []
+        elif tdd_dir == SlotDirection.SPECIAL:
+            pdsch_pdus, payloads, pusch_pdus, grants = [], [], [], []
         return (fapi.DlTtiRequest(slot=slot, pdsch=pdsch_pdus),
                 fapi.TxDataRequest(slot=slot, payloads=payloads),
                 fapi.UlTtiRequest(slot=slot, pusch=pusch_pdus), grants)

@@ -66,3 +66,24 @@ def test_harq_retransmission_lifecycle():
     assert harq_hist[0][0] == harq_hist[1][0]
     assert harq_hist[0][1] is True and harq_hist[1][1] is False
     assert ue.ul_bits_ok > 0
+
+
+def test_tdd_pattern_gates_directions():
+    from srsran_project_tpu.ran.tdd import PATTERN_7D2U, SlotDirection, TddPattern
+
+    p = PATTERN_7D2U
+    dirs = [p.direction(i).value for i in range(10)]
+    assert dirs == ["dl"] * 7 + ["special"] + ["ul"] * 2
+    assert p.is_dl_symbol(7, 2) and not p.is_dl_symbol(7, 10)
+    assert p.is_ul_symbol(7, 12) and not p.is_ul_symbol(7, 5)
+
+    cfg = SchedulerConfig(nof_rb=24, max_ues_per_slot=1, tdd_pattern=p)
+    sched = RoundRobinScheduler(cfg)
+    sched.add_ue(0x30, mcs=4)
+    rng = np.random.default_rng(0)
+    dl, tx, ul, grants = sched.run_slot(_slot(0), rng)  # DL slot
+    assert dl.pdsch and not ul.pusch
+    dl, tx, ul, grants = sched.run_slot(_slot(8), rng)  # UL slot
+    assert ul.pusch and not dl.pdsch
+    dl, tx, ul, grants = sched.run_slot(_slot(7), rng)  # special
+    assert not dl.pdsch and not ul.pusch
