@@ -88,7 +88,9 @@ def decode(
         axis=-1,
     )  # (batch, NB*Z + 1)
 
-    r0 = jnp.zeros((nof_layers, batch, dmax, z), jnp.float32)
+    # The zero scaled by a data-derived scalar keeps r0's device-varying
+    # type aligned with app under shard_map (psum/pcast rules).
+    r0 = jnp.zeros((nof_layers, batch, dmax, z), jnp.float32) + 0.0 * x[0, 0]
 
     def layer_step(app, inputs):
         layer_idx, layer_valid, r_l = inputs  # (Dmax, Z), (Dmax, 1), (B, Dmax, Z)

@@ -39,3 +39,27 @@ def test_dryrun_multichip_entry():
 
     n = len(jax.devices())
     g.dryrun_multichip(min(n, 8))
+
+
+def test_codeblock_sharded_decode(mesh8):
+    from srsran_project_tpu.ops.ldpc import encoder, graphs
+    from srsran_project_tpu.parallel import sharded_decode as sd
+
+    bg, z = 2, 52
+    g = graphs.get_graph(bg, z)
+    rng = np.random.default_rng(0)
+    # Messages carrying their own CRC24B so the psum failure count is real.
+    from srsran_project_tpu.ops import crc as crc_mod
+
+    payload = rng.integers(0, 2, size=(13, g.kb * z - 24), dtype=np.uint8)
+    msg = np.asarray(crc_mod.crc_append(payload, "24B"))
+    cw = np.asarray(encoder.encode(msg, bg, z))
+    llr = np.where(cw[:, 2 * z:] == 0, 20.0, -20.0).astype(np.float32)
+    x, c_orig = sd.shard_codeblocks(llr, mesh8)
+    assert x.shape[0] == 16  # padded 13 -> 16
+    bits, bad = sd.decode_codeblocks_sharded(x, bg, z, mesh8, nof_iterations=4)
+    got = np.asarray(bits)[:c_orig]
+    np.testing.assert_array_equal(got, msg)
+    # Padded all-zero codeblocks decode to all-zero (CRC24B of zeros = 0),
+    # so only genuinely corrupted codeblocks would count.
+    assert int(np.asarray(bad)) == 0
