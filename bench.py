@@ -53,6 +53,8 @@ def worker() -> None:
                     rng.standard_normal(iq.shape) + 1j * rng.standard_normal(iq.shape)
                 ).astype(np.complex64) * np.sqrt(1e-4 / 2)
                 iq_rx = iq + jnp.asarray(noise)
+                iq_rx.block_until_ready()
+                print("# warmup: iq_rx ready", file=sys.stderr, flush=True)
                 t0 = time.time()
                 out = cell_mod.decode_slot(iq_rx, rnti, cfg)
                 ok = np.asarray(out["tb_crc_ok"])
@@ -162,11 +164,13 @@ def main() -> None:
             print(f"# retry {attempt} after {RECOVERY_SLEEP_S}s", file=sys.stderr, flush=True)
             time.sleep(RECOVERY_SLEEP_S)
         try:
+            env = dict(os.environ, SRSRAN_TPU_STAGE_DEBUG="1")
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker"],
                 timeout=ATTEMPT_TIMEOUT_S,
                 capture_output=True,
                 text=True,
+                env=env,
             )
         except subprocess.TimeoutExpired as e:
             sys.stderr.write((e.stderr or "")[-2000:] if isinstance(e.stderr, str) else "")
