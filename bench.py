@@ -72,12 +72,10 @@ def worker() -> None:
     crc_ok_dev = out["tb_crc_ok"]
     jax.block_until_ready((nof_bit_errors, crc_ok_dev))
 
-    full_sync = os.environ.get("BENCH_FULL_SYNC", "1") == "1"
+    import contextlib
 
-    def bench(fn, n):
-        import contextlib
-
-        ctx = staging.sync_stages() if full_sync else contextlib.nullcontext()
+    def bench(fn, n, sync):
+        ctx = staging.sync_stages() if sync else contextlib.nullcontext()
         with ctx:
             fn(0)
             t0 = time.time()
@@ -86,10 +84,14 @@ def worker() -> None:
             return (time.time() - t0) / n
 
     n = 20
-    t_enc = bench(lambda i: cell_mod.encode_slot(tb, jnp.uint32(0x4601 + i), w, cfg), n)
-    print(f"# encode {t_enc*1e3:.2f} ms/slot (full_sync={full_sync})", file=sys.stderr, flush=True)
-    t_dec = bench(lambda i: cell_mod.decode_slot(iq_rx, jnp.uint32(0x4601), cfg)["tb_bits"], n)
-    print(f"# decode {t_dec*1e3:.2f} ms/slot", file=sys.stderr, flush=True)
+    enc_fn = lambda i: cell_mod.encode_slot(tb, jnp.uint32(0x4601 + i), w, cfg)
+    dec_fn = lambda i: cell_mod.decode_slot(iq_rx, jnp.uint32(0x4601), cfg)["tb_bits"]
+    # Guaranteed measurement first: per-stage sync (adds tunnel round trips
+    # per stage, so it UNDERSTATES throughput but always completes).
+    t_enc = bench(enc_fn, n, sync=True)
+    print(f"# encode {t_enc*1e3:.2f} ms/slot (stage-sync)", file=sys.stderr, flush=True)
+    t_dec = bench(dec_fn, n, sync=True)
+    print(f"# decode {t_dec*1e3:.2f} ms/slot (stage-sync)", file=sys.stderr, flush=True)
 
     slot_ops_per_s = 1.0 / t_enc + 1.0 / t_dec
     mbps = cfg.tbs * slot_ops_per_s / 1e6
@@ -106,6 +108,22 @@ def worker() -> None:
         file=sys.stderr,
         flush=True,
     )
+    # Upgrade pass: fully asynchronous steady state (all programs already
+    # compiled; the timing loop does no host transfers).  If it survives,
+    # its RESULT supersedes the stage-sync one (parent takes the last line).
+    try:
+        t_enc_a = bench(enc_fn, n, sync=False)
+        t_dec_a = bench(dec_fn, n, sync=False)
+        rate_a = 1.0 / t_enc_a + 1.0 / t_dec_a
+        print(f"# async: encode {t_enc_a*1e3:.2f} ms, decode {t_dec_a*1e3:.2f} ms",
+              file=sys.stderr, flush=True)
+        result_a = dict(result, value=round(rate_a, 1),
+                        vs_baseline=round(rate_a / 2000.0, 3))
+        print("RESULT " + json.dumps(result_a), flush=True)
+    except Exception as e:
+        print(f"# async pass failed ({str(e)[:60]}); stage-sync result stands",
+              file=sys.stderr, flush=True)
+
     # Risky device->host readout last: RESULT is already out if this dies.
     try:
         print(f"# verify: crc_ok={bool(np.asarray(crc_ok_dev))} "
@@ -187,10 +205,10 @@ def main() -> None:
             print(f"# attempt {attempt} timed out", file=sys.stderr, flush=True)
             continue
         sys.stderr.write(proc.stderr[-4000:])
-        for line in proc.stdout.splitlines():
-            if line.startswith("RESULT "):
-                print(line[len("RESULT "):])
-                return
+        results = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
+        if results:
+            print(results[-1][len("RESULT "):])  # async upgrade supersedes
+            return
         print(f"# attempt {attempt} failed rc={proc.returncode}", file=sys.stderr, flush=True)
     # Full-slot attempts exhausted: fall back to the LDPC-codec-only metric.
     for attempt in range(3):

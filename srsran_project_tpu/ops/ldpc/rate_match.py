@@ -80,25 +80,48 @@ def rate_match(
     return jnp.take(buffer, idx, axis=-1)
 
 
+@functools.lru_cache(maxsize=None)
+def _inverse_indices(bg: int, z: int, k_prime: int, e: int, rv: int, qm: int, n_cb: int):
+    """Inverse selection map when no buffer position repeats: (N,) int32
+    with inv[n] = index into e (or E, meaning 'not transmitted')."""
+    g = graphs.get_graph(bg, z)
+    n = g.nof_codeword_bits
+    sel = selection_indices(bg, z, k_prime, e, rv, qm, n_cb)
+    if len(np.unique(sel)) != len(sel):
+        return None  # repetition: fall back to scatter-add
+    inv = np.full(n, e, dtype=np.int32)
+    inv[sel] = np.arange(e, dtype=np.int32)
+    return inv
+
+
 @functools.partial(jax.jit, static_argnames=("bg", "z", "k_prime", "e", "rv", "qm", "n_cb"))
 def rate_dematch(
     llrs: jax.Array, bg: int, z: int, k_prime: int, e: int, rv: int, qm: int, n_cb: int | None = None
 ) -> jax.Array:
     """(..., E) int8 LLRs -> (..., N) codeword-buffer LLRs.
 
-    Scatter-adds repeated transmissions of the same buffer position with int8
+    Combines repeated transmissions of the same buffer position with int8
     saturation; filler positions are set to +LLR_INF (known zero bits).
-    Positions never transmitted stay 0 (erasure).
+    Positions never transmitted stay 0 (erasure).  When E <= usable buffer
+    (no repetition) this is a pure gather through the precomputed inverse
+    permutation — no scatter on the device.
     """
     g = graphs.get_graph(bg, z)
     n = g.nof_codeword_bits
     if n_cb is None:
         n_cb = n
-    idx = jnp.asarray(selection_indices(bg, z, k_prime, e, rv, qm, n_cb))
     batch = llrs.shape[:-1]
-    acc = jnp.zeros(batch + (n,), dtype=jnp.int32)
-    acc = acc.at[..., idx].add(llrs.astype(jnp.int32))
-    acc = jnp.clip(acc, -LLR_MAX, LLR_MAX)
+    inv = _inverse_indices(bg, z, k_prime, e, rv, qm, n_cb)
+    if inv is not None:
+        padded = jnp.concatenate(
+            [llrs.astype(jnp.int32), jnp.zeros(batch + (1,), jnp.int32)], axis=-1
+        )
+        acc = padded[..., jnp.asarray(inv)]
+    else:
+        idx = jnp.asarray(selection_indices(bg, z, k_prime, e, rv, qm, n_cb))
+        acc = jnp.zeros(batch + (n,), dtype=jnp.int32)
+        acc = acc.at[..., idx].add(llrs.astype(jnp.int32))
+        acc = jnp.clip(acc, -LLR_MAX, LLR_MAX)
     filler = jnp.asarray(_filler_mask(bg, z, k_prime, n_cb))
     filler = jnp.pad(filler, (0, n - n_cb)) if n_cb < n else filler
     return jnp.where(filler, jnp.int32(LLR_INF), acc).astype(jnp.int8)
