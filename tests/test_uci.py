@@ -65,3 +65,15 @@ def test_file_vector_cbf16(tmp_path):
     # bf16 keeps ~8 bits of mantissa.
     np.testing.assert_allclose(back, x, rtol=1e-2, atol=1e-2)
     assert (tmp_path / "v.dat").stat().st_size == 50 * 4
+
+
+@pytest.mark.parametrize("k,e", [(360, 1152), (501, 2048), (800, 4096)])
+def test_uci_segmented_roundtrip(k, e):
+    rng = np.random.default_rng(k)
+    bits = rng.integers(0, 2, size=(2, k), dtype=np.uint8)
+    tx = np.asarray(uci.encode_uci(bits, e))
+    assert tx.shape == (2, e)
+    llr = np.where(tx == 0, 8.0, -8.0).astype(np.float32)
+    got, ok = uci.decode_uci(llr, k)
+    assert np.asarray(ok).all()
+    np.testing.assert_array_equal(np.asarray(got), bits)
