@@ -89,28 +89,34 @@ def _front_end(grid: jax.Array, rnti: jax.Array, cfg: PuschConfig):
     nl, npr = cfg.nof_layers, cfg.nof_rx_ports
     gflat = grid.reshape(npr, -1)
 
-    # --- Channel estimation per (rx port, layer) ---
+    # --- Channel estimation, all (rx port, layer) pairs in ONE batched call
+    # (layers stack on a leading axis; estimate_channel broadcasts) ---
+    idx_l, wf_l, seq_l = [], [], []
+    pair_pos = None
+    for layer in range(nl):
+        idx, wf, pair_pos, seq_idx = alloc_mod.pilot_re_indices(a, layer, cfg.nof_grid_sc)
+        idx_l.append(idx.reshape(-1))
+        wf_l.append(wf)
+        seq_l.append(seq_idx)
+    idx_all = jnp.asarray(np.stack(idx_l))  # (nl, nsym_d*Np)
+    wf_all = jnp.asarray(np.stack(wf_l), jnp.float32)  # (nl, Np)
+    nof_pilots_total = int(max(s[-1] for s in seq_l)) + 1
+    pilots = _dmrs_pilots(cfg, nof_pilots_total)  # (nsym_d, n_total)
+    r_all = jnp.stack([pilots[:, jnp.asarray(s)] for s in seq_l])  # (nl, nsym_d, Np)
+
     def estimate_all(gf):
-        h_cols = []
-        nvar_acc = 0.0
-        snr_acc = 0.0
-        cfo_acc = 0.0
-        for layer in range(nl):
-            idx, wf, pair_pos, seq_idx = alloc_mod.pilot_re_indices(a, layer, cfg.nof_grid_sc)
-            nof_pilots_total = int(seq_idx[-1]) + 1
-            r = _dmrs_pilots(cfg, nof_pilots_total)[:, jnp.asarray(seq_idx)]  # (nsym_d, Np)
-            y_p = gf[:, jnp.asarray(idx).reshape(-1)].reshape(npr, len(a.dmrs_symbols), -1)
-            h_l, nv_l, metrics = estimate_channel(
-                y_p, r[None], jnp.asarray(wf, jnp.float32), pair_pos, a.nof_sc,
-                compute_cfo=cfg.cfo_compensation,
-            )  # h_l: (npr, nof_sc), nv_l: (npr,)
-            checkpoint(h_l)
-            h_cols.append(h_l)
-            nvar_acc = nvar_acc + nv_l.mean() / nl
-            snr_acc = snr_acc + metrics["snr"].mean() / nl
-            if cfg.cfo_compensation:
-                cfo_acc = cfo_acc + metrics["cfo_phase_per_dmrs_symbol"].mean() / nl
-        return jnp.stack(h_cols, axis=-1), nvar_acc, snr_acc, cfo_acc
+        y_p = gf[:, idx_all].reshape(npr, nl, len(a.dmrs_symbols), -1)
+        y_p = jnp.moveaxis(y_p, 0, 1)  # (nl, npr, nsym_d, Np)
+        h_l, nv_l, metrics = estimate_channel(
+            y_p, r_all[:, None], wf_all[:, None, None, :], pair_pos, a.nof_sc,
+            compute_cfo=cfg.cfo_compensation,
+        )  # h_l: (nl, npr, nof_sc), nv_l: (nl, npr)
+        checkpoint(h_l)
+        h = jnp.moveaxis(h_l, 0, -1)  # (npr, nof_sc, nl)
+        nvar_acc = nv_l.mean()
+        snr_acc = metrics["snr"].mean()
+        cfo_acc = metrics["cfo_phase_per_dmrs_symbol"].mean() if cfg.cfo_compensation else 0.0
+        return h, nvar_acc, snr_acc, cfo_acc
 
     h, nvar_acc, snr_acc, cfo_acc = estimate_all(gflat)
     if cfg.cfo_compensation and len(a.dmrs_symbols) > 1:
