@@ -234,7 +234,13 @@ def main() -> None:
                 env=env,
             )
         except subprocess.TimeoutExpired as e:
-            sys.stderr.write((e.stderr or "")[-2000:] if isinstance(e.stderr, str) else "")
+            serr = e.stderr if isinstance(e.stderr, str) else (e.stderr or b"").decode(errors="ignore")
+            sout = e.stdout if isinstance(e.stdout, str) else (e.stdout or b"").decode(errors="ignore")
+            sys.stderr.write(serr[-2000:])
+            results = [l for l in sout.splitlines() if l.startswith("RESULT ")]
+            if results:
+                print(results[-1][len("RESULT "):])
+                return
             print(f"# attempt {attempt} timed out", file=sys.stderr, flush=True)
             continue
         sys.stderr.write(proc.stderr[-4000:])
