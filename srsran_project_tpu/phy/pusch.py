@@ -131,33 +131,40 @@ def _front_end(grid: jax.Array, rnti: jax.Array, cfg: PuschConfig):
         h, nvar_acc, snr_acc, _ = estimate_all(gflat)
     noise_var = nvar_acc
 
-    # --- Extract data REs and equalize ---
-    didx = jnp.asarray(alloc_mod.data_re_indices(a, cfg.nof_grid_symbols, cfg.nof_grid_sc))
-    y = gflat[:, didx]  # (npr, ndata)
-    # Subcarrier of each data RE within the allocation (for H lookup).
-    sc_of_data = jnp.asarray(
-        (alloc_mod.data_re_indices(a, cfg.nof_grid_symbols, cfg.nof_grid_sc) % cfg.nof_grid_sc)
-        - a.sc_start
+    x_hat, eq_nvar = checkpoint(_equalize_stage(gflat, h, noise_var, cfg))
+    llr_i8 = checkpoint(
+        _demap_stage(x_hat, eq_nvar, jnp.asarray(rnti), cfg)
     )
+    return llr_i8, noise_var, snr_acc
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _equalize_stage(gflat: jax.Array, h: jax.Array, noise_var: jax.Array, cfg: PuschConfig):
+    """Data-RE gather + per-RE channel lookup + MMSE/ZF, one program."""
+    a = cfg.alloc
+    didx_np = alloc_mod.data_re_indices(a, cfg.nof_grid_symbols, cfg.nof_grid_sc)
+    y = gflat[:, jnp.asarray(didx_np)]  # (npr, ndata)
+    sc_of_data = jnp.asarray((didx_np % cfg.nof_grid_sc) - a.sc_start)
     h_data = h[:, sc_of_data, :]  # (npr, ndata, nl)
-    x_hat, eq_nvar = equalize(
-        jnp.moveaxis(y, 0, -1),  # (ndata, npr)
-        jnp.moveaxis(h_data, 0, 1),  # (ndata, npr, nl)
+    return equalize(
+        jnp.moveaxis(y, 0, -1),
+        jnp.moveaxis(h_data, 0, 1),
         noise_var,
         method=cfg.equalizer,
-    )  # (ndata, nl), (ndata, nl)
-    checkpoint(x_hat)
+    )
 
-    # --- Demap, de-layer-map, descramble ---
-    llr_layers = checkpoint(demap_soft(x_hat.T, eq_nvar.T, cfg.modulation))  # (nl, ndata*Qm)
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _demap_stage(x_hat: jax.Array, eq_nvar: jax.Array, rnti: jax.Array, cfg: PuschConfig):
+    """Soft demap + de-layer-map + quantize + descramble, one program."""
+    nl = cfg.nof_layers
     qm = cfg.sch.qm
-    # Inverse of layer mapping: codeword bit blocks of Qm alternate layers.
+    llr_layers = demap_soft(x_hat.T, eq_nvar.T, cfg.modulation)  # (nl, ndata*Qm)
     ndata = llr_layers.shape[-1] // qm
     llr = llr_layers.reshape(nl, ndata, qm)
     llr = jnp.moveaxis(llr, 0, 1).reshape(-1)  # (G,)
-    llr_i8 = checkpoint(quantize_llr(llr, cfg.llr_range_limit))
-    llr_i8 = checkpoint(scrambling.descramble_llrs(llr_i8, _pusch_c_init(jnp.asarray(rnti), cfg.n_id)))
-    return llr_i8, noise_var, snr_acc
+    llr_i8 = quantize_llr(llr, cfg.llr_range_limit)
+    return scrambling.descramble_llrs(llr_i8, _pusch_c_init(rnti, cfg.n_id))
 
 
 def process(
