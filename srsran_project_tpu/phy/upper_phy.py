@@ -33,6 +33,9 @@ class UpperPhyConfig:
     nof_ports: int = 1
     nof_grid_symbols: int = 14
     nof_grid_sc: int = 624
+    # Debug dump of received UL grids (reference: phy_rx_symbols_filename,
+    # du_low_config.h:102-107): cbf16 binary, one file per call.
+    rx_symbols_filename: str | None = None
 
 
 class HarqBufferPool:
@@ -125,6 +128,14 @@ class UpperPhy:
         prach_fd: jnp.ndarray | None = None,
     ) -> fapi.SlotResults:
         res = fapi.SlotResults(slot=request.slot)
+        if self.cfg.rx_symbols_filename:
+            from ..support import file_vector
+
+            file_vector.write_vector(
+                f"{self.cfg.rx_symbols_filename}.{request.slot.count}",
+                np.asarray(rx_grid).reshape(-1),
+                "cbf16",
+            )
         for pdu in request.pusch:
             harq = None if pdu.new_data else self.harq_pool.get(pdu.rnti, pdu.harq_id)
             pdu_grid = rx_grid

@@ -105,3 +105,11 @@ def unpack_part2(cfg: CsiReportConfig, rank: int, bits: np.ndarray) -> int:
     for b in bits[: pmi_bitwidth(cfg, rank)]:
         v = (v << 1) | int(b)
     return v
+
+
+def part2_size_from_part1(cfg: CsiReportConfig, part1_bits: np.ndarray) -> int:
+    """UCI part 2 size derived from a decoded part 1 (the reference's
+    uci_part2_size_calculator role): part 1 carries RI, which fixes the
+    PMI width of part 2."""
+    _, ri, _ = unpack_part1(cfg, part1_bits)
+    return part2_bitwidth(cfg, ri)

@@ -36,3 +36,11 @@ def test_part1_feeds_uci_codec():
     got, ok = uci.decode_uci(llr, len(bits))
     np.testing.assert_array_equal(np.asarray(got), bits)
     assert csi.unpack_part1(cfg, np.asarray(got)) == (0, 2, 7)
+
+
+def test_part2_size_from_part1():
+    cfg = csi.CsiReportConfig(nof_csi_rs_ports=4)
+    p1 = csi.pack_part1(cfg, cri=0, ri=1, cqi=5)
+    assert csi.part2_size_from_part1(cfg, p1) == csi.pmi_bitwidth(cfg, 1)
+    p1 = csi.pack_part1(cfg, cri=0, ri=4, cqi=5)
+    assert csi.part2_size_from_part1(cfg, p1) == csi.pmi_bitwidth(cfg, 4)

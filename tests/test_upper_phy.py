@@ -130,3 +130,16 @@ def test_srs_dispatch():
     assert ind.rnti == 0x55
     assert ind.h.shape == (1, cfg.seq_length)
     np.testing.assert_allclose(np.abs(ind.h).mean(), 0.7, atol=0.05)
+
+
+def test_rx_symbols_dump(tmp_path):
+    phy = UpperPhy(UpperPhyConfig(nof_ports=1, rx_symbols_filename=str(tmp_path / "rx")))
+    grid = np.zeros((1, 14, 624), np.complex64)
+    grid[0, 0, 0] = 1 + 1j
+    req = fapi.UlTtiRequest(slot=_slot())
+    phy.process_ul_tti(req, grid)
+    from srsran_project_tpu.support import file_vector
+
+    dumped = file_vector.read_vector(str(tmp_path / "rx.0"), "cbf16")
+    assert dumped.shape == (14 * 624,)
+    np.testing.assert_allclose(dumped[0], 1 + 1j, atol=1e-2)
