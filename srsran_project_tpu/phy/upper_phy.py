@@ -36,6 +36,7 @@ class UpperPhyConfig:
     # Debug dump of received UL grids (reference: phy_rx_symbols_filename,
     # du_low_config.h:102-107): cbf16 binary, one file per call.
     rx_symbols_filename: str | None = None
+    validate_requests: bool = False  # run fapi.validators on each request
 
 
 class HarqBufferPool:
@@ -75,6 +76,10 @@ class UpperPhy:
         self, request: fapi.DlTtiRequest, tx_data: fapi.TxDataRequest
     ) -> jnp.ndarray:
         cfg = self.cfg
+        if cfg.validate_requests:
+            from ..fapi.validators import validate_dl_tti
+
+            validate_dl_tti(request, tx_data, cfg.nof_grid_sc)
         grid = jnp.zeros(
             (cfg.nof_ports, cfg.nof_grid_symbols, cfg.nof_grid_sc), jnp.complex64
         )
@@ -128,6 +133,10 @@ class UpperPhy:
         prach_fd: jnp.ndarray | None = None,
     ) -> fapi.SlotResults:
         res = fapi.SlotResults(slot=request.slot)
+        if self.cfg.validate_requests:
+            from ..fapi.validators import validate_ul_tti
+
+            validate_ul_tti(request, self.cfg.nof_grid_sc)
         if self.cfg.rx_symbols_filename:
             from ..support import file_vector
 
