@@ -63,13 +63,20 @@ def _root_fd(u: int, l_ra: int) -> np.ndarray:
     return np.fft.fft(zc_root(u, l_ra)).astype(np.complex64)
 
 
-def physical_root(logical_index: int, l_ra: int) -> int:
-    """v1 logical->physical mapping: u cycles 1..L_RA-1 from the index.
+@functools.lru_cache(maxsize=1)
+def _root_tables():
+    import os
 
-    (The 3GPP logical table is a permutation; the detector only needs
-    generator/detector agreement, which this provides.)
-    """
-    return (logical_index % (l_ra - 1)) + 1
+    d = np.load(os.path.join(os.path.dirname(__file__), "_prach_roots.npz"))
+    return d["long"], d["short"]
+
+
+def physical_root(logical_index: int, l_ra: int) -> int:
+    """Logical -> physical root sequence number u (TS 38.211
+    Tables 6.3.3.1-3 / 6.3.3.1-4)."""
+    long_t, short_t = _root_tables()
+    table = long_t if l_ra == 839 else short_t
+    return int(table[logical_index % len(table)])
 
 
 def generate_preamble(cfg: PrachConfig, preamble_index: int) -> np.ndarray:
