@@ -14,7 +14,6 @@ import dataclasses
 import functools
 
 import jax
-import jax.numpy as jnp
 
 from ..ops import ofdm
 from ..ops.modulation import Modulation

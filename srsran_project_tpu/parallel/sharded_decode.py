@@ -9,8 +9,6 @@ of per-shard failure counts (ICI all-reduce).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

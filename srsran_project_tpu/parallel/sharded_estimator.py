@@ -9,12 +9,10 @@ overlap-save pattern; XLA maps it onto ICI).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.estimator import _rc_filter_taps
 

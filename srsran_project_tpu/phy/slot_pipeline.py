@@ -16,7 +16,6 @@ import time
 from collections import deque
 
 import jax
-import numpy as np
 
 from ..fapi import messages as fapi
 from ..support.metrics import collector

@@ -27,7 +27,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import uci as uci_mod
-from ..ops.ldpc.rate_match import LLR_MAX
 from . import allocation as alloc_mod
 
 
