@@ -41,7 +41,7 @@ class PuschConfig:
     slot_in_frame: int = 0
     dmrs_scrambling_id: int = 0
     n_scid: int = 0
-    nof_ldpc_iterations: int = 10
+    nof_ldpc_iterations: int = 6  # reference default (du_low pusch max iterations)
     equalizer: str = "mmse"
     llr_range_limit: float = 20.0
     cfo_compensation: bool = False  # reference knob: du_low_config.h CFO comp

@@ -23,7 +23,7 @@ class ExpertPhyConfig:
     """Expert upper-PHY knobs (reference: du_low_config.h:33-170)."""
 
     max_processing_delay_slots: int = 5
-    pusch_max_nof_ldpc_iterations: int = 10
+    pusch_max_nof_ldpc_iterations: int = 6
     ldpc_decoder_early_stop: bool = False  # fixed-iteration on TPU; masked convergence TBD
     pusch_sinr_calc_method: str = "post_equalization"
     pusch_channel_estimator_fd_strategy: str = "filter"  # none | mean | filter

@@ -22,12 +22,12 @@ def _slot():
     return SlotPoint.from_sfn_slot(SubcarrierSpacing.KHZ30, 0, 0)
 
 
-def _pxsch_cfgs(tbs=1000, rb_start=2, rb=12):
+def _pxsch_cfgs(tbs=1000, rb_start=2, rb=12, iters=10):
     alloc = Allocation(rb_start=rb_start, rb_count=rb, sym_start=1, sym_count=12, dmrs_symbols=(2,))
     common = dict(tbs=tbs, target_code_rate=0.3, modulation=Modulation.QPSK, alloc=alloc,
                   nof_layers=1, nof_grid_symbols=14, nof_grid_sc=624)
     return (pdsch_mod.PdschConfig(nof_ports=1, **common),
-            pusch_mod.PuschConfig(nof_rx_ports=1, **common))
+            pusch_mod.PuschConfig(nof_rx_ports=1, nof_ldpc_iterations=iters, **common))
 
 
 def test_dl_slot_multi_pdu():
