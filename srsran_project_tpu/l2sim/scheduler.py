@@ -41,9 +41,11 @@ class UeContext:
     rnti: int
     mcs: int = 10
     mcs_table: str = "qam64"
+    qos_weight: float = 1.0  # QoS multiplier (priority)
     harqs: list = dataclasses.field(default_factory=lambda: [HarqProcess() for _ in range(NOF_HARQ)])
     dl_bits_acked: int = 0
     ul_bits_ok: int = 0
+    avg_rate: float = 1.0  # EWMA served rate (bits/slot) for PF
 
 
 @dataclasses.dataclass(frozen=True)
@@ -57,6 +59,8 @@ class SchedulerConfig:
     nof_layers: int = 1
     nof_ports: int = 1
     tdd_pattern: TddPattern | None = None  # None = FDD (DL+UL every slot)
+    policy: str = "rr"  # "rr" (round robin) or "qos" (PF-weighted)
+    pf_forgetting: float = 0.05  # EWMA factor for the PF average rate
 
 
 class RoundRobinScheduler:
@@ -70,10 +74,31 @@ class RoundRobinScheduler:
         self.ues: dict[int, UeContext] = {}
         self._rr_offset = 0
 
-    def add_ue(self, rnti: int, mcs: int = 10) -> UeContext:
-        ue = UeContext(rnti=rnti, mcs=mcs)
+    def add_ue(self, rnti: int, mcs: int = 10, qos_weight: float = 1.0) -> UeContext:
+        ue = UeContext(rnti=rnti, mcs=mcs, qos_weight=qos_weight)
         self.ues[rnti] = ue
         return ue
+
+    def _select_ues(self, active, n):
+        """Pick n UEs: round robin, or proportional-fair with QoS weights
+        (scheduler_time_qos.cpp's role: metric = weight * inst_rate / avg_rate)."""
+        if self.cfg.policy == "rr":
+            sel = [active[(self._rr_offset + i) % len(active)] for i in range(n)]
+            self._rr_offset = (self._rr_offset + n) % len(active)
+            return sel
+        def metric(ue):
+            qm, rate = tbs_mod.mcs_to_qm_rate(ue.mcs, ue.mcs_table)
+            inst = qm * rate  # proxy for achievable rate
+            return ue.qos_weight * inst / max(ue.avg_rate, 1e-6)
+        ranked = sorted(active, key=metric, reverse=True)
+        sel = ranked[:n]
+        # EWMA update: selected UEs accrue their instantaneous rate.
+        a = self.cfg.pf_forgetting
+        for ue in active:
+            qm, rate = tbs_mod.mcs_to_qm_rate(ue.mcs, ue.mcs_table)
+            served = qm * rate if ue in sel else 0.0
+            ue.avg_rate = (1 - a) * ue.avg_rate + a * served
+        return sel
 
     def _grant_configs(self, ue: UeContext, rb_count: int, rv: int):
         """Compact rb_start=0 configs: every equal-size grant (any UE, any
@@ -106,9 +131,7 @@ class RoundRobinScheduler:
             return (fapi.DlTtiRequest(slot=slot), fapi.TxDataRequest(slot=slot),
                     fapi.UlTtiRequest(slot=slot), [])
         n = min(len(active), c.max_ues_per_slot)
-        # Rotate the RR window.
-        sel = [active[(self._rr_offset + i) % len(active)] for i in range(n)]
-        self._rr_offset = (self._rr_offset + n) % len(active)
+        sel = self._select_ues(active, n)
         rb_each = c.nof_rb // n
 
         pdsch_pdus, payloads, pusch_pdus, grants = [], [], [], []

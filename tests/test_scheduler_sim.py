@@ -87,3 +87,25 @@ def test_tdd_pattern_gates_directions():
     assert ul.pusch and not dl.pdsch
     dl, tx, ul, grants = sched.run_slot(_slot(7), rng)  # special
     assert not dl.pdsch and not ul.pusch
+
+
+def test_qos_policy_prefers_weighted_ue():
+    from srsran_project_tpu.l2sim.scheduler import RoundRobinScheduler, SchedulerConfig
+
+    cfg = SchedulerConfig(nof_rb=24, max_ues_per_slot=1, policy="qos")
+    sched = RoundRobinScheduler(cfg)
+    sched.add_ue(0x1, mcs=4, qos_weight=1.0)
+    heavy = sched.add_ue(0x2, mcs=4, qos_weight=4.0)
+    rng = np.random.default_rng(0)
+    served = {0x1: 0, 0x2: 0}
+    for i in range(40):
+        _, _, ul, grants = sched.run_slot(_slot(i % 20), rng)
+        for rnti, _, _ in grants:
+            served[rnti] += 1
+        # Clear HARQ state so every slot grants fresh data.
+        for ue in sched.ues.values():
+            for h in ue.harqs:
+                h.active, h.tb, h.nof_tx = False, None, 0
+    # The 4x-weighted UE gets roughly 4x the grants (PF with equal rates).
+    assert served[0x2] > served[0x1] * 2
+    assert served[0x1] > 0  # starvation-free
