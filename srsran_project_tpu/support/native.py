@@ -61,6 +61,16 @@ def get_lib():
     lib.ring_pop.restype = ctypes.c_int
     lib.ring_size.argtypes = [ctypes.c_void_p]
     lib.ring_size.restype = ctypes.c_int
+    lib.ofh_uplane_size.argtypes = [ctypes.c_int, ctypes.c_int]
+    lib.ofh_uplane_size.restype = ctypes.c_int
+    lib.ofh_uplane_build.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_uint16,
+                                     ctypes.c_uint16, ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_void_p]
+    lib.ofh_uplane_build.restype = ctypes.c_int
+    lib.ofh_uplane_parse.argtypes = [ctypes.c_void_p, ctypes.c_int] + [ctypes.c_void_p] * 10
+    lib.ofh_uplane_parse.restype = ctypes.c_int
     _LIB = lib
     return lib
 
@@ -207,3 +217,52 @@ class SampleRing:
         if self._h:
             self._lib.ring_destroy(self._h)
             self._h = None
+
+
+# ---------------------------------------------------------------------------
+# OFH U-plane serdes (eCPRI + ORAN CUS-style headers + BFP payload)
+# ---------------------------------------------------------------------------
+
+def ofh_uplane_build(iq: np.ndarray, *, pc_id=0, seq_id=0, direction=0, frame_id=0,
+                     subframe_id=0, slot_id=0, symbol_id=0, start_prb=0,
+                     width=9) -> np.ndarray:
+    """Serialize int16 interleaved IQ (nof_prb*24,) into one U-plane message."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    iq = np.ascontiguousarray(iq, np.int16)
+    nof_prb = iq.size // 24
+    out = np.empty(lib.ofh_uplane_size(nof_prb, width), np.uint8)
+    n = lib.ofh_uplane_build(out.ctypes.data, len(out), pc_id, seq_id, direction,
+                             frame_id, subframe_id, slot_id, symbol_id, start_prb,
+                             nof_prb, width, iq.ctypes.data)
+    if n < 0:
+        raise ValueError("ofh_uplane_build failed")
+    return out[:n]
+
+
+def ofh_uplane_parse(data: np.ndarray):
+    """Parse one U-plane message -> (header dict, int16 IQ array)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    data = np.ascontiguousarray(data, np.uint8)
+    pc = ctypes.c_uint16(); sq = ctypes.c_uint16()
+    di = ctypes.c_int(); fr = ctypes.c_int(); sf = ctypes.c_int(); sl = ctypes.c_int()
+    sy = ctypes.c_int(); sp = ctypes.c_int(); wd = ctypes.c_int()
+    n = lib.ofh_uplane_parse(data.ctypes.data, len(data), ctypes.byref(pc), ctypes.byref(sq),
+                             ctypes.byref(di), ctypes.byref(fr), ctypes.byref(sf),
+                             ctypes.byref(sl), ctypes.byref(sy), ctypes.byref(sp),
+                             ctypes.byref(wd), None)
+    if n < 0:
+        raise ValueError("malformed OFH U-plane message")
+    iq = np.empty(n * 24, np.int16)
+    lib.ofh_uplane_parse(data.ctypes.data, len(data), ctypes.byref(pc), ctypes.byref(sq),
+                         ctypes.byref(di), ctypes.byref(fr), ctypes.byref(sf),
+                         ctypes.byref(sl), ctypes.byref(sy), ctypes.byref(sp),
+                         ctypes.byref(wd), iq.ctypes.data)
+    hdr = {"pc_id": pc.value, "seq_id": sq.value, "direction": di.value,
+           "frame_id": fr.value, "subframe_id": sf.value, "slot_id": sl.value,
+           "symbol_id": sy.value, "start_prb": sp.value, "width": wd.value,
+           "nof_prb": n}
+    return hdr, iq

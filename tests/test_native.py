@@ -75,3 +75,28 @@ def test_sample_ring():
         np.testing.assert_array_equal(out, blocks[i])
     assert ring.pop() is None
     ring.close()
+
+
+@pytest.mark.skipif(native.get_lib() is None, reason="native lib unavailable")
+def test_ofh_uplane_roundtrip():
+    rng = np.random.default_rng(5)
+    nof_prb = 16
+    iq = rng.integers(-20000, 20000, size=nof_prb * 24, dtype=np.int16)
+    msg = native.ofh_uplane_build(iq, pc_id=7, seq_id=42, direction=1, frame_id=99,
+                                  subframe_id=3, slot_id=13, symbol_id=11,
+                                  start_prb=100, width=9)
+    hdr, back = native.ofh_uplane_parse(msg)
+    assert hdr == {"pc_id": 7, "seq_id": 42, "direction": 1, "frame_id": 99,
+                   "subframe_id": 3, "slot_id": 13, "symbol_id": 11,
+                   "start_prb": 100, "width": 9, "nof_prb": nof_prb}
+    # BFP at 9-bit mantissas: bounded quantization error.
+    err = np.abs(back.astype(np.int32) - iq.astype(np.int32))
+    assert err.max() < (1 << 8)
+    # eCPRI framing sanity.
+    assert msg[0] == 0x10 and msg[1] == 0x00
+
+
+@pytest.mark.skipif(native.get_lib() is None, reason="native lib unavailable")
+def test_ofh_uplane_rejects_garbage():
+    with pytest.raises(ValueError):
+        native.ofh_uplane_parse(np.zeros(64, np.uint8))
