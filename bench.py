@@ -213,6 +213,33 @@ def worker_ldpc_only() -> None:
           file=sys.stderr, flush=True)
 
 
+def _run_worker(args, timeout_s):
+    """Run a worker in its own session; on timeout kill the whole process
+    group (stray grandchildren otherwise hold the output pipes open and
+    wedge the parent).  Output goes through temp files, not pipes."""
+    import signal
+    import tempfile
+
+    with tempfile.TemporaryFile(mode="w+") as fo, tempfile.TemporaryFile(mode="w+") as fe:
+        env = dict(os.environ, SRSRAN_TPU_STAGE_DEBUG="1")
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)] + args,
+            stdout=fo, stderr=fe, env=env, start_new_session=True, text=True,
+        )
+        try:
+            rc = proc.wait(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+            proc.wait()
+            rc = -9
+        fo.seek(0)
+        fe.seek(0)
+        return fo.read(), fe.read(), rc
+
+
 def main() -> None:
     if "--worker-ldpc" in sys.argv:
         worker_ldpc_only()
@@ -224,44 +251,19 @@ def main() -> None:
         if attempt:
             print(f"# retry {attempt} after {RECOVERY_SLEEP_S}s", file=sys.stderr, flush=True)
             time.sleep(RECOVERY_SLEEP_S)
-        try:
-            env = dict(os.environ, SRSRAN_TPU_STAGE_DEBUG="1")
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--worker"],
-                timeout=ATTEMPT_TIMEOUT_S,
-                capture_output=True,
-                text=True,
-                env=env,
-            )
-        except subprocess.TimeoutExpired as e:
-            serr = e.stderr if isinstance(e.stderr, str) else (e.stderr or b"").decode(errors="ignore")
-            sout = e.stdout if isinstance(e.stdout, str) else (e.stdout or b"").decode(errors="ignore")
-            sys.stderr.write(serr[-2000:])
-            results = [l for l in sout.splitlines() if l.startswith("RESULT ")]
-            if results:
-                print(results[-1][len("RESULT "):])
-                return
-            print(f"# attempt {attempt} timed out", file=sys.stderr, flush=True)
-            continue
-        sys.stderr.write(proc.stderr[-4000:])
-        results = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
+        sout, serr, rc = _run_worker(["--worker"], ATTEMPT_TIMEOUT_S)
+        sys.stderr.write(serr[-4000:])
+        results = [l for l in sout.splitlines() if l.startswith("RESULT ")]
         if results:
-            print(results[-1][len("RESULT "):])  # async upgrade supersedes
+            print(results[-1][len("RESULT "):])  # async/batched upgrade supersedes
             return
-        print(f"# attempt {attempt} failed rc={proc.returncode}", file=sys.stderr, flush=True)
+        print(f"# attempt {attempt} failed rc={rc}", file=sys.stderr, flush=True)
     # Full-slot attempts exhausted: fall back to the LDPC-codec-only metric.
     for attempt in range(3):
         time.sleep(RECOVERY_SLEEP_S)
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--worker-ldpc"],
-                timeout=600, capture_output=True, text=True,
-            )
-        except subprocess.TimeoutExpired:
-            print(f"# ldpc fallback attempt {attempt} timed out", file=sys.stderr, flush=True)
-            continue
-        sys.stderr.write(proc.stderr[-2000:])
-        for line in proc.stdout.splitlines():
+        sout, serr, rc = _run_worker(["--worker-ldpc"], 600)
+        sys.stderr.write(serr[-2000:])
+        for line in sout.splitlines():
             if line.startswith("RESULT "):
                 print(line[len("RESULT "):])
                 return
