@@ -87,10 +87,12 @@ def worker() -> None:
     enc_fn = lambda i: cell_mod.encode_slot(tb, jnp.uint32(0x4601 + i), w, cfg)
     dec_fn = lambda i: cell_mod.decode_slot(iq_rx, jnp.uint32(0x4601), cfg)["tb_bits"]
     # Guaranteed measurement first: per-stage sync (adds tunnel round trips
-    # per stage, so it UNDERSTATES throughput but always completes).
-    t_enc = bench(enc_fn, n, sync=True)
+    # per stage, so it UNDERSTATES throughput but always completes).  A few
+    # slots suffice for the guaranteed number; the async/batched passes
+    # refine it.
+    t_enc = bench(enc_fn, 5, sync=True)
     print(f"# encode {t_enc*1e3:.2f} ms/slot (stage-sync)", file=sys.stderr, flush=True)
-    t_dec = bench(dec_fn, n, sync=True)
+    t_dec = bench(dec_fn, 5, sync=True)
     print(f"# decode {t_dec*1e3:.2f} ms/slot (stage-sync)", file=sys.stderr, flush=True)
 
     slot_ops_per_s = 1.0 / t_enc + 1.0 / t_dec
