@@ -27,6 +27,16 @@ from .sch import SchConfig, decode_transport_block
 
 
 @dataclasses.dataclass(frozen=True)
+class UciOnPuschConfig:
+    """UCI multiplexed on PUSCH (TS 38.212 §6.3): payload sizes + betas."""
+
+    nof_harq_ack_bits: int = 0
+    nof_csi1_bits: int = 0
+    beta_harq_ack_index: int = 9
+    beta_csi_index: int = 9
+
+
+@dataclasses.dataclass(frozen=True)
 class PuschConfig:
     tbs: int
     target_code_rate: float
@@ -45,11 +55,42 @@ class PuschConfig:
     equalizer: str = "mmse"
     llr_range_limit: float = 20.0
     cfo_compensation: bool = False  # reference knob: du_low_config.h CFO comp
+    uci: UciOnPuschConfig | None = None
+
+    @functools.cached_property
+    def g_total(self) -> int:
+        qm = int(self.modulation) if self.modulation != Modulation.PI_2_BPSK else 1
+        return alloc_mod.nof_data_re(self.alloc) * qm * self.nof_layers
+
+    @functools.cached_property
+    def uci_mux(self):
+        """UlschMuxConfig when UCI is configured (G_ack/G_csi1 from betas)."""
+        if self.uci is None or (self.uci.nof_harq_ack_bits == 0 and self.uci.nof_csi1_bits == 0):
+            return None
+        from ..ran import ulsch_info
+        from . import ulsch_demux
+
+        qm = int(self.modulation) if self.modulation != Modulation.PI_2_BPSK else 1
+        sum_kr = self.tbs + 24
+        nof_re = alloc_mod.nof_data_re(self.alloc)
+        g_ack = ulsch_info.nof_harq_ack_bits(
+            self.uci.nof_harq_ack_bits, self.uci.beta_harq_ack_index, sum_kr,
+            nof_re, qm, self.nof_layers)
+        g_csi1 = ulsch_info.nof_csi1_bits(
+            self.uci.nof_csi1_bits, self.uci.beta_csi_index, sum_kr,
+            nof_re, qm, self.nof_layers, g_ack=g_ack)
+        return ulsch_demux.UlschMuxConfig(
+            alloc=self.alloc, qm=qm, nof_layers=self.nof_layers,
+            nof_grid_symbols=self.nof_grid_symbols, nof_grid_sc=self.nof_grid_sc,
+            g_ack=g_ack, g_csi1=g_csi1)
 
     @functools.cached_property
     def sch(self) -> SchConfig:
         qm = int(self.modulation) if self.modulation != Modulation.PI_2_BPSK else 1
-        g = alloc_mod.nof_data_re(self.alloc) * qm * self.nof_layers
+        g = self.g_total
+        mux = self.uci_mux
+        if mux is not None:
+            g -= mux.g_csi1  # data rate-matched around the reserved CSI bits
         return SchConfig(
             tbs=self.tbs,
             target_code_rate=self.target_code_rate,
@@ -167,6 +208,40 @@ def _demap_stage(x_hat: jax.Array, eq_nvar: jax.Array, rnti: jax.Array, cfg: Pus
     return scrambling.descramble_llrs(llr_i8, _pusch_c_init(rnti, cfg.n_id))
 
 
+def transmit(
+    tb_bits: jax.Array,
+    rnti: jax.Array,
+    cfg: PuschConfig,
+    ack_bits: jax.Array | None = None,
+    csi1_bits: jax.Array | None = None,
+    precoding: jax.Array | None = None,
+) -> jax.Array:
+    """UE-side PUSCH transmitter (for loopback tests / the UE emulator):
+    SCH encode + UCI multiplex + PUSCH scrambling + modulation + DM-RS.
+
+    Returns grid (nof_layers-as-ports, nsym, nsc)."""
+    from . import pdsch as pdsch_mod
+    from .sch import encode_transport_block
+
+    cw = encode_transport_block(tb_bits, cfg.sch)
+    mux = cfg.uci_mux
+    if mux is not None:
+        from . import ulsch_demux
+
+        cw = ulsch_demux.multiplex(cw, ack_bits, csi1_bits, mux)
+    scr = scrambling.scramble_bits(cw, _pusch_c_init(jnp.asarray(rnti), cfg.n_id))
+    if precoding is None:
+        precoding = jnp.eye(cfg.nof_layers, cfg.nof_rx_ports, dtype=jnp.complex64)
+    tx_cfg = pdsch_mod.PdschConfig(
+        tbs=cfg.tbs, target_code_rate=cfg.target_code_rate, modulation=cfg.modulation,
+        alloc=cfg.alloc, nof_layers=cfg.nof_layers, nof_ports=precoding.shape[-1],
+        nof_grid_symbols=cfg.nof_grid_symbols, nof_grid_sc=cfg.nof_grid_sc,
+        slot_in_frame=cfg.slot_in_frame, dmrs_scrambling_id=cfg.dmrs_scrambling_id,
+        n_scid=cfg.n_scid,
+    )
+    return pdsch_mod._grid_chain(scr, jnp.asarray(precoding, jnp.complex64), tx_cfg)
+
+
 def process(
     grid: jax.Array,
     rnti: jax.Array,
@@ -182,6 +257,19 @@ def process(
     separate compiled programs (see _front_end).
     """
     llr_i8, noise_var, snr_acc = _front_end(grid, jnp.asarray(rnti), cfg)
+    uci_out = {}
+    if cfg.uci_mux is not None:
+        from . import ulsch_demux
+
+        data_llrs, ack_llrs, csi_llrs = ulsch_demux.demultiplex(llr_i8, cfg.uci_mux)
+        parts = ulsch_demux.decode_uci_parts(
+            ack_llrs, csi_llrs, cfg.uci.nof_harq_ack_bits, cfg.uci.nof_csi1_bits
+        )
+        if "ack" in parts:
+            uci_out["harq_ack_bits"], uci_out["harq_ack_ok"] = parts["ack"]
+        if "csi1" in parts:
+            uci_out["csi1_bits"], uci_out["csi1_ok"] = parts["csi1"]
+        llr_i8 = data_llrs
     tb, ok, harq = decode_transport_block(
         llr_i8, cfg.sch, cfg.nof_ldpc_iterations, harq_buffer
     )
@@ -191,4 +279,5 @@ def process(
         "harq_buffer": harq,
         "noise_var": noise_var,
         "snr_db": 10.0 * jnp.log10(jnp.maximum(snr_acc, 1e-12)),
+        **uci_out,
     }

@@ -1,0 +1,58 @@
+"""UCI multiplexed on PUSCH through the full processor (transmit -> channel
+-> process): HARQ-ACK + CSI1 decode alongside the data TB."""
+
+import numpy as np
+import pytest
+
+from srsran_project_tpu.ops.modulation import Modulation
+from srsran_project_tpu.phy import pusch
+from srsran_project_tpu.phy.allocation import Allocation
+
+
+def _cfg(o_ack=2, o_csi=6):
+    alloc = Allocation(rb_start=0, rb_count=24, sym_start=0, sym_count=14, dmrs_symbols=(2, 11))
+    return pusch.PuschConfig(
+        tbs=2048, target_code_rate=0.3, modulation=Modulation.QAM16, alloc=alloc,
+        nof_layers=1, nof_rx_ports=1, nof_grid_sc=288,
+        uci=pusch.UciOnPuschConfig(nof_harq_ack_bits=o_ack, nof_csi1_bits=o_csi),
+    )
+
+
+def test_uci_on_pusch_end_to_end():
+    cfg = _cfg()
+    rng = np.random.default_rng(0)
+    tb = rng.integers(0, 2, size=(cfg.tbs,), dtype=np.uint8)
+    ack = np.asarray([1, 0], np.uint8)
+    csi = rng.integers(0, 2, size=(6,), dtype=np.uint8)
+    rnti = np.uint32(0xBEEF)
+    grid = pusch.transmit(tb, rnti, cfg, ack_bits=ack, csi1_bits=csi)
+    noisy = np.asarray(grid) * 0.9 + (
+        rng.standard_normal(grid.shape) + 1j * rng.standard_normal(grid.shape)
+    ).astype(np.complex64) * 0.02
+    out = pusch.process(noisy.astype(np.complex64), rnti, cfg)
+    assert bool(np.asarray(out["tb_crc_ok"]))
+    np.testing.assert_array_equal(np.asarray(out["tb_bits"]), tb)
+    np.testing.assert_array_equal(np.asarray(out["harq_ack_bits"]), ack)
+    np.testing.assert_array_equal(np.asarray(out["csi1_bits"]), csi)
+
+
+def test_uci_sizes_follow_betas():
+    small = _cfg().uci_mux
+    big = pusch.PuschConfig(
+        tbs=2048, target_code_rate=0.3, modulation=Modulation.QAM16,
+        alloc=_cfg().alloc, nof_grid_sc=288,
+        uci=pusch.UciOnPuschConfig(nof_harq_ack_bits=2, nof_csi1_bits=6,
+                                   beta_harq_ack_index=13, beta_csi_index=13),
+    ).uci_mux
+    assert big.g_ack > small.g_ack
+    assert big.g_csi1 > small.g_csi1
+    # Data G shrinks by exactly the reserved CSI bits.
+    assert _cfg().sch.nof_total_bits == _cfg().g_total - small.g_csi1
+
+
+def test_no_uci_is_plain_pusch():
+    cfg = pusch.PuschConfig(
+        tbs=2048, target_code_rate=0.3, modulation=Modulation.QAM16,
+        alloc=_cfg().alloc, nof_grid_sc=288)
+    assert cfg.uci_mux is None
+    assert cfg.sch.nof_total_bits == cfg.g_total
