@@ -55,6 +55,7 @@ class PuschConfig:
     equalizer: str = "mmse"
     llr_range_limit: float = 20.0
     cfo_compensation: bool = False  # reference knob: du_low_config.h CFO comp
+    ldpc_early_stop: bool = False  # CRC-gated two-phase decode (see sch.py)
     uci: UciOnPuschConfig | None = None
 
     @functools.cached_property
@@ -271,7 +272,8 @@ def process(
             uci_out["csi1_bits"], uci_out["csi1_ok"] = parts["csi1"]
         llr_i8 = data_llrs
     tb, ok, harq = decode_transport_block(
-        llr_i8, cfg.sch, cfg.nof_ldpc_iterations, harq_buffer
+        llr_i8, cfg.sch, cfg.nof_ldpc_iterations, harq_buffer,
+        early_stop=cfg.ldpc_early_stop,
     )
     return {
         "tb_bits": tb,

@@ -21,6 +21,7 @@ from ..ops.ldpc import decoder_pallas as ldpc_decoder_pallas
 from ..ops.ldpc import encoder as ldpc_encoder
 from ..ops.ldpc import rate_match as rm
 from ..ops.ldpc import segmenter
+from ..ops import crc as crc_mod
 from ..support.staging import checkpoint
 
 
@@ -101,6 +102,7 @@ def decode_transport_block(
     cfg: SchConfig,
     nof_iterations: int = 6,
     harq_buffer: jax.Array | None = None,
+    early_stop: bool = False,
 ):
     """Codeword LLRs (..., G) int8 -> (tb_bits (..., A), tb_crc_ok (...,),
     new_harq_buffer (..., C, N)).
@@ -127,14 +129,31 @@ def decode_transport_block(
     new_harq = buf
 
     flat = buf.reshape((-1,) + buf.shape[-1:])
-    if _use_pallas_decoder():
-        bits, _ = ldpc_decoder_pallas.decode_pallas(
-            flat.astype(jnp.float32), seg.base_graph, seg.lifting_size, nof_iterations
+
+    def run_decode(llr_in, iters):
+        if _use_pallas_decoder():
+            return ldpc_decoder_pallas.decode_pallas(
+                llr_in, seg.base_graph, seg.lifting_size, iters
+            )[0]
+        return ldpc_decoder.decode(llr_in, seg.base_graph, seg.lifting_size, iters)[0]
+
+    llr_f = flat.astype(jnp.float32)
+    if early_stop and nof_iterations > 2:
+        # CRC-gated two-phase decode (the reference's per-iteration CRC
+        # early stop, adapted to static shapes): try 2 iterations; only if
+        # any codeblock's CRC still fails run the full budget.  At
+        # operating SNR most slots take the short path.  NOTE: under vmap
+        # the cond lowers to a select (both phases run) — leave disabled
+        # for batched-throughput paths.
+        bits2 = run_decode(llr_f, 2)
+        k_prime = seg.nof_payload_bits_per_cb
+        crc_name = "24B" if seg.nof_codeblocks > 1 else seg.tb_crc
+        nof_bad = crc_mod.crc(bits2[..., :k_prime], crc_name).astype(jnp.int32).sum()
+        bits = jax.lax.cond(
+            nof_bad == 0, lambda: bits2, lambda: run_decode(llr_f, nof_iterations)
         )
     else:
-        bits, _ = ldpc_decoder.decode(
-            flat.astype(jnp.float32), seg.base_graph, seg.lifting_size, nof_iterations
-        )
+        bits = run_decode(llr_f, nof_iterations)
     checkpoint(bits)
     bits = bits.reshape(buf.shape[:-1] + (bits.shape[-1],))  # (..., C, K)
     tb, ok = segmenter.desegment_rx(bits, seg)

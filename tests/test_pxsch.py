@@ -92,3 +92,15 @@ def test_multi_codeblock_tb():
     tb, out = _run(tx, rx, noise=0.01, seed=4)
     assert bool(np.asarray(out["tb_crc_ok"]))
     np.testing.assert_array_equal(np.asarray(out["tb_bits"]), tb)
+
+
+def test_ldpc_early_stop_path():
+    # Early-stop enabled: clean channel decodes via the 2-iteration phase;
+    # results identical to the full-budget path.
+    tx, rx = _mk_cfgs(tbs=2048, rate=0.4, mod=Modulation.QAM16)
+    import dataclasses
+
+    rx_es = dataclasses.replace(rx, ldpc_early_stop=True)
+    tb, out = _run(tx, rx_es, noise=0.01, seed=11)
+    assert bool(np.asarray(out["tb_crc_ok"]))
+    np.testing.assert_array_equal(np.asarray(out["tb_bits"]), tb)
