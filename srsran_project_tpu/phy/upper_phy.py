@@ -159,6 +159,14 @@ class UpperPhy:
                 )
             out = pusch_mod.process(pdu_grid, jnp.uint32(pdu.rnti), pdu.config, harq_buffer=harq)
             ok = bool(np.asarray(out["tb_crc_ok"]))
+            if "harq_ack_bits" in out:
+                res.uci.append(fapi.UciIndicationPdu(
+                    pdu.rnti, np.asarray(out["harq_ack_bits"]),
+                    bool(np.asarray(out["harq_ack_ok"])), 0.0))
+            if "csi1_bits" in out:
+                res.uci.append(fapi.UciIndicationPdu(
+                    pdu.rnti, np.asarray(out["csi1_bits"]),
+                    bool(np.asarray(out["csi1_ok"])), 0.0))
             res.crc.append(fapi.CrcIndicationPdu(pdu.rnti, pdu.harq_id, ok))
             if ok:
                 res.rx_data.append(

@@ -56,3 +56,26 @@ def test_no_uci_is_plain_pusch():
         alloc=_cfg().alloc, nof_grid_sc=288)
     assert cfg.uci_mux is None
     assert cfg.sch.nof_total_bits == cfg.g_total
+
+
+def test_uci_on_pusch_via_upper_phy():
+    from srsran_project_tpu.fapi import messages as fapi
+    from srsran_project_tpu.phy.upper_phy import UpperPhy, UpperPhyConfig
+    from srsran_project_tpu.ran.constants import SubcarrierSpacing
+    from srsran_project_tpu.ran.slot_point import SlotPoint
+
+    cfg = _cfg()
+    rng = np.random.default_rng(1)
+    tb = rng.integers(0, 2, size=(cfg.tbs,), dtype=np.uint8)
+    ack = np.asarray([0, 1], np.uint8)
+    csi = rng.integers(0, 2, size=(6,), dtype=np.uint8)
+    rnti = np.uint32(0x777)
+    grid = np.asarray(pusch.transmit(tb, rnti, cfg, ack_bits=ack, csi1_bits=csi))[None][0]
+    phy = UpperPhy(UpperPhyConfig(nof_ports=1, nof_grid_sc=288))
+    slot = SlotPoint.from_sfn_slot(SubcarrierSpacing.KHZ30, 0, 0)
+    req = fapi.UlTtiRequest(slot=slot, pusch=[fapi.UlPuschPdu(cfg, 0x777)])
+    res = phy.process_ul_tti(req, grid + 1e-3)
+    assert res.crc[0].tb_crc_ok
+    kinds = {tuple(u.uci_bits.tolist()) for u in res.uci}
+    assert tuple(ack.tolist()) in kinds
+    assert tuple(csi.tolist()) in kinds
