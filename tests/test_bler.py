@@ -68,3 +68,16 @@ def test_bler_2x2_tdla():
     )
     bler = _run_bler(tx, rx, ch, nof_slots=10, seed=1)
     assert bler <= 0.3, bler
+
+
+@pytest.mark.parametrize("profile,snr_db,max_bler", [
+    ("tdlb", 15.0, 0.25),
+    ("tdlc", 18.0, 0.25),
+])
+def test_bler_operating_points(profile, snr_db, max_bler):
+    """Asserted SNR operating points per TDL profile (the reference's
+    pxsch_bler_test shape: BLER bounds at fixed SNR)."""
+    tx, rx = _cfgs(mod=Modulation.QAM16, rate=0.4)
+    ch = chem.ChannelConfig(profile=profile, sinr_db=snr_db, nof_sc=tx.nof_grid_sc)
+    bler = _run_bler(tx, rx, ch, nof_slots=12, seed=hash(profile) % 1000)
+    assert bler <= max_bler, f"{profile}@{snr_db}dB: BLER {bler}"
