@@ -41,6 +41,12 @@ class PdschConfig:
     slot_in_frame: int = 0
     dmrs_scrambling_id: int = 0
     n_scid: int = 0
+    # PT-RS: one RE every ptrs_k PRBs on every non-DM-RS allocated symbol
+    # (punctures data; the receiver erases those LLRs and uses the pilots
+    # for common-phase-error tracking).
+    ptrs_enabled: bool = False
+    ptrs_k: int = 2  # K_PTRS
+    ptrs_re_offset: int = 0
 
     @functools.cached_property
     def sch(self) -> SchConfig:
@@ -108,9 +114,41 @@ def _grid_chain(cw: jax.Array, precoding: jax.Array, cfg: PdschConfig) -> jax.Ar
         vals = r * jnp.asarray(wf, dtype=jnp.complex64)
         grid_l = grid_l.at[layer, jnp.asarray(idx)].set(vals)
 
+    if cfg.ptrs_enabled:
+        # Overwrite PT-RS REs on layer 0 (v1: single PT-RS port) with the
+        # DM-RS-derived pilot sequence on every data symbol.
+        idx_p, vals_p, _ = ptrs_layout(cfg)
+        grid_l = grid_l.at[0, jnp.asarray(idx_p)].set(jnp.asarray(vals_p))
+
     grid_l = grid_l.reshape(nl, cfg.nof_grid_symbols, cfg.nof_grid_sc)
     w = precoding.astype(jnp.complex64)
     return jnp.einsum("lp,lsk->psk", w, grid_l)
+
+
+@functools.lru_cache(maxsize=None)
+def ptrs_layout(cfg: PdschConfig):
+    """(flat grid indices, pilot values, symbol index per RE) for the PT-RS
+    REs of this PDU (pilots reuse the DM-RS sequence of each symbol)."""
+    a = cfg.alloc
+    prbs = list(range(a.rb_start, a.rb_start + a.rb_count, cfg.ptrs_k))
+    data_syms = [s for s in range(a.sym_start, a.sym_start + a.sym_count)
+                 if s not in a.dmrs_symbols]
+    idx, vals, syms = [], [], []
+    for sym in data_syms:
+        c_init = dmrs_mod.dmrs_c_init(cfg.slot_in_frame, sym, cfg.dmrs_scrambling_id, cfg.n_scid)
+        nseq = (a.rb_start + a.rb_count) * 6
+        # Host-side LFSR (this helper is lru_cached and also runs inside jit
+        # traces, where calling the jitted gold_sequence is not allowed).
+        c = scrambling.gold_ref(c_init, 2 * nseq)
+        re_p = 1.0 - 2.0 * c[0::2].astype(np.float32)
+        im_p = 1.0 - 2.0 * c[1::2].astype(np.float32)
+        r = (re_p + 1j * im_p) / np.sqrt(2)
+        for prb in prbs:
+            idx.append(sym * cfg.nof_grid_sc + prb * 12 + cfg.ptrs_re_offset)
+            vals.append(r[prb * 6 + cfg.ptrs_re_offset // 2])
+            syms.append(sym)
+    return (np.asarray(idx, np.int32), np.asarray(vals, np.complex64),
+            np.asarray(syms, np.int32))
 
 
 def process(tb_bits: jax.Array, rnti: jax.Array, precoding: jax.Array, cfg: PdschConfig) -> jax.Array:

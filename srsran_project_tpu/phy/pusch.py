@@ -57,6 +57,10 @@ class PuschConfig:
     cfo_compensation: bool = False  # reference knob: du_low_config.h CFO comp
     ldpc_early_stop: bool = False  # CRC-gated two-phase decode (see sch.py)
     uci: UciOnPuschConfig | None = None
+    # PT-RS common-phase-error tracking (pairs with PdschConfig.ptrs_*).
+    ptrs_enabled: bool = False
+    ptrs_k: int = 2
+    ptrs_re_offset: int = 0
 
     @functools.cached_property
     def g_total(self) -> int:
@@ -173,11 +177,65 @@ def _front_end(grid: jax.Array, rnti: jax.Array, cfg: PuschConfig):
         h, nvar_acc, snr_acc, _ = estimate_all(gflat)
     noise_var = nvar_acc
 
+    if cfg.ptrs_enabled:
+        # PT-RS common-phase-error tracking: per data symbol, the rotation
+        # between the received PT-RS REs and (pilot x channel estimate)
+        # derotates the whole symbol (reference PT-RS purpose).
+        from . import pdsch as pdsch_mod
+
+        tx_twin = pdsch_mod.PdschConfig(
+            tbs=cfg.tbs, target_code_rate=cfg.target_code_rate, modulation=cfg.modulation,
+            alloc=a, nof_layers=nl, nof_grid_symbols=cfg.nof_grid_symbols,
+            nof_grid_sc=cfg.nof_grid_sc, slot_in_frame=cfg.slot_in_frame,
+            dmrs_scrambling_id=cfg.dmrs_scrambling_id, n_scid=cfg.n_scid,
+            ptrs_enabled=True, ptrs_k=cfg.ptrs_k, ptrs_re_offset=cfg.ptrs_re_offset,
+        )
+        p_idx, p_vals, p_syms = pdsch_mod.ptrs_layout(tx_twin)
+        sc_of_p = (p_idx % cfg.nof_grid_sc) - a.sc_start
+        y_p = gflat[:, jnp.asarray(p_idx)]  # (npr, Nptrs)
+        expect = jnp.asarray(p_vals)[None, :] * h[:, jnp.asarray(sc_of_p), 0]
+        corr_per_re = (y_p * jnp.conj(expect)).sum(axis=0)  # (Nptrs,)
+        # Average per symbol (static segment boundaries).
+        nsym = cfg.nof_grid_symbols
+        sym_onehot = jnp.asarray((p_syms[None, :] == np.arange(nsym)[:, None]).astype(np.complex64))
+        per_sym = sym_onehot @ corr_per_re  # (nsym,)
+        phase = jnp.where(jnp.abs(per_sym) > 0, per_sym / jnp.maximum(jnp.abs(per_sym), 1e-12), 1.0)
+        gflat = (grid * jnp.conj(phase)[None, :, None]).reshape(npr, -1)
+
     x_hat, eq_nvar = checkpoint(_equalize_stage(gflat, h, noise_var, cfg))
     llr_i8 = checkpoint(
         _demap_stage(x_hat, eq_nvar, jnp.asarray(rnti), cfg)
     )
+    if cfg.ptrs_enabled:
+        # Erase LLRs of the punctured PT-RS positions.
+        llr_i8 = llr_i8.at[jnp.asarray(_ptrs_bit_positions(cfg))].set(0)
     return llr_i8, noise_var, snr_acc
+
+
+@functools.lru_cache(maxsize=None)
+def _ptrs_bit_positions(cfg: PuschConfig) -> np.ndarray:
+    """Bit indices in the G stream that the PT-RS punctures."""
+    from . import pdsch as pdsch_mod
+
+    a = cfg.alloc
+    tx_twin = pdsch_mod.PdschConfig(
+        tbs=cfg.tbs, target_code_rate=cfg.target_code_rate, modulation=cfg.modulation,
+        alloc=a, nof_layers=cfg.nof_layers, nof_grid_symbols=cfg.nof_grid_symbols,
+        nof_grid_sc=cfg.nof_grid_sc, slot_in_frame=cfg.slot_in_frame,
+        dmrs_scrambling_id=cfg.dmrs_scrambling_id, n_scid=cfg.n_scid,
+        ptrs_enabled=True, ptrs_k=cfg.ptrs_k, ptrs_re_offset=cfg.ptrs_re_offset,
+    )
+    p_idx, _, _ = pdsch_mod.ptrs_layout(tx_twin)
+    didx = alloc_mod.data_re_indices(a, cfg.nof_grid_symbols, cfg.nof_grid_sc)
+    pos_of = {int(g): i for i, g in enumerate(didx)}
+    qm = int(cfg.modulation) if cfg.modulation != Modulation.PI_2_BPSK else 1
+    bits_per_re = qm * cfg.nof_layers
+    out = []
+    for g in p_idx:
+        i = pos_of.get(int(g))
+        if i is not None:
+            out.extend(range(i * bits_per_re, (i + 1) * bits_per_re))
+    return np.asarray(sorted(out), np.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
