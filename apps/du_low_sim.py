@@ -34,6 +34,10 @@ def main() -> int:
     ap.add_argument("--snr-db", type=float, default=25.0)
     ap.add_argument("--channel", default="tdla", choices=["single", "tdla", "tdlb", "tdlc"])
     ap.add_argument("--trace", default=None, help="write Chrome trace JSON here")
+    ap.add_argument("--ues", type=int, default=0,
+                    help="multi-UE scheduler mode: number of UEs (0 = single full-band UE)")
+    ap.add_argument("--tdd", action="store_true", help="7D1S2U TDD pattern (scheduler mode)")
+    ap.add_argument("--policy", default="rr", choices=["rr", "qos"])
     ap.add_argument("--metrics-json", action="store_true", help="print metrics JSON line")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--dump-config", action="store_true")
@@ -102,6 +106,66 @@ def main() -> int:
         with tracing.l1_tracer.span(f"ul_slot_{i}"):
             res = phy.process_ul_tti(ul, rx_grid)
         return res.crc[0].tb_crc_ok
+
+    if args.ues > 0:
+        # Scheduler-driven multi-UE mode: RR/QoS policy + HARQ lifecycle.
+        from srsran_project_tpu.l2sim.scheduler import RoundRobinScheduler, SchedulerConfig
+        from srsran_project_tpu.ran.tdd import PATTERN_7D2U
+
+        sc = SchedulerConfig(nof_grid_sc=cell.nof_sc, nof_rb=cell.nof_rb,
+                             max_ues_per_slot=min(args.ues, 4),
+                             nof_layers=1, nof_ports=cell.nof_ports,
+                             tdd_pattern=PATTERN_7D2U if args.tdd else None,
+                             policy=args.policy)
+        sched = RoundRobinScheduler(sc)
+        for i in range(args.ues):
+            sched.add_ue(0x100 + i, mcs=10)
+        t_start = time.monotonic()
+        nof_grants = 0
+        with staging.sync_stages():
+            first = True
+            for i in range(args.slots):
+                slot = SlotPoint.from_sfn_slot(SubcarrierSpacing(cell.scs), i // 20, i % 20)
+                dl, txd, ulr, grants = sched.run_slot(slot, rng)
+                rx_grid = None
+                if dl.pdsch:
+                    grid = phy.process_dl_tti(dl, txd)
+                    key, sub = jax.random.split(key)
+                    rx_grid, _, _ = chem.apply_channel(grid, sub, ch_cfg)
+                if ulr.pusch:
+                    if rx_grid is None:
+                        # TDD UL-only slot: synthesize the UE transmissions
+                        # (no DL loopback grid to reuse).
+                        import jax.numpy as jnp
+                        tx = jnp.zeros((cell.nof_ports, 14, cell.nof_sc),
+                                       dtype=jnp.complex64)
+                        for pdu in ulr.pusch:
+                            tb = sched.ues[pdu.rnti].harqs[pdu.harq_id].tb
+                            sub_g = pusch_mod.transmit(
+                                jnp.asarray(tb), np.uint32(pdu.rnti), pdu.config)
+                            off = (pdu.first_rb or 0) * 12
+                            tx = tx.at[:, :, off:off + sub_g.shape[2]].add(sub_g)
+                        key, sub = jax.random.split(key)
+                        rx_grid, _, _ = chem.apply_channel(tx, sub, ch_cfg)
+                    res = phy.process_ul_tti(ulr, rx_grid)
+                    sched.handle_results(res)
+                    crc_ok += sum(c.tb_crc_ok for c in res.crc)
+                    nof_grants += len(res.crc)
+                if first:
+                    first = False
+                    staging._SYNC = False  # steady state after first slot
+        elapsed = time.monotonic() - t_start
+        rep = sched.report()
+        tput = sum(v["ul_bits_ok"] for v in rep.values()) / elapsed / 1e6
+        print(f"# scheduler mode: {args.ues} UEs, {nof_grants} grants, "
+              f"{crc_ok} CRC OK, {tput:.1f} Mbps UL", file=sys.stderr)
+        bler = 1.0 - crc_ok / max(nof_grants, 1)
+        print(f"# {args.slots} slots in {elapsed:.2f}s, BLER={bler:.3f}", file=sys.stderr)
+        if args.metrics_json:
+            print(collector.report_json())
+        if args.trace:
+            tracing.l1_tracer.write(args.trace)
+        return 0 if bler < 1.0 else 1
 
     t_start = time.monotonic()
     with staging.sync_stages():  # first slot compiles sequentially

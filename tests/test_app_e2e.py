@@ -24,6 +24,23 @@ def test_du_low_sim_runs():
     assert data["traceEvents"]
 
 
+def test_du_low_sim_scheduler_mode():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "apps", "du_low_sim.py"),
+         "--cpu", "--slots", "6", "--ues", "2", "--policy", "qos",
+         "--snr-db", "25",
+         "--set", "cell.nof_rb=24", "--set", "cell.nof_ports=1",
+         "--set", "cell.nof_layers=1", "--set", "cell.modulation=qpsk",
+         "--set", "cell.target_code_rate=0.3"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "scheduler mode: 2 UEs" in proc.stderr
+    assert "BLER=0.000" in proc.stderr
+
+
 def test_du_low_sim_dump_config():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ, JAX_PLATFORMS="cpu")
