@@ -38,6 +38,8 @@ def main() -> int:
                     help="multi-UE scheduler mode: number of UEs (0 = single full-band UE)")
     ap.add_argument("--tdd", action="store_true", help="7D1S2U TDD pattern (scheduler mode)")
     ap.add_argument("--policy", default="rr", choices=["rr", "qos"])
+    ap.add_argument("--pcap", default=None,
+                    help="write MAC-NR pcap of scheduler-mode TBs here")
     ap.add_argument("--metrics-json", action="store_true", help="print metrics JSON line")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--dump-config", action="store_true")
@@ -120,6 +122,11 @@ def main() -> int:
         sched = RoundRobinScheduler(sc)
         for i in range(args.ues):
             sched.add_ue(0x100 + i, mcs=10)
+        pcap_w = None
+        if args.pcap:
+            from srsran_project_tpu.support.pcap import (
+                DIRECTION_DOWNLINK, MacNrPcapWriter)
+            pcap_w = MacNrPcapWriter(args.pcap)
         t_start = time.monotonic()
         nof_grants = 0
         with staging.sync_stages():
@@ -129,6 +136,13 @@ def main() -> int:
                 dl, txd, ulr, grants = sched.run_slot(slot, rng)
                 rx_grid = None
                 if dl.pdsch:
+                    if pcap_w is not None:
+                        from srsran_project_tpu.support.pcap import DIRECTION_DOWNLINK
+                        for pdu, tb in zip(dl.pdsch, txd.payloads):
+                            pcap_w.write_pdu(np.packbits(tb).tobytes(),
+                                             rnti=pdu.rnti,
+                                             direction=DIRECTION_DOWNLINK,
+                                             sfn=slot.sfn, slot=slot.slot_in_frame)
                     grid = phy.process_dl_tti(dl, txd)
                     key, sub = jax.random.split(key)
                     rx_grid, _, _ = chem.apply_channel(grid, sub, ch_cfg)
@@ -155,6 +169,10 @@ def main() -> int:
                     first = False
                     staging._SYNC = False  # steady state after first slot
         elapsed = time.monotonic() - t_start
+        if pcap_w is not None:
+            pcap_w.close()
+            print(f"# pcap: {pcap_w.nof_packets} MAC PDUs -> {args.pcap}",
+                  file=sys.stderr)
         rep = sched.report()
         tput = sum(v["ul_bits_ok"] for v in rep.values()) / elapsed / 1e6
         print(f"# scheduler mode: {args.ues} UEs, {nof_grants} grants, "
