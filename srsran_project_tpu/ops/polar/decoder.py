@@ -33,21 +33,49 @@ def _g(a: jax.Array, b: jax.Array, u_left: jax.Array) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("code",))
 def decode(llrs: jax.Array, code: code_mod.PolarCode) -> jax.Array:
-    """(..., N) LLRs (positive = bit 0) -> (..., K) message bits."""
+    """(..., N) LLRs (positive = bit 0) -> (..., K) message bits.
+
+    When the code carries PC bits (UCI 12<=A<=19), subtrees containing a PC
+    position are expanded to leaves and the PC decision is forced to the
+    XOR of the previously-decoded message bits in the same mod-5 residue
+    class — the closed form of the spec's 5-bit cyclic register, tracked
+    here as five batched accumulator bits (dynamically-frozen SC)."""
     nval = code.nval
     assert llrs.shape[-1] == nval
     frozen = np.ones(nval, dtype=bool)
     frozen[np.asarray(code.info_set)] = False
+    pc = frozenset(code.pc_set)
     u_parts: dict[int, jax.Array] = {}
     batch = llrs.shape[:-1]
+    # acc[r] = XOR of decoded message bits at positions p = r (mod 5) so far.
+    acc = [jnp.zeros(batch, jnp.uint8) for _ in range(5)] if pc else None
 
     def rec(llr: jax.Array, lo: int, size: int) -> jax.Array:
         node_frozen = frozen[lo : lo + size]
-        if node_frozen.all():
+        has_pc = any(q in pc for q in range(lo, lo + size)) if pc else False
+        if node_frozen.all() and not has_pc:
             return jnp.zeros(batch + (size,), jnp.uint8)
-        if not node_frozen.any():
+        if size == 1:
+            if lo in pc:
+                u = acc[lo % 5][..., None]
+            elif node_frozen[0]:
+                u = jnp.zeros(batch + (1,), jnp.uint8)
+            else:
+                u = (llr < 0).astype(jnp.uint8)
+                if acc is not None:
+                    acc[lo % 5] = acc[lo % 5] ^ u[..., 0]
+            u_parts[lo] = u
+            return u
+        if not node_frozen.any() and not has_pc:
             x = (llr < 0).astype(jnp.uint8)
-            u_parts[lo] = polar_transform(x) if size > 1 else x
+            u = polar_transform(x)
+            u_parts[lo] = u
+            if acc is not None:
+                for r in range(5):
+                    js = [j for j in range(size) if (lo + j) % 5 == r]
+                    if js:
+                        contrib = u[..., jnp.asarray(js, np.int32)]
+                        acc[r] = acc[r] ^ (jnp.sum(contrib, axis=-1) & 1)
             return x
         half = size // 2
         a, b = llr[..., :half], llr[..., half:]

@@ -48,6 +48,11 @@ def encode(
     u = u.at[..., jnp.asarray(np.asarray(code.info_set, dtype=np.int32))].set(
         msg.astype(jnp.uint8)
     )
+    if code.pc_set:
+        # PC bits are static GF(2) combinations of the message bits.
+        m = jnp.asarray(code_mod.pc_masks(code))
+        pc_vals = (msg.astype(jnp.uint8) @ m.T) & 1
+        u = u.at[..., jnp.asarray(np.asarray(code.pc_set, np.int32))].set(pc_vals)
     d = polar_transform(u)
     sel = jnp.asarray(code_mod.rate_match_indices(code))
     return d[..., sel]

@@ -32,6 +32,13 @@ def _crc_name(k: int) -> str | None:
 @functools.lru_cache(maxsize=None)
 def _uci_code(k: int, e: int) -> polar.PolarCode:
     crc_len = 6 if k <= 19 else 11
+    if k <= 19:
+        # 12 <= A <= 19: 3 PC bits, one of minimal row weight when the
+        # rate-matched budget is large (TS 38.212 §6.3.1.3.1 / §5.3.1.2).
+        n_pc = 3
+        n_pc_wm = 1 if e - (k + crc_len) + 3 > 192 else 0
+        return polar.construct(k + crc_len, e, n_max=10, n_pc=n_pc,
+                               n_pc_wm=n_pc_wm)
     return polar.construct(k + crc_len, e, n_max=10)
 
 

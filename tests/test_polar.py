@@ -108,3 +108,83 @@ def test_channel_interleaver_is_permutation():
     for e in (18, 54, 216, 500):
         perm = code_mod.channel_interleaver_pattern(e)
         assert sorted(perm.tolist()) == list(range(e))
+
+
+# ---------------------------------------------------------------------------
+# Parity-check bits (TS 38.212 §5.3.1.2, UCI 12<=A<=19)
+
+def _u_oracle_with_pc(msg, code):
+    """Bit-exact spec procedure: 5-bit cyclic register over u_0..u_{N-1}."""
+    u = np.zeros(code.nval, dtype=np.uint8)
+    y = [0] * 5
+    info = set(code.info_set)
+    pc = set(code.pc_set)
+    it = iter(msg)
+    for i in range(code.nval):
+        y = y[1:] + y[:1]  # left cyclic shift
+        if i in pc:
+            u[i] = y[0]
+        elif i in info:
+            u[i] = next(it)
+            y[0] ^= int(u[i])
+    return u
+
+
+@pytest.mark.parametrize("k,e,n_pc_wm", [(18, 96, 0), (21, 240, 1), (25, 120, 0)])
+def test_pc_construction_and_encoder_match_spec_register(k, e, n_pc_wm):
+    code = construct(k, e, n_max=10, n_pc=3, n_pc_wm=n_pc_wm)
+    assert len(code.pc_set) == 3
+    assert len(code.info_set) == k
+    assert not set(code.pc_set) & set(code.info_set)
+    rng = np.random.default_rng(7)
+    msg = rng.integers(0, 2, size=(k,), dtype=np.uint8)
+    u_ref = _u_oracle_with_pc(msg, code)
+    d_ref = u_ref.copy()
+    # reference butterfly
+    d_ref = np.asarray(polar_transform(d_ref[None]))[0]
+    sel = code_mod.rate_match_indices(code)
+    np.testing.assert_array_equal(np.asarray(encode(msg[None], code))[0], d_ref[sel])
+
+
+def test_pc_wm_position_has_min_row_weight():
+    code = construct(21, 240, n_max=10, n_pc=3, n_pc_wm=1)
+    wm = code.pc_set_wm_check if hasattr(code, "pc_set_wm_check") else None
+    # The wm position is the one not among the two least-reliable picks:
+    rel = tables.reliability_sequence(code.n).tolist()
+    order = {pos: i for i, pos in enumerate(rel)}
+    by_rel = sorted(code.pc_set, key=lambda p: order[p])
+    wm_pos = by_rel[-1]
+    w = lambda i: 1 << bin(i).count("1")
+    others = set(code.info_set) | {p for p in code.pc_set if p != wm_pos}
+    assert all(w(wm_pos) <= w(i) for i in others if order[i] > order[by_rel[0]])
+
+
+@pytest.mark.parametrize("k", [18, 20, 25])
+def test_pc_decode_roundtrip(k):
+    e = 150
+    code = construct(k, e, n_max=10, n_pc=3, n_pc_wm=0)
+    rng = np.random.default_rng(k)
+    msg = rng.integers(0, 2, size=(4, k), dtype=np.uint8)
+    tx = np.asarray(encode(msg, code))
+    x = 1.0 - 2.0 * tx.astype(np.float32)
+    sigma = 10 ** (-6.0 / 20)
+    y = x + sigma * rng.standard_normal(x.shape).astype(np.float32)
+    llr_e = 2 * y / sigma**2
+    out = np.asarray(decode(np.asarray(rate_dematch_llrs(llr_e, code)), code))
+    np.testing.assert_array_equal(out, msg)
+
+
+def test_uci_pc_path_roundtrip():
+    from srsran_project_tpu.ops import uci as uci_mod
+
+    for a in (12, 15, 19):
+        e = 200
+        code = uci_mod._uci_code(a, e)
+        assert len(code.pc_set) == 3
+        rng = np.random.default_rng(a)
+        bits = rng.integers(0, 2, size=(a,), dtype=np.uint8)
+        coded = np.asarray(uci_mod.encode_uci(bits, e)).astype(np.float32)
+        llrs = (1.0 - 2.0 * coded) * 8.0
+        out, ok = uci_mod.decode_uci(llrs, a)
+        assert bool(np.asarray(ok))
+        np.testing.assert_array_equal(np.asarray(out), bits)
