@@ -84,10 +84,18 @@ class PuschConfig:
         g_csi1 = ulsch_info.nof_csi1_bits(
             self.uci.nof_csi1_bits, self.uci.beta_csi_index, sum_kr,
             nof_re, qm, self.nof_layers, g_ack=g_ack)
+        # Reserved-ACK layout for 1-2 bit payloads: sized as if O_ack = 2
+        # (TS 38.212 6.2.7; data maps through, ACK punctures).
+        g_ack_rvd = 0
+        if 0 < self.uci.nof_harq_ack_bits <= 2:
+            g_ack_rvd = ulsch_info.nof_harq_ack_bits(
+                2, self.uci.beta_harq_ack_index, sum_kr,
+                nof_re, qm, self.nof_layers)
         return ulsch_demux.UlschMuxConfig(
             alloc=self.alloc, qm=qm, nof_layers=self.nof_layers,
             nof_grid_symbols=self.nof_grid_symbols, nof_grid_sc=self.nof_grid_sc,
-            g_ack=g_ack, g_csi1=g_csi1)
+            g_ack=g_ack, g_csi1=g_csi1,
+            nof_ack_bits=self.uci.nof_harq_ack_bits, g_ack_rvd=g_ack_rvd)
 
     @functools.cached_property
     def sch(self) -> SchConfig:
@@ -95,7 +103,7 @@ class PuschConfig:
         g = self.g_total
         mux = self.uci_mux
         if mux is not None:
-            g -= mux.g_csi1  # data rate-matched around the reserved CSI bits
+            g = mux.nof_data_bits  # rate-matched around CSI (+ large ACK)
         return SchConfig(
             tbs=self.tbs,
             target_code_rate=self.target_code_rate,

@@ -79,3 +79,35 @@ def test_uci_on_pusch_via_upper_phy():
     kinds = {tuple(u.uci_bits.tolist()) for u in res.uci}
     assert tuple(ack.tolist()) in kinds
     assert tuple(csi.tolist()) in kinds
+
+
+def test_uci_rate_matched_ack_end_to_end():
+    # 5-bit ACK payload: rate-matched (not punctured) per TS 38.212 6.2.7.
+    cfg = _cfg(o_ack=5, o_csi=7)
+    assert not cfg.uci_mux.ack_punctures
+    assert cfg.sch.nof_total_bits == (
+        cfg.g_total - cfg.uci_mux.g_ack - cfg.uci_mux.g_csi1)
+    rng = np.random.default_rng(5)
+    tb = rng.integers(0, 2, size=(cfg.tbs,), dtype=np.uint8)
+    ack = rng.integers(0, 2, size=(5,), dtype=np.uint8)
+    csi = rng.integers(0, 2, size=(7,), dtype=np.uint8)
+    rnti = np.uint32(0xBEEF)
+    grid = pusch.transmit(tb, rnti, cfg, ack_bits=ack, csi1_bits=csi)
+    noisy = np.asarray(grid) * 0.9 + (
+        rng.standard_normal(grid.shape) + 1j * rng.standard_normal(grid.shape)
+    ).astype(np.complex64) * 0.02
+    out = pusch.process(noisy.astype(np.complex64), rnti, cfg)
+    assert bool(np.asarray(out["tb_crc_ok"]))
+    np.testing.assert_array_equal(np.asarray(out["tb_bits"]), tb)
+    assert bool(np.asarray(out["harq_ack_ok"]))
+    np.testing.assert_array_equal(np.asarray(out["harq_ack_bits"]), ack)
+    np.testing.assert_array_equal(np.asarray(out["csi1_bits"]), csi)
+
+
+def test_reserved_ack_layout_in_processor():
+    # 1-2 bit ACK: reserved layout sized for 2 bits, data punctured only at
+    # the actual coded ACK positions.
+    cfg = _cfg(o_ack=1, o_csi=0)
+    mux = cfg.uci_mux
+    assert mux.ack_punctures and mux.g_ack_rvd >= mux.g_ack
+    assert cfg.sch.nof_total_bits == cfg.g_total  # data maps through
