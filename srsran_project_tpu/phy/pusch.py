@@ -32,8 +32,10 @@ class UciOnPuschConfig:
 
     nof_harq_ack_bits: int = 0
     nof_csi1_bits: int = 0
+    nof_csi2_bits: int = 0
     beta_harq_ack_index: int = 9
     beta_csi_index: int = 9
+    beta_csi2_index: int = 9
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,7 +72,9 @@ class PuschConfig:
     @functools.cached_property
     def uci_mux(self):
         """UlschMuxConfig when UCI is configured (G_ack/G_csi1 from betas)."""
-        if self.uci is None or (self.uci.nof_harq_ack_bits == 0 and self.uci.nof_csi1_bits == 0):
+        if self.uci is None or (self.uci.nof_harq_ack_bits == 0
+                                and self.uci.nof_csi1_bits == 0
+                                and self.uci.nof_csi2_bits == 0):
             return None
         from ..ran import ulsch_info
         from . import ulsch_demux
@@ -84,6 +88,9 @@ class PuschConfig:
         g_csi1 = ulsch_info.nof_csi1_bits(
             self.uci.nof_csi1_bits, self.uci.beta_csi_index, sum_kr,
             nof_re, qm, self.nof_layers, g_ack=g_ack)
+        g_csi2 = ulsch_info.nof_csi2_bits(
+            self.uci.nof_csi2_bits, self.uci.beta_csi2_index, sum_kr,
+            nof_re, qm, self.nof_layers, g_ack=g_ack, g_csi1=g_csi1)
         # Reserved-ACK layout for 1-2 bit payloads: sized as if O_ack = 2
         # (TS 38.212 6.2.7; data maps through, ACK punctures).
         g_ack_rvd = 0
@@ -94,7 +101,7 @@ class PuschConfig:
         return ulsch_demux.UlschMuxConfig(
             alloc=self.alloc, qm=qm, nof_layers=self.nof_layers,
             nof_grid_symbols=self.nof_grid_symbols, nof_grid_sc=self.nof_grid_sc,
-            g_ack=g_ack, g_csi1=g_csi1,
+            g_ack=g_ack, g_csi1=g_csi1, g_csi2=g_csi2,
             nof_ack_bits=self.uci.nof_harq_ack_bits, g_ack_rvd=g_ack_rvd)
 
     @functools.cached_property
@@ -281,6 +288,7 @@ def transmit(
     cfg: PuschConfig,
     ack_bits: jax.Array | None = None,
     csi1_bits: jax.Array | None = None,
+    csi2_bits: jax.Array | None = None,
     precoding: jax.Array | None = None,
 ) -> jax.Array:
     """UE-side PUSCH transmitter (for loopback tests / the UE emulator):
@@ -295,7 +303,7 @@ def transmit(
     if mux is not None:
         from . import ulsch_demux
 
-        cw = ulsch_demux.multiplex(cw, ack_bits, csi1_bits, mux)
+        cw = ulsch_demux.multiplex(cw, ack_bits, csi1_bits, mux, csi2_bits=csi2_bits)
     scr = scrambling.scramble_bits(cw, _pusch_c_init(jnp.asarray(rnti), cfg.n_id))
     if precoding is None:
         precoding = jnp.eye(cfg.nof_layers, cfg.nof_rx_ports, dtype=jnp.complex64)
@@ -328,14 +336,18 @@ def process(
     if cfg.uci_mux is not None:
         from . import ulsch_demux
 
-        data_llrs, ack_llrs, csi_llrs = ulsch_demux.demultiplex(llr_i8, cfg.uci_mux)
+        data_llrs, ack_llrs, csi_llrs, csi2_llrs = ulsch_demux.demultiplex(
+            llr_i8, cfg.uci_mux)
         parts = ulsch_demux.decode_uci_parts(
-            ack_llrs, csi_llrs, cfg.uci.nof_harq_ack_bits, cfg.uci.nof_csi1_bits
+            ack_llrs, csi_llrs, cfg.uci.nof_harq_ack_bits, cfg.uci.nof_csi1_bits,
+            csi2_llrs=csi2_llrs, nof_csi2_bits=cfg.uci.nof_csi2_bits,
         )
         if "ack" in parts:
             uci_out["harq_ack_bits"], uci_out["harq_ack_ok"] = parts["ack"]
         if "csi1" in parts:
             uci_out["csi1_bits"], uci_out["csi1_ok"] = parts["csi1"]
+        if "csi2" in parts:
+            uci_out["csi2_bits"], uci_out["csi2_ok"] = parts["csi2"]
         llr_i8 = data_llrs
     tb, ok, harq = decode_transport_block(
         llr_i8, cfg.sch, cfg.nof_ldpc_iterations, harq_buffer,

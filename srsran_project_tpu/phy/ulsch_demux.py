@@ -43,6 +43,7 @@ class UlschMuxConfig:
     nof_grid_sc: int
     g_ack: int = 0  # coded HARQ-ACK bits (0 = none)
     g_csi1: int = 0  # coded CSI part-1 bits (0 = none)
+    g_csi2: int = 0  # coded CSI part-2 bits (0 = none)
     nof_ack_bits: int = 0  # ACK payload size (selects puncture vs rate-match)
     g_ack_rvd: int = 0  # reserved-ACK layout bits (2-bit G); 0 -> use g_ack
 
@@ -58,7 +59,7 @@ class UlschMuxConfig:
     @property
     def nof_data_bits(self) -> int:
         """SCH bits carried: G minus CSI minus (rate-matched ACK)."""
-        g = self.g_total - self.g_csi1
+        g = self.g_total - self.g_csi1 - self.g_csi2
         if self.g_ack and not self.ack_punctures:
             g -= self.g_ack
         return g
@@ -109,6 +110,10 @@ def _layout(cfg: UlschMuxConfig):
     g_layout = (cfg.g_ack_rvd or cfg.g_ack) if punct else cfg.g_ack
     ack_layout_re = spread(g_layout, l1, set()) if g_layout else []
     csi_re = spread(cfg.g_csi1, l0, set(ack_layout_re)) if cfg.g_csi1 else []
+    # CSI part 2 maps from l0 around CSI1; unlike CSI1 it MAY occupy
+    # reserved-ACK REs in puncture mode (6.2.7) and is then punctured.
+    csi2_excl = set(csi_re) | (set() if punct else set(ack_layout_re))
+    csi2_re = spread(cfg.g_csi2, l0, csi2_excl) if cfg.g_csi2 else []
 
     def bits_of(res: list, limit: int) -> np.ndarray:
         if not res:
@@ -123,34 +128,41 @@ def _layout(cfg: UlschMuxConfig):
     data_mask = np.ones(len(didx), dtype=bool)
     if csi_re:
         data_mask[np.asarray(csi_re)] = False
+    if csi2_re:
+        data_mask[np.asarray(csi2_re)] = False
     if ack_layout_re and not punct:
         data_mask[np.asarray(ack_layout_re)] = False
     data_re = np.nonzero(data_mask)[0]
     data_idx = (data_re[:, None] * bpre + np.arange(bpre)[None, :]) \
         .reshape(-1).astype(np.int32)
     csi_pos = bits_of(csi_re, cfg.g_csi1)
-    return ack_pos, csi_pos, data_idx
+    csi2_pos = bits_of(csi2_re, cfg.g_csi2)
+    return ack_pos, csi_pos, csi2_pos, data_idx
 
 
 def _positions(cfg: UlschMuxConfig):
     """(ack_pos, csi_pos) bit indices — kept for tests/back-compat."""
-    ack_pos, csi_pos, _ = _layout(cfg)
+    ack_pos, csi_pos, _, _ = _layout(cfg)
     return ack_pos, csi_pos
 
 
 def multiplex(data_bits: jax.Array, ack_bits: jax.Array | None, csi1_bits: jax.Array | None,
-              cfg: UlschMuxConfig) -> jax.Array:
+              cfg: UlschMuxConfig, csi2_bits: jax.Array | None = None) -> jax.Array:
     """Build the transmitted G-bit stream.
 
-    data_bits: (nof_data_bits,) SCH bits; ack/csi1 are PAYLOAD bits
-    (encoded here with the UCI codec)."""
-    ack_pos, csi_pos, data_idx = _layout(cfg)
+    data_bits: (nof_data_bits,) SCH bits; ack/csi1/csi2 are PAYLOAD bits
+    (encoded here with the UCI codec).  ACK is placed last so it punctures
+    whatever occupies its reserved REs (data or CSI2)."""
+    ack_pos, csi_pos, csi2_pos, data_idx = _layout(cfg)
     g = cfg.g_total
     out = jnp.zeros((g,), jnp.uint8)
     out = out.at[jnp.asarray(data_idx)].set(data_bits.astype(jnp.uint8))
     if cfg.g_csi1:
         coded = uci_mod.encode_uci(csi1_bits, cfg.g_csi1)
         out = out.at[jnp.asarray(csi_pos)].set(coded.astype(jnp.uint8))
+    if cfg.g_csi2:
+        coded = uci_mod.encode_uci(csi2_bits, cfg.g_csi2)
+        out = out.at[jnp.asarray(csi2_pos)].set(coded.astype(jnp.uint8))
     if cfg.g_ack:
         coded = uci_mod.encode_uci(ack_bits, cfg.g_ack)
         out = out.at[jnp.asarray(ack_pos)].set(coded.astype(jnp.uint8))
@@ -162,17 +174,19 @@ def demultiplex(llrs: jax.Array, cfg: UlschMuxConfig):
 
     In puncture mode the actual ACK bit positions are erased (0) in the
     data stream; rate-matched ACK and CSI positions are removed entirely."""
-    ack_pos, csi_pos, data_idx = _layout(cfg)
+    ack_pos, csi_pos, csi2_pos, data_idx = _layout(cfg)
     ack_llrs = llrs[..., jnp.asarray(ack_pos)] if cfg.g_ack else None
     csi_llrs = llrs[..., jnp.asarray(csi_pos)] if cfg.g_csi1 else None
-    data = llrs
+    rest = llrs
     if cfg.g_ack and cfg.ack_punctures:
-        data = data.at[..., jnp.asarray(ack_pos)].set(0)
-    data = data[..., jnp.asarray(data_idx)]
-    return data, ack_llrs, csi_llrs
+        rest = rest.at[..., jnp.asarray(ack_pos)].set(0)
+    data = rest[..., jnp.asarray(data_idx)]
+    csi2_llrs = rest[..., jnp.asarray(csi2_pos)] if cfg.g_csi2 else None
+    return data, ack_llrs, csi_llrs, csi2_llrs
 
 
-def decode_uci_parts(ack_llrs, csi_llrs, nof_ack_bits: int, nof_csi1_bits: int):
+def decode_uci_parts(ack_llrs, csi_llrs, nof_ack_bits: int, nof_csi1_bits: int,
+                     csi2_llrs=None, nof_csi2_bits: int = 0):
     """Decode the UCI payloads; returns dict of (bits, ok) per part."""
     out = {}
     if ack_llrs is not None and nof_ack_bits:
@@ -181,4 +195,7 @@ def decode_uci_parts(ack_llrs, csi_llrs, nof_ack_bits: int, nof_csi1_bits: int):
     if csi_llrs is not None and nof_csi1_bits:
         bits, ok = uci_mod.decode_uci(csi_llrs.astype(jnp.float32), nof_csi1_bits)
         out["csi1"] = (bits, ok)
+    if csi2_llrs is not None and nof_csi2_bits:
+        bits, ok = uci_mod.decode_uci(csi2_llrs.astype(jnp.float32), nof_csi2_bits)
+        out["csi2"] = (bits, ok)
     return out

@@ -167,6 +167,10 @@ class UpperPhy:
                 res.uci.append(fapi.UciIndicationPdu(
                     pdu.rnti, np.asarray(out["csi1_bits"]),
                     bool(np.asarray(out["csi1_ok"])), 0.0))
+            if "csi2_bits" in out:
+                res.uci.append(fapi.UciIndicationPdu(
+                    pdu.rnti, np.asarray(out["csi2_bits"]),
+                    bool(np.asarray(out["csi2_ok"])), 0.0))
             res.crc.append(fapi.CrcIndicationPdu(pdu.rnti, pdu.harq_id, ok))
             if ok:
                 res.rx_data.append(

@@ -76,3 +76,26 @@ def nof_csi1_bits(
     cap = max(math.ceil(alpha * nof_re_uci) * total_bits_for_re - g_ack, 0)
     g = min(need, cap)
     return ((g + total_bits_for_re - 1) // total_bits_for_re) * total_bits_for_re
+
+
+def nof_csi2_bits(
+    o_csi2: int,
+    beta_index: int,
+    sum_kr: int,
+    nof_re_uci: int,
+    qm: int,
+    nof_layers: int,
+    alpha: float = 1.0,
+    g_ack: int = 0,
+    g_csi1: int = 0,
+) -> int:
+    """G_csi2 per TS 38.212 §6.3.2.4.1.3 (budget reduced by ACK + CSI1)."""
+    if o_csi2 == 0:
+        return 0
+    beta = BETA_CSI[beta_index]
+    l = _uci_crc_bits(o_csi2)
+    total_bits_for_re = qm * nof_layers
+    need = math.ceil((o_csi2 + l) * beta * nof_re_uci * total_bits_for_re / max(sum_kr, 1))
+    cap = max(math.ceil(alpha * nof_re_uci) * total_bits_for_re - g_ack - g_csi1, 0)
+    g = min(need, cap)
+    return ((g + total_bits_for_re - 1) // total_bits_for_re) * total_bits_for_re

@@ -111,3 +111,33 @@ def test_reserved_ack_layout_in_processor():
     mux = cfg.uci_mux
     assert mux.ack_punctures and mux.g_ack_rvd >= mux.g_ack
     assert cfg.sch.nof_total_bits == cfg.g_total  # data maps through
+
+
+def test_all_three_uci_streams_end_to_end():
+    # ACK + CSI1 + CSI2 through the full processor.
+    alloc = Allocation(rb_start=0, rb_count=24, sym_start=0, sym_count=14,
+                      dmrs_symbols=(2, 11))
+    cfg = pusch.PuschConfig(
+        tbs=2048, target_code_rate=0.3, modulation=Modulation.QAM16,
+        alloc=alloc, nof_layers=1, nof_rx_ports=1, nof_grid_sc=288,
+        uci=pusch.UciOnPuschConfig(nof_harq_ack_bits=2, nof_csi1_bits=6,
+                                   nof_csi2_bits=9),
+    )
+    assert cfg.uci_mux.g_csi2 > 0
+    rng = np.random.default_rng(3)
+    tb = rng.integers(0, 2, size=(cfg.tbs,), dtype=np.uint8)
+    ack = np.asarray([1, 1], np.uint8)
+    csi1 = rng.integers(0, 2, size=(6,), dtype=np.uint8)
+    csi2 = rng.integers(0, 2, size=(9,), dtype=np.uint8)
+    rnti = np.uint32(0xBEEF)
+    grid = pusch.transmit(tb, rnti, cfg, ack_bits=ack, csi1_bits=csi1,
+                          csi2_bits=csi2)
+    noisy = np.asarray(grid) * 0.9 + (
+        rng.standard_normal(grid.shape) + 1j * rng.standard_normal(grid.shape)
+    ).astype(np.complex64) * 0.02
+    out = pusch.process(noisy.astype(np.complex64), rnti, cfg)
+    assert bool(np.asarray(out["tb_crc_ok"]))
+    np.testing.assert_array_equal(np.asarray(out["tb_bits"]), tb)
+    np.testing.assert_array_equal(np.asarray(out["harq_ack_bits"]), ack)
+    np.testing.assert_array_equal(np.asarray(out["csi1_bits"]), csi1)
+    np.testing.assert_array_equal(np.asarray(out["csi2_bits"]), csi2)

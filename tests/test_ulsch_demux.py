@@ -35,7 +35,7 @@ def test_roundtrip_with_uci():
     llr = np.where(stream == 0, 20.0, -20.0).astype(np.float32)
     import jax.numpy as jnp
 
-    data_llr, ack_llr, csi_llr = ud.demultiplex(jnp.asarray(llr), cfg)
+    data_llr, ack_llr, csi_llr, _ = ud.demultiplex(jnp.asarray(llr), cfg)
     parts = ud.decode_uci_parts(ack_llr, csi_llr, 2, 8)
     bits, ok = parts["ack"]
     np.testing.assert_array_equal(np.asarray(bits), ack)
@@ -69,7 +69,7 @@ def _cfg2(g_ack=0, g_csi1=0, nof_ack_bits=0, g_ack_rvd=0, qm=2, nl=1):
 
 def test_ack_starts_after_first_dmrs_run():
     cfg = _cfg2(g_ack=24, nof_ack_bits=5)
-    ack_pos, _, _ = ud._layout(cfg)
+    ack_pos, _, _, _ = ud._layout(cfg)
     # alloc has dmrs at symbol 2; ACK REs must live on symbols > 2.
     bpre = cfg.qm * cfg.nof_layers
     from srsran_project_tpu.phy import allocation as alloc_mod
@@ -80,7 +80,7 @@ def test_ack_starts_after_first_dmrs_run():
 
 def test_csi_starts_at_first_data_symbol():
     cfg = _cfg2(g_csi1=24)
-    _, csi_pos, _ = ud._layout(cfg)
+    _, csi_pos, _, _ = ud._layout(cfg)
     from srsran_project_tpu.phy import allocation as alloc_mod
     didx = alloc_mod.data_re_indices(cfg.alloc, 14, 624)
     sym = didx[csi_pos // (cfg.qm * cfg.nof_layers)] // 624
@@ -90,7 +90,7 @@ def test_csi_starts_at_first_data_symbol():
 def test_even_spreading_within_symbol():
     # 4 REs worth of ACK on a symbol with 144 data REs -> stride 36.
     cfg = _cfg2(g_ack=8, nof_ack_bits=5)
-    ack_pos, _, _ = ud._layout(cfg)
+    ack_pos, _, _, _ = ud._layout(cfg)
     res = np.unique(ack_pos // 2)
     assert len(res) == 4
     strides = np.diff(np.sort(res))
@@ -109,7 +109,7 @@ def test_rate_matched_ack_roundtrip():
     stream = np.asarray(ud.multiplex(data, ack, csi, cfg))
     llr = np.where(stream == 0, 20.0, -20.0).astype(np.float32)
     import jax.numpy as jnp
-    data_llr, ack_llr, csi_llr = ud.demultiplex(jnp.asarray(llr), cfg)
+    data_llr, ack_llr, csi_llr, _ = ud.demultiplex(jnp.asarray(llr), cfg)
     parts = ud.decode_uci_parts(ack_llr, csi_llr, 6, 8)
     np.testing.assert_array_equal(np.asarray(parts["ack"][0]), ack)
     np.testing.assert_array_equal(np.asarray(parts["csi1"][0]), csi)
@@ -125,7 +125,7 @@ def test_reserved_layout_puncture_mode():
     cfg = _cfg2(g_ack=4, g_ack_rvd=8, nof_ack_bits=1)
     assert cfg.ack_punctures
     assert cfg.nof_data_bits == cfg.g_total  # no CSI, data everywhere
-    ack_pos, _, data_idx = ud._layout(cfg)
+    ack_pos, _, _, data_idx = ud._layout(cfg)
     assert len(ack_pos) == 4
     assert len(data_idx) == cfg.g_total
     rng = np.random.default_rng(1)
@@ -134,6 +134,55 @@ def test_reserved_layout_puncture_mode():
     stream = np.asarray(ud.multiplex(data, ack, None, cfg))
     llr = np.where(stream == 0, 20.0, -20.0).astype(np.float32)
     import jax.numpy as jnp
-    data_llr, ack_llr, _ = ud.demultiplex(jnp.asarray(llr), cfg)
+    data_llr, ack_llr, _, _ = ud.demultiplex(jnp.asarray(llr), cfg)
     d = np.asarray(data_llr)
     assert (d == 0).sum() == 4  # punctured positions erased
+
+
+def test_csi2_stream_roundtrip():
+    # All three UCI streams + data: CSI2 maps around CSI1 and (rate-match
+    # mode) around ACK; everything decodes and data is intact.
+    cfg = _cfg2(g_ack=96, g_csi1=64, nof_ack_bits=6)
+    import dataclasses
+    cfg = dataclasses.replace(cfg, g_csi2=48)
+    assert cfg.nof_data_bits == cfg.g_total - 96 - 64 - 48
+    rng = np.random.default_rng(9)
+    data = rng.integers(0, 2, size=(cfg.nof_data_bits,), dtype=np.uint8)
+    ack = rng.integers(0, 2, size=(6,), dtype=np.uint8)
+    csi1 = rng.integers(0, 2, size=(8,), dtype=np.uint8)
+    csi2 = rng.integers(0, 2, size=(5,), dtype=np.uint8)
+    stream = np.asarray(ud.multiplex(data, ack, csi1, cfg, csi2_bits=csi2))
+    llr = np.where(stream == 0, 20.0, -20.0).astype(np.float32)
+    import jax.numpy as jnp
+    data_llr, ack_llr, csi_llr, csi2_llr = ud.demultiplex(jnp.asarray(llr), cfg)
+    parts = ud.decode_uci_parts(ack_llr, csi_llr, 6, 8, csi2_llrs=csi2_llr,
+                                nof_csi2_bits=5)
+    np.testing.assert_array_equal(np.asarray(parts["ack"][0]), ack)
+    np.testing.assert_array_equal(np.asarray(parts["csi1"][0]), csi1)
+    np.testing.assert_array_equal(np.asarray(parts["csi2"][0]), csi2)
+    np.testing.assert_array_equal(
+        (np.asarray(data_llr) < 0).astype(np.uint8), data)
+
+
+def test_csi2_punctured_by_reserved_ack():
+    # Puncture mode: CSI2 may sit on reserved-ACK REs; the actual ACK bits
+    # erase those positions in the CSI2 stream on RX.
+    cfg = _cfg2(g_ack=4, g_ack_rvd=8, nof_ack_bits=1)
+    import dataclasses
+    cfg = dataclasses.replace(cfg, g_csi2=600)  # big enough to overlap l1
+    ack_pos, _, csi2_pos, _ = ud._layout(cfg)
+    overlap = np.intersect1d(ack_pos, csi2_pos)
+    rng = np.random.default_rng(11)
+    data = rng.integers(0, 2, size=(cfg.nof_data_bits,), dtype=np.uint8)
+    ack = np.array([1], np.uint8)
+    csi2 = rng.integers(0, 2, size=(11,), dtype=np.uint8)
+    stream = np.asarray(ud.multiplex(data, ack, None, cfg, csi2_bits=csi2))
+    llr = np.where(stream == 0, 20.0, -20.0).astype(np.float32)
+    import jax.numpy as jnp
+    _, ack_llr, _, csi2_llr = ud.demultiplex(jnp.asarray(llr), cfg)
+    if len(overlap):
+        assert (np.asarray(csi2_llr) == 0).sum() == len(overlap)
+    parts = ud.decode_uci_parts(ack_llr, None, 1, 0, csi2_llrs=csi2_llr,
+                                nof_csi2_bits=11)
+    np.testing.assert_array_equal(np.asarray(parts["csi2"][0]), csi2)
+    np.testing.assert_array_equal(np.asarray(parts["ack"][0]), ack)
