@@ -31,6 +31,11 @@ class PucchFormat0Config:
     n_id: int  # hopping id
     slot_in_frame: int = 0
     nof_harq_bits: int = 1  # 0 (SR only), 1 or 2
+    # True when this PUCCH occasion coincides with an SR opportunity: the
+    # UE signals positive SR by shifting m_cs (+3 for 1 HARQ bit, +1 for 2;
+    # TS 38.213 9.2.4 / 38.211 Table 6.3.2.3.1-1), doubling the candidate
+    # set the detector searches.
+    sr_opportunity: bool = False
     nof_grid_sc: int = 624
 
 
@@ -70,16 +75,30 @@ def _f0_candidates(cfg: PucchFormat0Config):
     if cfg.nof_harq_bits == 0:
         return [0]
     if cfg.nof_harq_bits == 1:
-        return [_MCS_1BIT[v] for v in range(2)]
-    return [_MCS_2BIT[v] for v in range(4)]
+        base = [_MCS_1BIT[v] for v in range(2)]
+        sr_shift = 3
+    else:
+        base = [_MCS_2BIT[v] for v in range(4)]
+        sr_shift = 1
+    if cfg.sr_opportunity:
+        return base + [(m + sr_shift) % 12 for m in base]
+    return base
 
 
-def format0_generate(cfg: PucchFormat0Config, harq_value: int) -> np.ndarray:
-    """UE-side reference signal for tests: (nof_symbols, 12) complex64."""
+def format0_generate(cfg: PucchFormat0Config, harq_value: int,
+                     sr: bool = False) -> np.ndarray:
+    """UE-side reference signal for tests: (nof_symbols, 12) complex64.
+
+    sr: positive scheduling request (requires cfg.sr_opportunity)."""
     u, v = sequences.group_hopping_params(cfg.n_id, cfg.slot_in_frame, cfg.start_symbol)
     syms = range(cfg.start_symbol, cfg.start_symbol + cfg.nof_symbols)
     ncs = _ncs_values(cfg.n_id, cfg.slot_in_frame, syms)
-    m_cs = _f0_candidates(cfg)[harq_value] if cfg.nof_harq_bits else 0
+    cands = _f0_candidates(cfg)
+    idx = harq_value if cfg.nof_harq_bits else 0
+    if sr:
+        assert cfg.sr_opportunity and cfg.nof_harq_bits
+        idx += len(cands) // 2
+    m_cs = cands[idx] if cfg.nof_harq_bits else 0
     out = []
     for i, _ in enumerate(syms):
         alpha = _alpha(cfg.initial_cyclic_shift, m_cs, ncs[i])

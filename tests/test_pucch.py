@@ -65,3 +65,24 @@ def test_format1_occ_separation():
     got_b, _, _ = pucch.format1_detect(grid, cfg_b)
     assert int(np.asarray(got_a)[0]) == 1
     assert int(np.asarray(got_b)[0]) == 0
+
+
+@pytest.mark.parametrize("value,sr", [(0, False), (1, False), (0, True), (1, True)])
+def test_format0_harq_with_sr(value, sr):
+    # SR opportunity doubles the m_cs candidate set; detector recovers both
+    # the HARQ value and the SR flag.
+    cfg = pucch.PucchFormat0Config(
+        prb=3, start_symbol=12, nof_symbols=2, initial_cyclic_shift=4,
+        n_id=17, slot_in_frame=5, nof_harq_bits=1, sr_opportunity=True,
+        nof_grid_sc=624)
+    sig = pucch.format0_generate(cfg, value, sr=sr)
+    grid = np.zeros((1, 14, 624), np.complex64)
+    grid[0, 12:14, 3 * 12: 4 * 12] = sig * 0.8
+    rng = np.random.default_rng(value + 2 * sr)
+    grid += (rng.standard_normal(grid.shape)
+             + 1j * rng.standard_normal(grid.shape)).astype(np.complex64) * 0.02
+    best, metric, powers = pucch.format0_detect(grid, cfg)
+    n_base = 2
+    assert int(best) % n_base == value
+    assert bool(int(best) >= n_base) == sr
+    assert float(metric) > 0.5
