@@ -104,3 +104,36 @@ def test_ldpc_early_stop_path():
     tb, out = _run(tx, rx_es, noise=0.01, seed=11)
     assert bool(np.asarray(out["tb_crc_ok"]))
     np.testing.assert_array_equal(np.asarray(out["tb_bits"]), tb)
+
+
+def test_loopback_dmrs_type2():
+    # DM-RS configuration type 2 (k = 6n + k' + delta, 3 CDM groups).
+    alloc = Allocation(rb_start=2, rb_count=24, sym_start=1, sym_count=12,
+                      dmrs_symbols=(2, 11), dmrs_config_type=2,
+                      nof_cdm_groups_without_data=2)
+    common = dict(tbs=1500, target_code_rate=0.4, modulation=Modulation.QPSK,
+                  alloc=alloc, nof_layers=1, nof_grid_symbols=14,
+                  nof_grid_sc=624, slot_in_frame=3)
+    tx = pdsch.PdschConfig(nof_ports=1, **common)
+    rx = pusch.PuschConfig(nof_rx_ports=1, **common)
+    tb, out = _run(tx, rx, noise=0.005, seed=7)
+    assert bool(np.asarray(out["tb_crc_ok"]))
+    np.testing.assert_array_equal(np.asarray(out["tb_bits"]), tb)
+
+
+def test_loopback_dmrs_type2_2layer():
+    alloc = Allocation(rb_start=0, rb_count=24, sym_start=1, sym_count=12,
+                      dmrs_symbols=(2, 11), dmrs_config_type=2,
+                      nof_cdm_groups_without_data=2)
+    common = dict(tbs=2048, target_code_rate=0.3, modulation=Modulation.QPSK,
+                  alloc=alloc, nof_layers=2, nof_grid_symbols=14,
+                  nof_grid_sc=624, slot_in_frame=3)
+    tx = pdsch.PdschConfig(nof_ports=2, **common)
+    rx = pusch.PuschConfig(nof_rx_ports=2, **common)
+    rng = np.random.default_rng(8)
+    h = (rng.standard_normal((2, 2)) + 1j * rng.standard_normal((2, 2))).astype(np.complex64) / np.sqrt(2)
+    u, s, vh = np.linalg.svd(h)
+    h = (u @ np.diag([1.0, 0.8]) @ vh).astype(np.complex64)
+    tb, out = _run(tx, rx, h=h, noise=0.002, seed=8)
+    assert bool(np.asarray(out["tb_crc_ok"]))
+    np.testing.assert_array_equal(np.asarray(out["tb_bits"]), tb)
