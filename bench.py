@@ -130,7 +130,7 @@ def worker() -> None:
     # per-program dispatch overhead of the tunnel (the realistic deployment
     # shape — slots pipeline).  Supersedes again if it survives.
     try:
-        b = int(os.environ.get("BENCH_SLOT_BATCH", "16"))
+        b = int(os.environ.get("BENCH_SLOT_BATCH", "32"))
         tbs_b = jnp.stack([tb] * b)
         rntis_b = jnp.asarray(np.arange(b, dtype=np.uint32) + 0x4601)
         iq_rx_b = jnp.stack([iq_rx] * b)
