@@ -77,6 +77,16 @@ class DlTtiRequest:
 
 
 @dataclasses.dataclass
+class UlDciRequest:
+    """UL_DCI.request: PDCCH PDUs carrying UL grants, transmitted in the
+    DL direction outside a DL_TTI.request (SCF-222 §3.4.4,
+    include/srsran/fapi/messages/ul_dci_request.h)."""
+
+    slot: SlotPoint
+    pdcch: Sequence[DlPdcchPdu] = ()
+
+
+@dataclasses.dataclass
 class TxDataRequest:
     slot: SlotPoint
     payloads: Sequence[np.ndarray] = ()  # TB bit arrays, indexed by tb_index

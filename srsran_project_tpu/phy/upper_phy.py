@@ -126,6 +126,20 @@ class UpperPhy:
     # ------------------------------------------------------------------
     # Uplink: UL_TTI.request + received grid -> indications
     # ------------------------------------------------------------------
+    def process_ul_dci(self, request: "fapi.UlDciRequest",
+                       grid: jnp.ndarray | None = None) -> jnp.ndarray:
+        """Encode UL_DCI.request PDCCH PDUs onto a (new or given) DL grid."""
+        cfg = self.cfg
+        if grid is None:
+            grid = jnp.zeros(
+                (cfg.nof_ports, cfg.nof_grid_symbols, cfg.nof_grid_sc),
+                dtype=jnp.complex64)
+        for pdu in request.pdcch:
+            g = pdcch_mod.process(
+                jnp.asarray(pdu.payload, jnp.uint8), jnp.uint32(pdu.rnti), pdu.config)
+            grid = grid.at[0].add(g)
+        return grid
+
     def process_ul_tti(
         self,
         request: fapi.UlTtiRequest,

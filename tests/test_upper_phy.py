@@ -143,3 +143,26 @@ def test_rx_symbols_dump(tmp_path):
     dumped = file_vector.read_vector(str(tmp_path / "rx.0"), "cbf16")
     assert dumped.shape == (14 * 624,)
     np.testing.assert_allclose(dumped[0], 1 + 1j, atol=1e-2)
+
+
+def test_ul_dci_request():
+    # UL grants ride PDCCH via UL_DCI.request outside the DL_TTI path.
+    import numpy as np
+
+    from srsran_project_tpu.fapi import messages as fapi
+    from srsran_project_tpu.phy import pdcch as pdcch_mod
+    from srsran_project_tpu.phy.upper_phy import UpperPhy, UpperPhyConfig
+    from srsran_project_tpu.ran.constants import SubcarrierSpacing
+    from srsran_project_tpu.ran.slot_point import SlotPoint
+
+    phy = UpperPhy(UpperPhyConfig(nof_ports=1, nof_grid_sc=624))
+    cfg = pdcch_mod.PdcchConfig(
+        payload_bits=40, aggregation_level=4, cce_index=0,
+        coreset_rb_start=0, coreset_rb_count=48, nof_grid_sc=624)
+    rng = np.random.default_rng(0)
+    payload = rng.integers(0, 2, size=(40,), dtype=np.uint8)
+    slot = SlotPoint.from_sfn_slot(SubcarrierSpacing.KHZ30, 0, 0)
+    req = fapi.UlDciRequest(slot=slot, pdcch=[fapi.DlPdcchPdu(cfg, 0x4601, payload)])
+    grid = np.asarray(phy.process_ul_dci(req))
+    assert grid.shape == (1, 14, 624)
+    assert (np.abs(grid) > 0).any()
