@@ -129,35 +129,39 @@ def worker() -> None:
     # Batched-slot throughput pass: vmap over a batch of slots amortizes the
     # per-program dispatch overhead of the tunnel (the realistic deployment
     # shape — slots pipeline).  Supersedes again if it survives.
-    try:
-        b = int(os.environ.get("BENCH_SLOT_BATCH", "32"))
-        tbs_b = jnp.stack([tb] * b)
-        rntis_b = jnp.asarray(np.arange(b, dtype=np.uint32) + 0x4601)
-        iq_rx_b = jnp.stack([iq_rx] * b)
-        jax.block_until_ready((tbs_b, rntis_b, iq_rx_b))
-        enc_b = jax.vmap(lambda t, r: cell_mod.encode_slot(t, r, w, cfg))
-        dec_b = jax.vmap(lambda x, r: cell_mod.decode_slot(x, r, cfg)["tb_bits"])
-        with staging.sync_stages():
-            jax.block_until_ready(enc_b(tbs_b, rntis_b))
-            jax.block_until_ready(dec_b(iq_rx_b, rntis_b))
-        print("# batched warmup done", file=sys.stderr, flush=True)
-        nb = 8
-        t0 = time.time()
-        outs = [enc_b(tbs_b, rntis_b) for _ in range(nb)]
-        jax.block_until_ready(outs)
-        t_enc_b = (time.time() - t0) / (nb * b)
-        t0 = time.time()
-        outs = [dec_b(iq_rx_b, rntis_b) for _ in range(nb)]
-        jax.block_until_ready(outs)
-        t_dec_b = (time.time() - t0) / (nb * b)
-        rate_b = 1.0 / t_enc_b + 1.0 / t_dec_b
-        print(f"# batched x{b}: encode {t_enc_b*1e3:.2f} ms/slot, decode {t_dec_b*1e3:.2f} ms/slot",
-              file=sys.stderr, flush=True)
-        result_b = dict(result, value=round(rate_b, 1),
-                        vs_baseline=round(rate_b / 2000.0, 3))
-        print("RESULT " + json.dumps(result_b), flush=True)
-    except Exception as e:
-        print(f"# batched pass failed ({str(e)[:80]})", file=sys.stderr, flush=True)
+    # Fallback ladder: a too-large batch can overflow the remote compile
+    # service; smaller batches still beat the unbatched number by a lot.
+    b_env = int(os.environ.get("BENCH_SLOT_BATCH", "32"))
+    for b in dict.fromkeys(x for x in (b_env, 16, 8) if x <= b_env):
+        try:
+            tbs_b = jnp.stack([tb] * b)
+            rntis_b = jnp.asarray(np.arange(b, dtype=np.uint32) + 0x4601)
+            iq_rx_b = jnp.stack([iq_rx] * b)
+            jax.block_until_ready((tbs_b, rntis_b, iq_rx_b))
+            enc_b = jax.vmap(lambda t, r: cell_mod.encode_slot(t, r, w, cfg))
+            dec_b = jax.vmap(lambda x, r: cell_mod.decode_slot(x, r, cfg)["tb_bits"])
+            with staging.sync_stages():
+                jax.block_until_ready(enc_b(tbs_b, rntis_b))
+                jax.block_until_ready(dec_b(iq_rx_b, rntis_b))
+            print("# batched warmup done", file=sys.stderr, flush=True)
+            nb = 8
+            t0 = time.time()
+            outs = [enc_b(tbs_b, rntis_b) for _ in range(nb)]
+            jax.block_until_ready(outs)
+            t_enc_b = (time.time() - t0) / (nb * b)
+            t0 = time.time()
+            outs = [dec_b(iq_rx_b, rntis_b) for _ in range(nb)]
+            jax.block_until_ready(outs)
+            t_dec_b = (time.time() - t0) / (nb * b)
+            rate_b = 1.0 / t_enc_b + 1.0 / t_dec_b
+            print(f"# batched x{b}: encode {t_enc_b*1e3:.2f} ms/slot, decode {t_dec_b*1e3:.2f} ms/slot",
+                  file=sys.stderr, flush=True)
+            result_b = dict(result, value=round(rate_b, 1),
+                            vs_baseline=round(rate_b / 2000.0, 3))
+            print("RESULT " + json.dumps(result_b), flush=True)
+            break
+        except Exception as e:
+            print(f"# batched x{b} failed ({str(e)[:80]})", file=sys.stderr, flush=True)
 
     # Risky device->host readout last: RESULT is already out if this dies.
     try:
