@@ -68,6 +68,23 @@ class UpperPhy:
     def __init__(self, cfg: UpperPhyConfig):
         self.cfg = cfg
         self.harq_pool = HarqBufferPool()
+        # PHY tap: observers called at stage boundaries with device arrays
+        # (reference: upper_phy_rx_symbol_notifier / phy tap plugin points,
+        # include/srsran/phy/upper/upper_phy_rx_symbol_notifier.h).  Each
+        # entry is fn(event: str, slot, payload) where payload is the grid
+        # or result object; observers must not mutate it.
+        self._taps: list = []
+
+    def add_tap(self, fn) -> None:
+        """Register an observer for 'dl_grid' / 'ul_grid' / 'ul_results'."""
+        self._taps.append(fn)
+
+    def remove_tap(self, fn) -> None:
+        self._taps.remove(fn)
+
+    def _notify(self, event: str, slot, payload) -> None:
+        for fn in self._taps:
+            fn(event, slot, payload)
 
     # ------------------------------------------------------------------
     # Downlink: DL_TTI.request + TX_Data.request -> resource grid
@@ -121,6 +138,7 @@ class UpperPhy:
                 nof_grid_sc=cfg.nof_grid_sc,
             )
             grid = grid.at[0].add(csi_rs_mod.generate(c))
+        self._notify("dl_grid", request.slot, grid)
         return grid
 
     # ------------------------------------------------------------------
@@ -151,6 +169,7 @@ class UpperPhy:
             from ..fapi.validators import validate_ul_tti
 
             validate_ul_tti(request, self.cfg.nof_grid_sc)
+        self._notify("ul_grid", request.slot, rx_grid)
         if self.cfg.rx_symbols_filename:
             from ..support import file_vector
 
@@ -238,4 +257,5 @@ class UpperPhy:
                         float(np.asarray(out["ta_samples"])[idx]),
                     )
                 )
+        self._notify("ul_results", request.slot, res)
         return res

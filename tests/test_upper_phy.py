@@ -166,3 +166,32 @@ def test_ul_dci_request():
     grid = np.asarray(phy.process_ul_dci(req))
     assert grid.shape == (1, 14, 624)
     assert (np.abs(grid) > 0).any()
+
+
+def test_phy_tap_observers():
+    # PHY tap: observers see the DL grid, the UL grid, and the UL results.
+    import numpy as np
+
+    from srsran_project_tpu.fapi import messages as fapi
+    from srsran_project_tpu.models import cell as cell_mod
+    from srsran_project_tpu.phy.upper_phy import UpperPhy, UpperPhyConfig
+    from srsran_project_tpu.ran.constants import SubcarrierSpacing
+    from srsran_project_tpu.ran.slot_point import SlotPoint
+
+    cell = cell_mod.tiny_cell()
+    phy = UpperPhy(UpperPhyConfig(nof_ports=cell.nof_ports,
+                                  nof_grid_sc=cell.nof_sc))
+    events = []
+    phy.add_tap(lambda ev, slot, payload: events.append((ev, slot.count)))
+    rng = np.random.default_rng(0)
+    tb = rng.integers(0, 2, size=(cell.tbs,), dtype=np.uint8)
+    w = np.eye(cell.nof_layers, cell.nof_ports, dtype=np.complex64)
+    slot = SlotPoint.from_sfn_slot(SubcarrierSpacing(cell.scs), 0, 1)
+    dl = fapi.DlTtiRequest(slot=slot, pdsch=[fapi.DlPdschPdu(cell.pdsch_cfg, 0x4601, w, 0)])
+    grid = phy.process_dl_tti(dl, fapi.TxDataRequest(slot=slot, payloads=[tb]))
+    ul = fapi.UlTtiRequest(slot=slot, pusch=[fapi.UlPuschPdu(cell.pusch_cfg, 0x4601)])
+    phy.process_ul_tti(ul, grid)
+    kinds = [e[0] for e in events]
+    assert kinds == ["dl_grid", "ul_grid", "ul_results"]
+    phy.remove_tap(phy._taps[0])
+    assert not phy._taps
