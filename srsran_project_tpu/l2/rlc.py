@@ -359,9 +359,6 @@ class RlcAmEntity:
                     pdu.retx_ranges.pop(0)
                 else:
                     pdu.retx_ranges[0] = (end, ln - take)
-                pdu.retx_count += 1
-                if pdu.retx_count > self.max_retx:
-                    self.max_retx_reached = True
                 return _am_header(si, pdu.sn, so if si in (SI_LAST, SI_MID) else None,
                                   self.sn_bits, self._poll()) + pdu.sdu[so:end]
         # continue an in-progress segmented SDU
@@ -406,10 +403,17 @@ class RlcAmEntity:
             dist = (status.ack_sn - sn) % self.mod
             if 0 < dist <= self.win and sn not in nacked:
                 self._outstanding[sn].acked = True
+        nacked_sns = set()
         for sn, so_s, so_e in status.nacks:
             pdu = self._outstanding.get(sn)
             if pdu is None:
                 continue
+            if sn not in nacked_sns:
+                # RETX_COUNT is per SDU per NACK event (TS 38.322 5.3.2)
+                nacked_sns.add(sn)
+                pdu.retx_count += 1
+                if pdu.retx_count > self.max_retx:
+                    self.max_retx_reached = True
             if so_s is None:
                 pdu.retx_ranges = [(0, len(pdu.sdu))]
             else:
