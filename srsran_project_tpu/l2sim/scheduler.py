@@ -73,6 +73,10 @@ class RoundRobinScheduler:
         self.cfg = cfg
         self.ues: dict[int, UeContext] = {}
         self._rr_offset = 0
+        # Optional MAC hook: called as tb_source(rnti, tbs_bits) -> uint8 bit
+        # array for new transmissions.  When None, TBs are random fill (the
+        # reference's DU test-mode behavior).
+        self.tb_source = None
 
     def add_ue(self, rnti: int, mcs: int = 10, qos_weight: float = 1.0) -> UeContext:
         ue = UeContext(rnti=rnti, mcs=mcs, qos_weight=qos_weight)
@@ -149,7 +153,11 @@ class RoundRobinScheduler:
                 tb = None
             dl_cfg, ul_cfg, tbs = self._grant_configs(ue, rb_each, rv)
             if tb is None:
-                tb = rng.integers(0, 2, size=(tbs,), dtype=np.uint8)
+                if self.tb_source is not None:
+                    tb = np.asarray(self.tb_source(ue.rnti, tbs), dtype=np.uint8)
+                    assert tb.shape == (tbs,)
+                else:
+                    tb = rng.integers(0, 2, size=(tbs,), dtype=np.uint8)
                 hp.active, hp.tb, hp.nof_tx = True, tb, 0
             w = np.eye(c.nof_layers, c.nof_ports, dtype=np.complex64)
             pdsch_pdus.append(fapi.DlPdschPdu(dl_cfg, ue.rnti, w, len(payloads),
