@@ -451,3 +451,28 @@ class SecurityEngine:
         payload, mac = plain[:-4], plain[-4:]
         exp = INTEGRITY[self.nia](self.ik, count, self.bearer, direction, pdu_header + payload)
         return payload, mac == exp
+
+
+# ---------------------------------------------------------------------------
+# Key derivation (TS 33.220 generic KDF + TS 33.501 A.8 algorithm keys)
+# ---------------------------------------------------------------------------
+
+import hashlib as _hashlib
+import hmac as _hmac
+
+ALGO_TYPE_NRRC_ENC = 0x03
+ALGO_TYPE_NRRC_INT = 0x04
+ALGO_TYPE_NUP_ENC = 0x05
+ALGO_TYPE_NUP_INT = 0x06
+
+
+def kdf(key: bytes, fc: int, *params: bytes) -> bytes:
+    """Generic 3GPP KDF (TS 33.220 B.2): HMAC-SHA256(key, FC||Pi||Li...)."""
+    s = bytes([fc]) + b"".join(p + len(p).to_bytes(2, "big") for p in params)
+    return _hmac.new(key, s, _hashlib.sha256).digest()
+
+
+def derive_algo_key(k_gnb: bytes, algo_type: int, algo_id: int) -> bytes:
+    """K_RRCenc/K_RRCint/K_UPenc/K_UPint (TS 33.501 A.8): FC=0x69; the
+    128-bit algorithm key is the 128 LSBs of the 256-bit KDF output."""
+    return kdf(k_gnb, 0x69, bytes([algo_type]), bytes([algo_id]))[16:]
