@@ -1,9 +1,12 @@
-"""NZP-CSI-RS generation (TS 38.211 §7.4.1.5).
+"""NZP-CSI-RS generation (TS 38.211 section 7.4.1.5) — mapping rows 1-18.
 
 Counterpart of the reference's nzp_csi_rs_generator
-(lib/phy/upper/signal_processors/nzp_csi_rs_generator_impl.cpp).  v1 covers
-mapping row 1 (single port, density 3, no CDM): pilots at subcarriers
-k0 + {0, 4, 8} of each allocated PRB on one symbol.
+(lib/phy/upper/signal_processors/nzp_csi_rs_generator_impl.cpp): the full
+Table 7.4.1.5.3-1 row set — 1..32 ports, no-CDM / FD-CDM2 / CDM4(FD2,TD2)
+/ CDM8(FD2,TD4) with the Walsh cover tables 7.4.1.5.3-2..5 — realised as
+per-port static RE layouts gathered into the slot grid in one jitted
+scatter per port.  Gold sequences are seeded per symbol (c_init depends on
+the OFDM symbol index).
 """
 
 from __future__ import annotations
@@ -18,66 +21,138 @@ import numpy as np
 from ..ops import scrambling
 from ..ran.constants import NRE
 
+# CDM cover codes: wf over k' (FD2), wt over l' (TD length 1/2/4)
+_WF = np.array([[1.0, 1.0], [1.0, -1.0]])
+_WT2 = np.array([[1.0, 1.0], [1.0, -1.0]])
+_WT4 = np.array([[1, 1, 1, 1], [1, -1, 1, -1], [1, 1, -1, -1], [1, -1, -1, 1]], dtype=np.float64)
+
+# row -> (nof_ki, cdm: "no"|"fd2"|"cdm4"|"cdm8", group symbol layout)
+# group layout tokens: "l0", "l0+1", "l1", "l1+1" per the table's (kbar,lbar)
+# list; groups are freq-major within each listed symbol.
+_ROWS = {
+    1: (1, "no", ("l0",)),       # special-cased density-3 below
+    2: (1, "no", ("l0",)),
+    3: (1, "fd2", ("l0",)),
+    4: (2, "fd2", ("l0",)),      # kbar = k0, k0+2 handled via ki list
+    5: (1, "fd2", ("l0", "l0+1")),
+    6: (4, "fd2", ("l0",)),
+    7: (2, "fd2", ("l0", "l0+1")),
+    8: (2, "cdm4", ("l0",)),
+    9: (6, "fd2", ("l0",)),
+    10: (3, "cdm4", ("l0",)),
+    11: (4, "fd2", ("l0", "l0+1")),
+    12: (4, "cdm4", ("l0",)),
+    13: (3, "fd2", ("l0", "l0+1", "l1", "l1+1")),
+    14: (3, "cdm4", ("l0", "l1")),
+    15: (3, "cdm8", ("l0",)),
+    16: (4, "fd2", ("l0", "l0+1", "l1", "l1+1")),
+    17: (4, "cdm4", ("l0", "l1")),
+    18: (4, "cdm8", ("l0",)),
+}
+_CDM_SIZE = {"no": 1, "fd2": 2, "cdm4": 4, "cdm8": 8}
+_CDM_FD = {"no": 1, "fd2": 2, "cdm4": 2, "cdm8": 2}
+_CDM_TD = {"no": 1, "fd2": 1, "cdm4": 2, "cdm8": 4}
+
 
 @dataclasses.dataclass(frozen=True)
 class CsiRsConfig:
     rb_start: int
     rb_count: int
-    symbol: int
+    symbol: int  # l0
     scrambling_id: int
-    row: int = 1  # TS 38.211 Table 7.4.1.5.3-1 mapping row (1-4 supported)
-    k0: int = 0  # frequency-domain offset within the PRB
+    row: int = 1  # TS 38.211 Table 7.4.1.5.3-1 mapping row (1-18)
+    k0: int = 0  # frequency-domain offset within the PRB (rows 1-3)
+    ki: tuple[int, ...] = ()  # kbar list for multi-location rows (defaults spread)
+    symbol2: int | None = None  # l1 for rows 13/14/16/17
     slot_in_frame: int = 0
     nof_grid_symbols: int = 14
     nof_grid_sc: int = 624
 
     @property
     def nof_ports(self) -> int:
-        return {1: 1, 2: 1, 3: 2, 4: 4}[self.row]
+        nof_ki, cdm, syms = _ROWS[self.row]
+        return nof_ki * len(syms) * _CDM_SIZE[cdm]
+
+    def _ki(self) -> tuple[int, ...]:
+        nof_ki, cdm, _ = _ROWS[self.row]
+        if self.ki:
+            assert len(self.ki) == nof_ki
+            return self.ki
+        if self.row in (1, 2, 3):
+            return (self.k0,)
+        step = _CDM_FD[cdm]  # adjacent FD-CDM pairs packed by default
+        return tuple(self.k0 + i * step for i in range(nof_ki))
 
 
-def _c_init(cfg: CsiRsConfig) -> int:
-    return ((1 << 10) * (14 * cfg.slot_in_frame + cfg.symbol + 1) * (2 * cfg.scrambling_id + 1)
+def _c_init(cfg: CsiRsConfig, symbol: int) -> int:
+    return ((1 << 10) * (14 * cfg.slot_in_frame + symbol + 1) * (2 * cfg.scrambling_id + 1)
             + cfg.scrambling_id) % (1 << 31)
+
+
+def _symbol_of(token: str, cfg: CsiRsConfig) -> int:
+    l1 = cfg.symbol2 if cfg.symbol2 is not None else cfg.symbol + 2
+    return {"l0": cfg.symbol, "l0+1": cfg.symbol + 1,
+            "l1": l1, "l1+1": l1 + 1}[token]
 
 
 @functools.lru_cache(maxsize=None)
 def _re_layout(cfg: CsiRsConfig):
-    """Per-port (flat grid idx (Np,), sequence idx (Np,), cdm weight (Np,)).
-
-    Row 1: 1 port, density 3 (k0 + {0,4,8}).  Row 2: 1 port, density 1.
-    Row 3: 2 ports, FD-CDM2 on (k0, k0+1).  Row 4: 4 ports, two FD-CDM2
-    groups at k0 and k0+2.
-    """
-    out = []
+    """Per-port lists of (symbol, flat grid idx, per-symbol seq idx, weight)."""
+    nof_ki, cdm, sym_tokens = _ROWS[cfg.row]
+    fd, td = _CDM_FD[cdm], _CDM_TD[cdm]
     rbs = range(cfg.rb_start, cfg.rb_start + cfg.rb_count)
 
-    def entry(port_offsets_weights):
-        for offsets_weights in port_offsets_weights:
-            ks, seq, w = [], [], []
-            for rb_i, rb in enumerate(rbs):
-                base = cfg.symbol * cfg.nof_grid_sc + rb * NRE
-                for j, (off, wgt) in enumerate(offsets_weights):
-                    ks.append(base + cfg.k0 + off)
-                    seq.append(rb_i * len(offsets_weights) + j)
-                    w.append(wgt)
-            out.append((np.asarray(ks, np.int32), np.asarray(seq, np.int32),
-                        np.asarray(w, np.float32)))
+    if cfg.row == 1:  # density 3: k0 + {0,4,8}, one symbol, one port
+        offsets = [cfg.k0, cfg.k0 + 4, cfg.k0 + 8]
+        sym = cfg.symbol
+        ks, seq = [], []
+        for rb_i, rb in enumerate(rbs):
+            for j, off in enumerate(offsets):
+                ks.append(sym * cfg.nof_grid_sc + rb * NRE + off)
+                seq.append(rb_i * 3 + j)
+        return (((sym, np.asarray(ks, np.int32), np.asarray(seq, np.int32),
+                  np.ones(len(ks), np.float32)),),)
 
-    if cfg.row == 1:
-        entry([[(0, 1.0), (4, 1.0), (8, 1.0)]])
-    elif cfg.row == 2:
-        entry([[(0, 1.0)]])
-    elif cfg.row == 3:
-        entry([[(0, 1.0), (1, 1.0)], [(0, 1.0), (1, -1.0)]])
-    elif cfg.row == 4:
-        entry([
-            [(0, 1.0), (1, 1.0)], [(0, 1.0), (1, -1.0)],
-            [(2, 1.0), (3, 1.0)], [(2, 1.0), (3, -1.0)],
-        ])
-    else:
-        raise ValueError(f"unsupported CSI-RS row {cfg.row}")
-    return tuple(out)
+    ki = cfg._ki()
+    # groups: freq-major within each listed symbol token
+    groups = [(k, tok) for tok in sym_tokens for k in ki]
+    # per-symbol subcarrier offsets actually carrying CSI-RS (for seq idx)
+    sym_offsets: dict[int, list[int]] = {}
+    for k, tok in groups:
+        base_l = _symbol_of(tok, cfg)
+        for lp in range(td):
+            offs = sym_offsets.setdefault(base_l + lp, [])
+            for kp in range(fd):
+                if k + kp not in offs:
+                    offs.append(k + kp)
+    for offs in sym_offsets.values():
+        offs.sort()
+
+    ports = []
+    for g, (k, tok) in enumerate(groups):
+        base_l = _symbol_of(tok, cfg)
+        for s in range(_CDM_SIZE[cdm]):
+            entries = {}
+            wf = _WF[s % fd] if fd == 2 else np.ones(1)
+            if td == 1:
+                wt = np.ones(1)
+            elif td == 2:
+                wt = _WT2[s // fd]
+            else:
+                wt = _WT4[s // fd]
+            for lp in range(td):
+                sym = base_l + lp
+                offs = sym_offsets[sym]
+                kslist, seqlist, wlist = [], [], []
+                for rb_i, rb in enumerate(rbs):
+                    for kp in range(fd):
+                        kslist.append(sym * cfg.nof_grid_sc + rb * NRE + k + kp)
+                        seqlist.append(rb_i * len(offs) + offs.index(k + kp))
+                        wlist.append(float(wf[kp] * wt[lp]))
+                entries[sym] = (np.asarray(kslist, np.int32), np.asarray(seqlist, np.int32),
+                                np.asarray(wlist, np.float32))
+            ports.append(tuple((sym, *v) for sym, v in sorted(entries.items())))
+    return tuple(ports)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "amplitude"))
@@ -85,16 +160,24 @@ def generate(cfg: CsiRsConfig, amplitude: float = 1.0) -> jax.Array:
     """CSI-RS contribution as a (nof_ports, nsym, nsc) grid (squeezed to
     (nsym, nsc) for single-port rows, preserving the row-1 legacy shape)."""
     layout = _re_layout(cfg)
+    # per-symbol pilot sequences (c_init depends on the symbol index)
+    pilot_cache: dict[int, jax.Array] = {}
+
+    def pilots_for(sym: int, nseq: int) -> jax.Array:
+        if sym not in pilot_cache:
+            c = scrambling.gold_sequence(np.uint32(_c_init(cfg, sym)), 2 * nseq)
+            re = 1.0 - 2.0 * c[0::2].astype(jnp.float32)
+            im = 1.0 - 2.0 * c[1::2].astype(jnp.float32)
+            pilot_cache[sym] = ((re + 1j * im) / np.sqrt(2)).astype(jnp.complex64)
+        return pilot_cache[sym]
+
     grids = []
-    for idx, seq_idx, w in layout:
-        nseq = int(seq_idx.max()) + 1
-        c = scrambling.gold_sequence(np.uint32(_c_init(cfg)), 2 * nseq)
-        re = 1.0 - 2.0 * c[0::2].astype(jnp.float32)
-        im = 1.0 - 2.0 * c[1::2].astype(jnp.float32)
-        pilots = ((re + 1j * im) / np.sqrt(2)).astype(jnp.complex64)
+    for port_entries in layout:
         g = jnp.zeros((cfg.nof_grid_symbols * cfg.nof_grid_sc,), jnp.complex64)
-        vals = amplitude * pilots[jnp.asarray(seq_idx)] * jnp.asarray(w)
-        g = g.at[jnp.asarray(idx)].set(vals)
+        for sym, idx, seq_idx, w in port_entries:
+            pil = pilots_for(sym, int(seq_idx.max()) + 1)
+            vals = amplitude * pil[jnp.asarray(seq_idx)] * jnp.asarray(w)
+            g = g.at[jnp.asarray(idx)].set(vals)
         grids.append(g.reshape(cfg.nof_grid_symbols, cfg.nof_grid_sc))
     if len(grids) == 1:
         return grids[0]
