@@ -35,7 +35,12 @@ class PrachConfig:
     zero_correlation_zone: int = 1
     nof_rx_ports: int = 1
     dft_size: int = 1024  # IDFT size for the power delay profile
-    detect_threshold: float = 2.0  # peak power over noise floor
+    # Detection threshold (peak power over noise floor).  None = CFAR:
+    # solved analytically from the noise model for target_pfa per occasion
+    # (the role of the reference's prach_detector_generic_thresholds.cpp
+    # per-(format, zcz, ports) table, derived instead of tabulated).
+    detect_threshold: float | None = None
+    target_pfa: float = 1e-3
 
     @property
     def n_cs(self) -> int:
@@ -77,6 +82,45 @@ def physical_root(logical_index: int, l_ra: int) -> int:
     long_t, short_t = _root_tables()
     table = long_t if l_ra == 839 else short_t
     return int(table[logical_index % len(table)])
+
+
+def _gamma_sf(x: float, p: int) -> float:
+    """Survival function of Gamma(shape=p, scale=1) for integer p:
+    exp(-x) * sum_{k<p} x^k / k!."""
+    import math
+
+    s = 0.0
+    term = 1.0
+    for k in range(p):
+        if k:
+            term *= x / k
+        s += term
+    return math.exp(-x) * s
+
+
+def threshold_for(cfg: PrachConfig) -> float:
+    """CFAR detection threshold for target_pfa per occasion.
+
+    Noise model: each delay-domain PDP bin of the per-root correlation is
+    exponential; summing P rx ports gives Gamma(P).  The metric normalizes
+    by the mean of the port-summed PDP (= P x bin mean), so metric*P ~
+    Gamma(P) under H0.  With N_eff = 64 preambles x window bins candidate
+    bins, solve N_eff * SF_Gamma(P)(P*T) = pfa by bisection.
+    """
+    nfft = cfg.dft_size
+    full_win = max(1, int(cfg.n_cs * nfft / cfg.l_ra)) if cfg.n_cs else nfft
+    win = max(1, int(0.8 * full_win))
+    n_eff = 64 * win
+    p = cfg.nof_rx_ports
+    target = cfg.target_pfa / n_eff
+    lo, hi = 0.0, 200.0 * p
+    for _ in range(80):
+        mid = 0.5 * (lo + hi)
+        if _gamma_sf(mid, p) > target:
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi) / p
 
 
 def generate_preamble(cfg: PrachConfig, preamble_index: int) -> np.ndarray:
@@ -136,6 +180,7 @@ def detect(rx_fd: jax.Array, cfg: PrachConfig):
 
     flat_metric = metric.reshape(-1)[:64]
     flat_pos = peak_pos.reshape(-1)[:64]
-    detected = flat_metric > cfg.detect_threshold
+    thr = cfg.detect_threshold if cfg.detect_threshold is not None else threshold_for(cfg)
+    detected = flat_metric > thr
     ta = flat_pos.astype(jnp.float32)
     return {"detected": detected, "metric": flat_metric, "ta_samples": ta}

@@ -70,3 +70,44 @@ def test_short_preamble_format():
     rx = tx[None, :].astype(np.complex64)
     out = prach.detect(rx, cfg)
     assert np.asarray(out["detected"])[pre]
+
+
+def test_cfar_threshold_false_alarm_rate():
+    """Noise-only occasions: empirical Pfa matches the analytic CFAR bound."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = prach.PrachConfig(l_ra=139, zero_correlation_zone=11, dft_size=256,
+                            target_pfa=0.05)
+    thr = prach.threshold_for(cfg)
+    assert thr > 2.0  # far above the naive default
+    key = jax.random.PRNGKey(0)
+    trials, alarms = 400, 0
+    for i in range(trials):
+        key, k1, k2 = jax.random.split(key, 3)
+        noise = (jax.random.normal(k1, (1, cfg.l_ra)) +
+                 1j * jax.random.normal(k2, (1, cfg.l_ra))).astype(jnp.complex64)
+        res = prach.detect(noise, cfg)
+        alarms += int(np.asarray(res["detected"]).any())
+    # 400 Bernoulli(<=0.05) trials: >=45 alarms is ~impossible (>5 sigma)
+    assert alarms <= 45, f"false alarm rate {alarms/trials:.3f} >> target 0.05"
+
+
+def test_cfar_threshold_still_detects_signal():
+    import jax.numpy as jnp
+
+    cfg = prach.PrachConfig(l_ra=839, zero_correlation_zone=1, dft_size=1024)
+    pre = prach.generate_preamble(cfg, preamble_index=17)
+    rng = np.random.default_rng(5)
+    noise = (rng.normal(size=(1, 839)) + 1j * rng.normal(size=(1, 839))) * 0.5
+    rx = jnp.asarray((pre[None, :] + noise).astype(np.complex64))
+    res = prach.detect(rx, cfg)
+    det = np.asarray(res["detected"])
+    assert det[17] and det.sum() == 1
+
+def test_gamma_sf_multi_port_thresholds_ordered():
+    # more rx ports average noise -> lower per-port-normalized threshold
+    t1 = prach.threshold_for(prach.PrachConfig(nof_rx_ports=1))
+    t2 = prach.threshold_for(prach.PrachConfig(nof_rx_ports=2))
+    t4 = prach.threshold_for(prach.PrachConfig(nof_rx_ports=4))
+    assert t1 > t2 > t4 > 1.0
