@@ -82,6 +82,9 @@ class _CuUeCtx:
     cu_up_ue_id: int | None = None
     pending_sessions: list = dataclasses.field(default_factory=list)
     drbs: list = dataclasses.field(default_factory=list)
+    du_id: int = 0
+    ho_target: tuple[int, int] | None = None  # (target du_id, target du_ue_id)
+    ho_pci: int = 0
 
 
 def make_srb_pdcp(k_gnb: bytes, nea: int, nia: int, is_cu_side: bool,
@@ -99,13 +102,17 @@ class CuCpSim:
 
     def __init__(self, send_to_amf, send_to_du, send_to_cuup):
         self.to_amf = send_to_amf
-        self.to_du = send_to_du
+        self.du_links: dict[int, object] = {0: send_to_du}  # du_id -> send fn
         self.to_cuup = send_to_cuup
         self.next_cu_ue_id = 1
         self.ues: dict[int, _CuUeCtx] = {}  # by cu_ue_id
-        self._by_du_id: dict[int, _CuUeCtx] = {}
+        self._by_du_id: dict[tuple[int, int], _CuUeCtx] = {}  # (du_id, du_ue_id)
         self.ng_ready = False
         self.f1_cells: list = []
+
+    def add_du(self, du_id: int, send_fn) -> None:
+        """Register an additional DU F1 connection (multi-DU / handover)."""
+        self.du_links[du_id] = send_fn
 
     def start(self, gnb_id: int = 411, plmn: str = "00101", tac: int = 7):
         self.to_amf(m.encode(m.NgSetupRequest(gnb_id=gnb_id, plmn=plmn, tac=tac)))
@@ -115,7 +122,7 @@ class CuCpSim:
         container = m.encode(rrc_msg)
         if protect and ctx.srb1_pdcp is not None and srb_id == 1:
             container = ctx.srb1_pdcp.tx_sdu(container)
-        self.to_du(m.encode(m.DlRrcMessageTransfer(
+        self.du_links[ctx.du_id](m.encode(m.DlRrcMessageTransfer(
             gnb_du_ue_id=ctx.du_ue_id, gnb_cu_ue_id=ctx.cu_ue_id,
             srb_id=srb_id, rrc_container=_hex(container))))
 
@@ -159,30 +166,36 @@ class CuCpSim:
                            "drb_id": 1, "pdcp_sn_bits": 18,
                            "ngu_ul_teid": s["ngu_ul_teid"]} for s in msg.sessions])))
 
-    def rx_from_du(self, data: bytes) -> None:
+    def rx_from_du(self, data: bytes, du_id: int = 0) -> None:
         msg = m.decode(data)
         if isinstance(msg, m.F1SetupRequest):
             self.f1_cells = msg.cells
-            self.to_du(m.encode(m.F1SetupResponse(gnb_cu_name="cucp-sim",
+            self.du_links[du_id](m.encode(m.F1SetupResponse(gnb_cu_name="cucp-sim",
                                                   cells_to_activate=[c["pci"] for c in msg.cells])))
         elif isinstance(msg, m.InitialUlRrcMessageTransfer):
             req = m.decode(bytes.fromhex(msg.rrc_container))
+            if isinstance(req, m.RrcReestablishmentRequest):
+                self.handle_reestablishment(du_id, msg.gnb_du_ue_id, req)
+                return
             assert isinstance(req, m.RrcSetupRequest)
             ctx = _CuUeCtx(cu_ue_id=self.next_cu_ue_id, du_ue_id=msg.gnb_du_ue_id,
-                           c_rnti=msg.c_rnti, state="setup")
+                           c_rnti=msg.c_rnti, state="setup", du_id=du_id)
             self.next_cu_ue_id += 1
             self.ues[ctx.cu_ue_id] = ctx
-            self._by_du_id[ctx.du_ue_id] = ctx
+            self._by_du_id[(du_id, ctx.du_ue_id)] = ctx
             self._send_rrc(ctx, m.RrcSetup(rnti=msg.c_rnti,
                                            srb1_config={"rlc": "am", "lcid": 1}), srb_id=0)
         elif isinstance(msg, m.UlRrcMessageTransfer):
-            ctx = self._by_du_id[msg.gnb_du_ue_id]
+            ctx = self._by_du_id[(du_id, msg.gnb_du_ue_id)]
             rrc = self._rx_rrc(ctx, msg.srb_id, bytes.fromhex(msg.rrc_container))
             if rrc is None:
                 return
             self._handle_ue_rrc(ctx, rrc)
         elif isinstance(msg, m.UeContextSetupResponse):
-            ctx = self._by_du_id[msg.gnb_du_ue_id]
+            ctx = self._by_du_id[(du_id, msg.gnb_du_ue_id)]
+            if ctx.ho_target is not None:
+                self._continue_handover(ctx, msg)
+                return
             # learn DU F1-U DL TEIDs -> E1 bearer modification, then RRC reconfig
             self.to_cuup(m.encode(m.BearerContextModificationRequest(
                 gnb_cu_up_ue_id=ctx.cu_up_ue_id,
@@ -192,8 +205,9 @@ class CuCpSim:
                               "pdcp_sn_bits": 18, "rlc_mode": "am", "lcid": 4}
                              for d, s in zip(msg.drbs_setup, ctx.pending_sessions)]))
         elif isinstance(msg, m.UeContextReleaseComplete):
-            ctx = self._by_du_id.pop(msg.gnb_du_ue_id)
-            self.ues.pop(ctx.cu_ue_id, None)
+            ctx = self._by_du_id.pop((du_id, msg.gnb_du_ue_id), None)
+            if ctx is not None and ctx.du_id == du_id and ctx.du_ue_id == msg.gnb_du_ue_id:
+                self.ues.pop(ctx.cu_ue_id, None)
 
     def rx_from_cuup(self, data: bytes) -> None:
         msg = m.decode(data)
@@ -201,7 +215,7 @@ class CuCpSim:
             ctx = self.ues[msg.gnb_cu_cp_ue_id]
             ctx.cu_up_ue_id = msg.gnb_cu_up_ue_id
             ctx.drbs = msg.drbs
-            self.to_du(m.encode(m.UeContextSetupRequest(
+            self.du_links[ctx.du_id](m.encode(m.UeContextSetupRequest(
                 gnb_cu_ue_id=ctx.cu_ue_id, gnb_du_ue_id=ctx.du_ue_id,
                 srbs_to_setup=[{"srb_id": 2}],
                 drbs_to_setup=[{"drb_id": d["drb_id"], "lcid": 4, "rlc_mode": "am",
@@ -217,7 +231,12 @@ class CuCpSim:
             ctx.state = "secure"
             self.to_amf(m.encode(m.InitialContextSetupResponse(
                 ran_ue_id=ctx.cu_ue_id, amf_ue_id=ctx.amf_ue_id)))
+        elif isinstance(rrc, m.RrcReestablishmentComplete):
+            ctx.state = "connected"
         elif isinstance(rrc, m.RrcReconfigurationComplete):
+            if ctx.ho_target is not None:
+                self._finish_handover(ctx)
+                return
             ctx.state = "connected"
             self.to_amf(m.encode(m.PduSessionResourceSetupResponse(
                 ran_ue_id=ctx.cu_ue_id,
@@ -228,7 +247,7 @@ class CuCpSim:
     def release_ue(self, cu_ue_id: int) -> None:
         ctx = self.ues[cu_ue_id]
         self._send_rrc(ctx, m.RrcRelease())
-        self.to_du(m.encode(m.UeContextReleaseCommand(
+        self.du_links[ctx.du_id](m.encode(m.UeContextReleaseCommand(
             gnb_cu_ue_id=ctx.cu_ue_id, gnb_du_ue_id=ctx.du_ue_id)))
 
 
@@ -321,3 +340,75 @@ class CuUpE1Agent:
                 cu_up.on_f1u_dl_teids(msg.drb_f1u_dl_teids)
             self.to_cucp(m.encode(m.BearerContextModificationResponse(
                 gnb_cu_up_ue_id=msg.gnb_cu_up_ue_id)))
+
+
+# ---------------------------------------------------------------------------
+# Mobility (the reference's cu_cp mobility manager + reestablishment routines)
+# ---------------------------------------------------------------------------
+
+def _cucp_start_handover(self: CuCpSim, cu_ue_id: int, target_du_id: int,
+                         target_du_ue_id: int, target_pci: int = 2) -> None:
+    """Inter-DU handover: UE context on the target, path switch, sync reconfig."""
+    ctx = self.ues[cu_ue_id]
+    ctx.ho_target = (target_du_id, target_du_ue_id)
+    ctx.ho_pci = target_pci
+    # bind the target (du, du_ue_id) now: the target's UeContextSetupResponse
+    # and the UE's post-sync UL RRC both route by it
+    self._by_du_id[(target_du_id, target_du_ue_id)] = ctx
+    self.du_links[target_du_id](m.encode(m.UeContextSetupRequest(
+        gnb_cu_ue_id=ctx.cu_ue_id, gnb_du_ue_id=target_du_ue_id,
+        srbs_to_setup=[{"srb_id": 1}],
+        drbs_to_setup=[{"drb_id": d["drb_id"], "lcid": 4, "rlc_mode": "am",
+                        "f1u_ul_teid": d["f1u_ul_teid"]} for d in ctx.drbs])))
+
+
+def _cucp_continue_handover(self: CuCpSim, ctx: _CuUeCtx, msg) -> None:
+    """Target DU admitted the UE: switch the F1-U DL path at the CU-UP, then
+    send reconfigurationWithSync via the source DU."""
+    if ctx.cu_up_ue_id is not None:
+        self.to_cuup(m.encode(m.BearerContextModificationRequest(
+            gnb_cu_up_ue_id=ctx.cu_up_ue_id, drb_f1u_dl_teids=msg.drbs_setup)))
+    # mark the state before sending: the UE's ReconfigurationComplete (and
+    # with it _finish_handover) can arrive synchronously from _send_rrc
+    ctx.state = "handover"
+    self._send_rrc(ctx, m.RrcReconfiguration(
+        drb_configs=[{"drb_id": d["drb_id"], "qfi": s.get("qfi", 9),
+                      "pdcp_sn_bits": 18, "rlc_mode": "am", "lcid": 4}
+                     for d, s in zip(msg.drbs_setup, ctx.pending_sessions or [{}] * len(msg.drbs_setup))],
+        meas_config={"reconfiguration_with_sync": {"target_pci": ctx.ho_pci}}))
+
+
+def _cucp_finish_handover(self: CuCpSim, ctx: _CuUeCtx) -> None:
+    """ReconfigurationComplete arrived via the target: release the source."""
+    src_du, src_due = ctx.du_id, ctx.du_ue_id
+    t_du, t_due = ctx.ho_target
+    ctx.du_id, ctx.du_ue_id = t_du, t_due
+    ctx.ho_target = None
+    ctx.state = "connected"
+    self._by_du_id.pop((src_du, src_due), None)
+    self.du_links[src_du](m.encode(m.UeContextReleaseCommand(
+        gnb_cu_ue_id=ctx.cu_ue_id, gnb_du_ue_id=src_due)))
+
+
+def _cucp_handle_reestablishment(self: CuCpSim, du_id: int, du_ue_id: int,
+                                 req: m.RrcReestablishmentRequest) -> bool:
+    """Re-anchor an existing UE context after radio link failure (TS 38.331
+    5.3.7): rebind to the new DU UE context, restart SRB1 PDCP with the
+    same keys (sim deviation: spec derives new keys via NCC), confirm with
+    RrcReestablishment."""
+    ctx = next((c for c in self.ues.values() if c.c_rnti == req.rnti), None)
+    if ctx is None:
+        return False
+    self._by_du_id.pop((ctx.du_id, ctx.du_ue_id), None)
+    ctx.du_id, ctx.du_ue_id = du_id, du_ue_id
+    self._by_du_id[(du_id, du_ue_id)] = ctx
+    ctx.srb1_pdcp = make_srb_pdcp(ctx.k_gnb, ctx.nea, ctx.nia, is_cu_side=True)
+    ctx.state = "reestablishing"
+    self._send_rrc(ctx, m.RrcReestablishment(), protect=False)
+    return True
+
+
+CuCpSim.start_handover = _cucp_start_handover
+CuCpSim._continue_handover = _cucp_continue_handover
+CuCpSim._finish_handover = _cucp_finish_handover
+CuCpSim.handle_reestablishment = _cucp_handle_reestablishment

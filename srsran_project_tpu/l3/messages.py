@@ -227,3 +227,12 @@ class BearerContextReleaseCommand:
 @msg(PROTO_E1AP, 7)
 class BearerContextReleaseComplete:
     gnb_cu_up_ue_id: int
+
+
+@msg(PROTO_RRC, 9)
+class RrcReestablishment:
+    next_hop_chaining_count: int = 0
+
+@msg(PROTO_RRC, 10)
+class RrcReestablishmentComplete:
+    pass
