@@ -1,0 +1,147 @@
+"""Common-channel scheduling: SSB, SIB1, paging, CSI-RS, PRACH occasions.
+
+Counterpart of the reference's lib/scheduler/common_scheduling (ssb, sib1,
+paging, csi_rs, prach schedulers ordered by cell_scheduler::run_slot —
+ssb -> csi -> si -> prach -> ra -> paging -> UE data, SURVEY.md section 3.2)
+at simulator fidelity: a CellScheduler composes the common occasions with
+the UE data scheduler (scheduler.py), yielding merged FAPI requests per
+slot.  On slots carrying broadcast PDSCH (SIB1/paging) the UE data grants
+yield the band, mirroring the priority order.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+import numpy as np
+
+from ..fapi import messages as fapi
+from ..phy.pdsch import PdschConfig
+from ..phy.allocation import Allocation
+from ..phy.prach import PrachConfig
+from ..phy.ssb import SsbConfig
+from ..ops.modulation import Modulation
+from ..ran.slot_point import SlotPoint
+
+SI_RNTI = 0xFFFF
+P_RNTI = 0xFFFE
+
+
+@dataclasses.dataclass(frozen=True)
+class CommonSchedulingConfig:
+    # SSB: burst every ssb_period_slots, one SSB at the configured position
+    ssb_period_slots: int = 40  # 20 ms at 30 kHz SCS
+    ssb_slot_offset: int = 0
+    ssb_first_symbol: int = 2
+    ssb_first_subcarrier: int = 0
+    pci: int = 1
+    # SIB1 periodicity (TS 38.331: 160 ms; modifiable)
+    sib1_period_slots: int = 320
+    sib1_slot_offset: int = 1
+    sib1_payload: bytes = b"{}"
+    # paging: PO every paging_period_slots, N occasions
+    paging_period_slots: int = 64
+    # PRACH occasion periodicity (UL)
+    prach_period_slots: int = 20
+    prach_slot_offset: int = 19
+    prach_config: PrachConfig = PrachConfig()
+    # periodic CSI-RS
+    csi_rs_period_slots: int = 40
+    csi_rs_slot_offset: int = 10
+    nof_rb: int = 52
+    nof_grid_sc: int = 624
+
+
+def _bcast_pdsch(nof_rb: int, nof_grid_sc: int, payload: bytes):
+    """QPSK broadcast PDSCH config sized for the payload (SIB1/paging)."""
+    tbs = 8 * len(payload)
+    alloc = Allocation(rb_start=0, rb_count=nof_rb, sym_start=1, sym_count=12,
+                       dmrs_symbols=(2,))
+    cfg = PdschConfig(tbs=tbs, target_code_rate=0.25, modulation=Modulation.QPSK,
+                      alloc=alloc, nof_layers=1, nof_ports=1,
+                      nof_grid_symbols=14, nof_grid_sc=nof_grid_sc, rv=0)
+    bits = np.unpackbits(np.frombuffer(payload, np.uint8)).astype(np.uint8)
+    return cfg, bits
+
+
+class PagingScheduler:
+    """Queues paging records; drains them at paging occasions (P-RNTI PDSCH)."""
+
+    def __init__(self):
+        self._queue: list[dict] = []
+
+    def page(self, ue_paging_id: int, domain: str = "ps") -> None:
+        self._queue.append({"ue_paging_id": ue_paging_id, "domain": domain})
+
+    def drain(self) -> bytes | None:
+        if not self._queue:
+            return None
+        recs, self._queue = self._queue[:8], self._queue[8:]  # maxNrofPageRec
+        return json.dumps({"paging_records": recs}).encode()
+
+
+class CellScheduler:
+    """run_slot = common occasions + UE data (the reference's cell_scheduler)."""
+
+    def __init__(self, common: CommonSchedulingConfig, ue_scheduler):
+        self.common = common
+        self.ue_scheduler = ue_scheduler
+        self.paging = PagingScheduler()
+        self.counters = {"ssb": 0, "sib1": 0, "paging": 0, "csi_rs": 0, "prach": 0}
+
+    def _pbch_payload(self, slot: SlotPoint) -> np.ndarray:
+        # 32-bit BCH payload: MIB-ish content (sfn + fixed fields), sim fidelity
+        sfn = slot.sfn & 0x3FF
+        word = (sfn << 16) | (self.common.pci & 0x3FF)
+        return np.array([(word >> (31 - i)) & 1 for i in range(32)], np.uint8)
+
+    def run_slot(self, slot: SlotPoint, rng: np.random.Generator):
+        c = self.common
+        count = slot.count
+        dl, tx, ul, grants = self.ue_scheduler.run_slot(slot, rng)
+        pdsch = list(dl.pdsch)
+        payloads = list(tx.payloads)
+        ssb, csi_rs, prach = [], [], []
+
+        broadcast = None
+        if count % c.sib1_period_slots == c.sib1_slot_offset:
+            broadcast = (SI_RNTI, c.sib1_payload)
+            self.counters["sib1"] += 1
+        elif count % c.paging_period_slots == 0:
+            recs = self.paging.drain()
+            if recs is not None:
+                broadcast = (P_RNTI, recs)
+                self.counters["paging"] += 1
+        if broadcast is not None:
+            # broadcast PDSCH takes the band this slot (priority order)
+            rnti, payload = broadcast
+            cfg, bits = _bcast_pdsch(c.nof_rb, c.nof_grid_sc, payload)
+            pdsch = [fapi.DlPdschPdu(cfg, rnti, np.eye(1, dtype=np.complex64), 0,
+                                     first_rb=0)]
+            payloads = [bits]
+            grants = []
+
+        if count % c.ssb_period_slots == c.ssb_slot_offset:
+            ssb.append(fapi.DlSsbPdu(
+                config=SsbConfig(pci=c.pci),
+                payload=self._pbch_payload(slot),
+                first_subcarrier=c.ssb_first_subcarrier,
+                first_symbol=c.ssb_first_symbol))
+            self.counters["ssb"] += 1
+
+        if count % c.csi_rs_period_slots == c.csi_rs_slot_offset:
+            csi_rs.append(fapi.DlCsiRsPdu(row=1, rb_start=0, rb_count=c.nof_rb,
+                                          symbol=12, scrambling_id=c.pci))
+            self.counters["csi_rs"] += 1
+
+        if count % c.prach_period_slots == c.prach_slot_offset:
+            prach.append(fapi.UlPrachPdu(c.prach_config))
+            self.counters["prach"] += 1
+
+        dl2 = fapi.DlTtiRequest(slot=slot, pdsch=pdsch, pdcch=dl.pdcch,
+                                ssb=ssb, csi_rs=csi_rs)
+        tx2 = fapi.TxDataRequest(slot=slot, payloads=payloads)
+        ul2 = fapi.UlTtiRequest(slot=slot, pusch=ul.pusch, pucch=ul.pucch,
+                                prach=prach, srs=ul.srs)
+        return dl2, tx2, ul2, grants

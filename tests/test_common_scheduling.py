@@ -1,0 +1,94 @@
+"""Common-channel scheduling through the PHY: SSB bursts, SIB1/paging
+broadcast PDSCH, periodic CSI-RS, PRACH occasions (cell_scheduler order)."""
+
+import json
+
+import jax
+import numpy as np
+
+from srsran_project_tpu.l2sim.common_scheduling import (P_RNTI, SI_RNTI, CellScheduler,
+                                                        CommonSchedulingConfig)
+from srsran_project_tpu.l2sim.scheduler import RoundRobinScheduler, SchedulerConfig
+from srsran_project_tpu.phy import channel_emulator as chem
+from srsran_project_tpu.phy import prach as prach_mod
+from srsran_project_tpu.phy.upper_phy import UpperPhy, UpperPhyConfig
+from srsran_project_tpu.ran.constants import SubcarrierSpacing
+from srsran_project_tpu.ran.slot_point import SlotPoint
+
+
+def _slot(i):
+    return SlotPoint.from_sfn_slot(SubcarrierSpacing.KHZ30, i // 20, i % 20)
+
+
+def make_cell():
+    common = CommonSchedulingConfig(
+        ssb_period_slots=8, ssb_slot_offset=0,
+        sib1_period_slots=16, sib1_slot_offset=1,
+        sib1_payload=json.dumps({"cell": "00101-1", "tac": 7}).encode(),
+        paging_period_slots=8, csi_rs_period_slots=8, csi_rs_slot_offset=4,
+        prach_period_slots=8, prach_slot_offset=7)
+    ue_sched = RoundRobinScheduler(SchedulerConfig(nof_rb=48, max_ues_per_slot=1))
+    ue_sched.add_ue(0x10, mcs=6)
+    return CellScheduler(common, ue_sched)
+
+
+def test_occasion_pattern_and_priority():
+    cell = make_cell()
+    rng = np.random.default_rng(0)
+    kinds = []
+    for i in range(16):
+        dl, tx, ul, grants = cell.run_slot(_slot(i), rng)
+        kinds.append((bool(dl.ssb), [p.rnti for p in dl.pdsch], bool(ul.prach), bool(dl.csi_rs)))
+    assert kinds[0][0] and kinds[8][0]  # SSB every 8 slots
+    assert kinds[1][1] == [SI_RNTI]     # SIB1 preempts UE data on its slot
+    assert kinds[7][2] and kinds[15][2]  # PRACH occasions
+    assert kinds[4][3]                   # CSI-RS
+    assert kinds[2][1] == [0x10]         # normal UE data elsewhere
+    assert cell.counters["sib1"] == 1 and cell.counters["ssb"] == 2
+
+
+def test_broadcast_and_ssb_through_phy():
+    from srsran_project_tpu.phy import ssb as ssb_mod
+
+    cell = make_cell()
+    phy = UpperPhy(UpperPhyConfig(nof_ports=1))
+    rng = np.random.default_rng(1)
+
+    # slot 0: SSB burst -> decode PBCH payload from the generated grid
+    dl, tx, ul, _ = cell.run_slot(_slot(0), rng)
+    assert dl.ssb
+    grid = np.asarray(phy.process_dl_tti(dl, tx))
+    pdu = dl.ssb[0]
+    ssb_grid = grid[0, pdu.first_symbol : pdu.first_symbol + ssb_mod.SSB_NSYM,
+                    pdu.first_subcarrier : pdu.first_subcarrier + ssb_mod.SSB_NSC]
+    assert np.abs(ssb_grid).max() > 0  # SSB energy placed
+    # PBCH decode from noiseless LLR-ish input: use the ssb module roundtrip
+    # (full demod path covered in test_ssb; here we assert scheduling+mapping)
+
+    # slot 1: SIB1 broadcast rides a PDSCH addressed to SI-RNTI
+    dl, tx, ul, grants = cell.run_slot(_slot(1), rng)
+    assert [p.rnti for p in dl.pdsch] == [SI_RNTI] and not grants
+    sib1 = np.packbits(np.asarray(tx.payloads[0])).tobytes()
+    assert json.loads(sib1) == {"cell": "00101-1", "tac": 7}
+
+    # paging occasion: queue two records, drain at the next PO (slot 8)
+    cell.paging.page(0x123456789, domain="ps")
+    cell.paging.page(0xABCDEF, domain="cs")
+    dl, tx, ul, _ = cell.run_slot(_slot(8), rng)
+    pg = [p for p in dl.pdsch if p.rnti == P_RNTI]
+    assert pg
+    recs = json.loads(np.packbits(np.asarray(tx.payloads[0])).tobytes())
+    assert len(recs["paging_records"]) == 2
+    assert recs["paging_records"][0]["ue_paging_id"] == 0x123456789
+
+
+def test_prach_occasion_detects_preamble():
+    cell = make_cell()
+    phy = UpperPhy(UpperPhyConfig(nof_ports=1))
+    rng = np.random.default_rng(2)
+    dl, tx, ul, _ = cell.run_slot(_slot(7), rng)
+    assert ul.prach
+    cfg = ul.prach[0].config
+    fd = prach_mod.generate_preamble(cfg, 9)[None, :].astype(np.complex64)
+    res = phy.process_ul_tti(ul, np.zeros((1, 14, 624), np.complex64), prach_fd=fd)
+    assert [r.preamble_index for r in res.rach] == [9]
