@@ -119,3 +119,131 @@ int ofh_uplane_parse(const uint8_t* in, int in_len, uint16_t* pc_id, uint16_t* s
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// C-plane: O-RAN control-plane messages (scheduling commands), the native
+// counterpart of the reference's ofh_data_flow_cplane_scheduling_commands +
+// C-plane (de)builders in lib/ofh/serdes.
+//
+// Layout (big-endian):
+//   eCPRI common header (4B): 0x10 | msgtype(2 = real-time control) | size
+//   eCPRI RTC_ID (2B) | SEQ_ID (2B)
+//   Radio app header (8B): dataDirection|payloadVersion|filterIndex,
+//     frameId, subframeId|slotId[5:2], slotId[1:0]|startSymbolId,
+//     numberOfSections, sectionType, udCompHdr (type 1) / timeOffset hi
+//     (type 3), reserved
+//   numberOfSections x section (8B, type 1):
+//     sectionId(12b) rb(1b) symInc(1b) startPrbc(10b) | numPrbc(8b) |
+//     reMask(12b) numSymbol(4b) | ef(1b) beamId(15b)
+//   type 3 sections append: frequencyOffset(3B) + reserved(1B)
+
+extern "C" {
+
+struct ofh_cplane_section {
+  uint16_t section_id;   // 12 bits
+  uint16_t start_prbc;   // 10 bits
+  uint8_t num_prbc;      // 0 = "all PRBs"
+  uint16_t re_mask;      // 12 bits
+  uint8_t num_symbol;    // 4 bits
+  uint16_t beam_id;      // 15 bits
+  int32_t freq_offset;   // type 3 only (24-bit signed)
+};
+
+constexpr int kCpRadioHdr = 8;
+constexpr int kCpSection1 = 8;
+constexpr int kCpSection3Extra = 4;
+
+int ofh_cplane_size(int section_type, int nof_sections) {
+  const int per = kCpSection1 + (section_type == 3 ? kCpSection3Extra : 0);
+  return kEcpriHdr + kCpRadioHdr + nof_sections * per;
+}
+
+int ofh_cplane_build(uint8_t* out, int out_cap, uint16_t rtc_id, uint16_t seq_id,
+                     int direction, int frame_id, int subframe_id, int slot_id,
+                     int start_symbol, int section_type, int time_offset,
+                     const ofh_cplane_section* sections, int nof_sections) {
+  const int total = ofh_cplane_size(section_type, nof_sections);
+  if (out_cap < total || nof_sections < 1 || nof_sections > 255) return -1;
+  if (section_type != 1 && section_type != 3) return -1;
+  uint8_t* p = out;
+  p[0] = 0x10;
+  p[1] = 0x02;  // real-time control data
+  put16(p + 2, static_cast<uint16_t>(total - 4));
+  put16(p + 4, rtc_id);
+  put16(p + 6, seq_id);
+  p += kEcpriHdr;
+  p[0] = static_cast<uint8_t>(((direction & 1) << 7) | (1 << 4));
+  p[1] = static_cast<uint8_t>(frame_id & 0xFF);
+  p[2] = static_cast<uint8_t>(((subframe_id & 0xF) << 4) | ((slot_id >> 2) & 0xF));
+  p[3] = static_cast<uint8_t>(((slot_id & 0x3) << 6) | (start_symbol & 0x3F));
+  p[4] = static_cast<uint8_t>(nof_sections);
+  p[5] = static_cast<uint8_t>(section_type);
+  put16(p + 6, static_cast<uint16_t>(time_offset));  // type 3; 0 for type 1
+  p += kCpRadioHdr;
+  for (int i = 0; i < nof_sections; ++i) {
+    const ofh_cplane_section& s = sections[i];
+    p[0] = static_cast<uint8_t>((s.section_id >> 4) & 0xFF);
+    p[1] = static_cast<uint8_t>(((s.section_id & 0xF) << 4) |
+                                ((s.start_prbc >> 8) & 0x3));
+    p[2] = static_cast<uint8_t>(s.start_prbc & 0xFF);
+    p[3] = s.num_prbc;
+    p[4] = static_cast<uint8_t>((s.re_mask >> 4) & 0xFF);
+    p[5] = static_cast<uint8_t>(((s.re_mask & 0xF) << 4) | (s.num_symbol & 0xF));
+    p[6] = static_cast<uint8_t>((s.beam_id >> 8) & 0x7F);
+    p[7] = static_cast<uint8_t>(s.beam_id & 0xFF);
+    p += kCpSection1;
+    if (section_type == 3) {
+      p[0] = static_cast<uint8_t>((s.freq_offset >> 16) & 0xFF);
+      p[1] = static_cast<uint8_t>((s.freq_offset >> 8) & 0xFF);
+      p[2] = static_cast<uint8_t>(s.freq_offset & 0xFF);
+      p[3] = 0;
+      p += kCpSection3Extra;
+    }
+  }
+  return total;
+}
+
+int ofh_cplane_parse(const uint8_t* in, int in_len, uint16_t* rtc_id,
+                     uint16_t* seq_id, int* direction, int* frame_id,
+                     int* subframe_id, int* slot_id, int* start_symbol,
+                     int* section_type, int* time_offset,
+                     ofh_cplane_section* sections, int max_sections) {
+  if (in_len < kEcpriHdr + kCpRadioHdr) return -1;
+  if ((in[0] & 0xF0) != 0x10 || in[1] != 0x02) return -1;
+  *rtc_id = get16(in + 4);
+  *seq_id = get16(in + 6);
+  const uint8_t* p = in + kEcpriHdr;
+  *direction = (p[0] >> 7) & 1;
+  *frame_id = p[1];
+  *subframe_id = (p[2] >> 4) & 0xF;
+  *slot_id = ((p[2] & 0xF) << 2) | ((p[3] >> 6) & 0x3);
+  *start_symbol = p[3] & 0x3F;
+  const int nof_sections = p[4];
+  *section_type = p[5];
+  *time_offset = get16(p + 6);
+  if (*section_type != 1 && *section_type != 3) return -1;
+  const int per = kCpSection1 + (*section_type == 3 ? kCpSection3Extra : 0);
+  if (kEcpriHdr + kCpRadioHdr + nof_sections * per > in_len) return -1;
+  p += kCpRadioHdr;
+  const int n = nof_sections < max_sections ? nof_sections : max_sections;
+  for (int i = 0; i < n; ++i) {
+    ofh_cplane_section& s = sections[i];
+    s.section_id = static_cast<uint16_t>((p[0] << 4) | (p[1] >> 4));
+    s.start_prbc = static_cast<uint16_t>(((p[1] & 0x3) << 8) | p[2]);
+    s.num_prbc = p[3];
+    s.re_mask = static_cast<uint16_t>((p[4] << 4) | (p[5] >> 4));
+    s.num_symbol = p[5] & 0xF;
+    s.beam_id = static_cast<uint16_t>(((p[6] & 0x7F) << 8) | p[7]);
+    s.freq_offset = 0;
+    p += kCpSection1;
+    if (*section_type == 3) {
+      int32_t fo = (p[0] << 16) | (p[1] << 8) | p[2];
+      if (fo & 0x800000) fo -= 1 << 24;  // sign-extend 24-bit
+      s.freq_offset = fo;
+      p += kCpSection3Extra;
+    }
+  }
+  return nof_sections;
+}
+
+}  // extern "C"

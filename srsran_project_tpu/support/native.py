@@ -71,6 +71,16 @@ def get_lib():
     lib.ofh_uplane_build.restype = ctypes.c_int
     lib.ofh_uplane_parse.argtypes = [ctypes.c_void_p, ctypes.c_int] + [ctypes.c_void_p] * 10
     lib.ofh_uplane_parse.restype = ctypes.c_int
+    lib.ofh_cplane_size.argtypes = [ctypes.c_int, ctypes.c_int]
+    lib.ofh_cplane_size.restype = ctypes.c_int
+    lib.ofh_cplane_build.argtypes = ([ctypes.c_void_p, ctypes.c_int, ctypes.c_uint16,
+                                      ctypes.c_uint16] + [ctypes.c_int] * 7 +
+                                     [ctypes.c_void_p, ctypes.c_int])
+    lib.ofh_cplane_build.restype = ctypes.c_int
+    lib.ofh_cplane_parse.argtypes = ([ctypes.c_void_p, ctypes.c_int] +
+                                     [ctypes.c_void_p] * 9 +
+                                     [ctypes.c_void_p, ctypes.c_int])
+    lib.ofh_cplane_parse.restype = ctypes.c_int
     _LIB = lib
     return lib
 
@@ -266,3 +276,77 @@ def ofh_uplane_parse(data: np.ndarray):
            "symbol_id": sy.value, "start_prb": sp.value, "width": wd.value,
            "nof_prb": n}
     return hdr, iq
+
+
+# ---------------------------------------------------------------------------
+# OFH C-plane (scheduling commands; native/ofh_serdes.cpp)
+# ---------------------------------------------------------------------------
+
+import dataclasses as _dc
+
+
+class _CplaneSectionStruct(ctypes.Structure):
+    _fields_ = [("section_id", ctypes.c_uint16), ("start_prbc", ctypes.c_uint16),
+                ("num_prbc", ctypes.c_uint8), ("re_mask", ctypes.c_uint16),
+                ("num_symbol", ctypes.c_uint8), ("beam_id", ctypes.c_uint16),
+                ("freq_offset", ctypes.c_int32)]
+
+
+@_dc.dataclass(frozen=True)
+class CplaneSection:
+    section_id: int = 0
+    start_prbc: int = 0
+    num_prbc: int = 0
+    re_mask: int = 0xFFF
+    num_symbol: int = 14
+    beam_id: int = 0
+    freq_offset: int = 0
+
+
+def ofh_cplane_build(sections, *, rtc_id=0, seq_id=0, direction=1, frame_id=0,
+                     subframe_id=0, slot_id=0, start_symbol=0, section_type=1,
+                     time_offset=0) -> np.ndarray:
+    """Serialize a C-plane message (section type 1 scheduling / 3 PRACH)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    n = len(sections)
+    arr = (_CplaneSectionStruct * n)()
+    for i, s in enumerate(sections):
+        for f in ("section_id", "start_prbc", "num_prbc", "re_mask",
+                  "num_symbol", "beam_id", "freq_offset"):
+            setattr(arr[i], f, getattr(s, f))
+    out = np.empty(lib.ofh_cplane_size(section_type, n), np.uint8)
+    r = lib.ofh_cplane_build(out.ctypes.data, out.size, rtc_id, seq_id, direction,
+                             frame_id, subframe_id, slot_id, start_symbol,
+                             section_type, time_offset, ctypes.byref(arr), n)
+    if r < 0:
+        raise ValueError("ofh_cplane_build failed")
+    return out
+
+
+def ofh_cplane_parse(data: np.ndarray, max_sections: int = 64):
+    """Parse a C-plane message -> (header dict, [CplaneSection])."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    data = np.ascontiguousarray(data, np.uint8)
+    rtc = ctypes.c_uint16()
+    seq = ctypes.c_uint16()
+    ints = [ctypes.c_int() for _ in range(7)]
+    arr = (_CplaneSectionStruct * max_sections)()
+    n = lib.ofh_cplane_parse(data.ctypes.data, data.size, ctypes.byref(rtc),
+                             ctypes.byref(seq), *[ctypes.byref(v) for v in ints],
+                             ctypes.byref(arr), max_sections)
+    if n < 0:
+        raise ValueError("malformed C-plane message")
+    hdr = {"rtc_id": rtc.value, "seq_id": seq.value, "direction": ints[0].value,
+           "frame_id": ints[1].value, "subframe_id": ints[2].value,
+           "slot_id": ints[3].value, "start_symbol": ints[4].value,
+           "section_type": ints[5].value, "time_offset": ints[6].value}
+    secs = [CplaneSection(section_id=arr[i].section_id, start_prbc=arr[i].start_prbc,
+                          num_prbc=arr[i].num_prbc, re_mask=arr[i].re_mask,
+                          num_symbol=arr[i].num_symbol, beam_id=arr[i].beam_id,
+                          freq_offset=arr[i].freq_offset)
+            for i in range(min(n, max_sections))]
+    return hdr, secs

@@ -100,3 +100,43 @@ def test_ofh_uplane_roundtrip():
 def test_ofh_uplane_rejects_garbage():
     with pytest.raises(ValueError):
         native.ofh_uplane_parse(np.zeros(64, np.uint8))
+
+
+def test_ofh_cplane_type1_roundtrip():
+    native = pytest.importorskip("srsran_project_tpu.support.native")
+    if native.get_lib() is None:
+        pytest.skip("native lib not built")
+    secs = [native.CplaneSection(section_id=1, start_prbc=0, num_prbc=48,
+                                 re_mask=0xFFF, num_symbol=14, beam_id=7),
+            native.CplaneSection(section_id=2, start_prbc=48, num_prbc=0,
+                                 re_mask=0x0F0, num_symbol=2, beam_id=0x7FFF)]
+    msg = native.ofh_cplane_build(secs, rtc_id=5, seq_id=99, direction=1,
+                                  frame_id=200, subframe_id=3, slot_id=13,
+                                  start_symbol=2, section_type=1)
+    hdr, out = native.ofh_cplane_parse(msg)
+    assert hdr["rtc_id"] == 5 and hdr["seq_id"] == 99 and hdr["direction"] == 1
+    assert hdr["frame_id"] == 200 and hdr["subframe_id"] == 3
+    assert hdr["slot_id"] == 13 and hdr["start_symbol"] == 2
+    assert hdr["section_type"] == 1
+    assert out == secs
+
+
+def test_ofh_cplane_type3_prach_with_freq_offset():
+    native = pytest.importorskip("srsran_project_tpu.support.native")
+    if native.get_lib() is None:
+        pytest.skip("native lib not built")
+    secs = [native.CplaneSection(section_id=9, start_prbc=10, num_prbc=12,
+                                 freq_offset=-5000)]
+    msg = native.ofh_cplane_build(secs, section_type=3, time_offset=1234)
+    hdr, out = native.ofh_cplane_parse(msg)
+    assert hdr["section_type"] == 3 and hdr["time_offset"] == 1234
+    assert out[0].freq_offset == -5000
+
+
+def test_ofh_cplane_malformed_rejected():
+    native = pytest.importorskip("srsran_project_tpu.support.native")
+    if native.get_lib() is None:
+        pytest.skip("native lib not built")
+    import numpy as np
+    with pytest.raises(ValueError):
+        native.ofh_cplane_parse(np.zeros(40, np.uint8))
