@@ -38,6 +38,9 @@ def main() -> int:
                     help="multi-UE scheduler mode: number of UEs (0 = single full-band UE)")
     ap.add_argument("--tdd", action="store_true", help="7D1S2U TDD pattern (scheduler mode)")
     ap.add_argument("--policy", default="rr", choices=["rr", "qos"])
+    ap.add_argument("--common", action="store_true",
+                    help="schedule common channels too (SSB/SIB1/paging/CSI-RS/"
+                         "PRACH occasions via CellScheduler)")
     ap.add_argument("--pcap", default=None,
                     help="write MAC-NR pcap of scheduler-mode TBs here")
     ap.add_argument("--metrics-json", action="store_true", help="print metrics JSON line")
@@ -122,6 +125,15 @@ def main() -> int:
         sched = RoundRobinScheduler(sc)
         for i in range(args.ues):
             sched.add_ue(0x100 + i, mcs=10)
+        ue_sched = sched
+        if args.common:
+            from srsran_project_tpu.l2sim.common_scheduling import (
+                CellScheduler, CommonSchedulingConfig)
+            sched = CellScheduler(CommonSchedulingConfig(
+                nof_rb=cell.nof_rb, nof_grid_sc=cell.nof_sc), ue_sched)
+            sched.ues = ue_sched.ues  # report/harq access passthrough
+            sched.handle_results = ue_sched.handle_results
+            sched.report = ue_sched.report
         pcap_w = None
         if args.pcap:
             from srsran_project_tpu.support.pcap import (
@@ -173,6 +185,8 @@ def main() -> int:
             pcap_w.close()
             print(f"# pcap: {pcap_w.nof_packets} MAC PDUs -> {args.pcap}",
                   file=sys.stderr)
+        if args.common:
+            print(f"# common channels: {sched.counters}", file=sys.stderr)
         rep = sched.report()
         tput = sum(v["ul_bits_ok"] for v in rep.values()) / elapsed / 1e6
         print(f"# scheduler mode: {args.ues} UEs, {nof_grants} grants, "
