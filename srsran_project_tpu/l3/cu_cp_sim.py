@@ -109,6 +109,9 @@ class CuCpSim:
         self._by_du_id: dict[tuple[int, int], _CuUeCtx] = {}  # (du_id, du_ue_id)
         self.ng_ready = False
         self.f1_cells: list = []
+        # paging sink: cb(ue_paging_id) -> the DU cell scheduler's paging
+        # queue (l2sim.common_scheduling.PagingScheduler.page)
+        self.paging_sink = None
 
     def add_du(self, du_id: int, send_fn) -> None:
         """Register an additional DU F1 connection (multi-DU / handover)."""
@@ -155,6 +158,9 @@ class CuCpSim:
             ctx.srb1_pdcp = make_srb_pdcp(ctx.k_gnb, ctx.nea, ctx.nia, is_cu_side=True)
             self._send_rrc(ctx, m.RrcSecurityModeCommand(ciphering_algo=ctx.nea,
                                                          integrity_algo=ctx.nia), protect=False)
+        elif isinstance(msg, m.Paging):
+            if self.paging_sink is not None:
+                self.paging_sink(msg.ue_paging_id)
         elif isinstance(msg, m.PduSessionResourceSetupRequest):
             ctx = self.ues[msg.ran_ue_id]
             ctx.pending_sessions = msg.sessions

@@ -21,7 +21,6 @@ time is virtual (slot ticks) as elsewhere in the simulators.
 from __future__ import annotations
 
 import dataclasses
-import json
 from typing import Callable
 
 from . import messages as m

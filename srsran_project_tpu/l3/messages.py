@@ -236,3 +236,9 @@ class RrcReestablishment:
 @msg(PROTO_RRC, 10)
 class RrcReestablishmentComplete:
     pass
+
+
+@msg(PROTO_NGAP, 8)
+class Paging:
+    ue_paging_id: int  # 5G-S-TMSI
+    tac_list: list = None

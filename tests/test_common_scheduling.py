@@ -92,3 +92,20 @@ def test_prach_occasion_detects_preamble():
     fd = prach_mod.generate_preamble(cfg, 9)[None, :].astype(np.complex64)
     res = phy.process_ul_tti(ul, np.zeros((1, 14, 624), np.complex64), prach_fd=fd)
     assert [r.preamble_index for r in res.rach] == [9]
+
+
+def test_ngap_paging_reaches_the_paging_occasion():
+    """AMF Paging -> CU-CP -> cell scheduler paging queue -> P-RNTI PDSCH."""
+    from srsran_project_tpu.l3 import messages as m
+    from srsran_project_tpu.l3.cu_cp_sim import CuCpSim
+
+    cell = make_cell()
+    cucp = CuCpSim(send_to_amf=lambda b: None, send_to_du=lambda b: None,
+                   send_to_cuup=lambda b: None)
+    cucp.paging_sink = cell.paging.page
+    cucp.rx_from_amf(m.encode(m.Paging(ue_paging_id=0x5551212)))
+    rng = np.random.default_rng(0)
+    dl, tx, _, _ = cell.run_slot(_slot(8), rng)  # next paging occasion
+    assert [p.rnti for p in dl.pdsch] == [P_RNTI]
+    recs = json.loads(np.packbits(np.asarray(tx.payloads[0])).tobytes())
+    assert recs["paging_records"][0]["ue_paging_id"] == 0x5551212
