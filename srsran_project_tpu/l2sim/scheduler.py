@@ -42,6 +42,8 @@ class UeContext:
     mcs: int = 10
     mcs_table: str = "qam64"
     qos_weight: float = 1.0  # QoS multiplier (priority)
+    ul_buffer_bytes: int = 0  # last BSR-reported UL backlog
+    sr_pending: bool = False  # scheduling request seen
     harqs: list = dataclasses.field(default_factory=lambda: [HarqProcess() for _ in range(NOF_HARQ)])
     dl_bits_acked: int = 0
     ul_bits_ok: int = 0
@@ -61,6 +63,10 @@ class SchedulerConfig:
     tdd_pattern: TddPattern | None = None  # None = FDD (DL+UL every slot)
     policy: str = "rr"  # "rr" (round robin) or "qos" (PF-weighted)
     pf_forgetting: float = 0.05  # EWMA factor for the PF average rate
+    # Demand-driven UL: grant PUSCH only to UEs with a BSR backlog or a
+    # pending SR (the reference's uci_scheduling/ue grant flow).  Off by
+    # default: the loopback tests pair every DL grant with a UL grant.
+    ul_demand_driven: bool = False
 
 
 class RoundRobinScheduler:
@@ -163,9 +169,14 @@ class RoundRobinScheduler:
             pdsch_pdus.append(fapi.DlPdschPdu(dl_cfg, ue.rnti, w, len(payloads),
                                               first_rb=i * rb_each))
             payloads.append(tb)
-            pusch_pdus.append(fapi.UlPuschPdu(ul_cfg, ue.rnti, harq_id=harq_id,
-                                              new_data=new_data, first_rb=i * rb_each))
-            grants.append((ue.rnti, harq_id, tbs))
+            ul_wanted = (not c.ul_demand_driven) or ue.sr_pending \
+                or ue.ul_buffer_bytes > 0 or hp.active and not new_data
+            if ul_wanted:
+                pusch_pdus.append(fapi.UlPuschPdu(ul_cfg, ue.rnti, harq_id=harq_id,
+                                                  new_data=new_data, first_rb=i * rb_each))
+                grants.append((ue.rnti, harq_id, tbs))
+                ue.sr_pending = False
+                ue.ul_buffer_bytes = max(0, ue.ul_buffer_bytes - tbs // 8)
         if tdd_dir == SlotDirection.DOWNLINK:
             pusch_pdus = []
         elif tdd_dir == SlotDirection.UPLINK:
@@ -175,6 +186,19 @@ class RoundRobinScheduler:
         return (fapi.DlTtiRequest(slot=slot, pdsch=pdsch_pdus),
                 fapi.TxDataRequest(slot=slot, payloads=payloads),
                 fapi.UlTtiRequest(slot=slot, pusch=pusch_pdus), grants)
+
+    def handle_sr(self, rnti: int) -> None:
+        """PUCCH SR detected (UCI indication) -> pend a UL grant."""
+        ue = self.ues.get(rnti)
+        if ue is not None:
+            ue.sr_pending = True
+
+    def handle_bsr(self, rnti: int, nof_bytes: int) -> None:
+        ue = self.ues.get(rnti)
+        if ue is not None:
+            ue.ul_buffer_bytes = nof_bytes
+            if nof_bytes:
+                ue.sr_pending = False
 
     def handle_results(self, res: fapi.SlotResults):
         """Consume CRC indications: ACK clears the HARQ, NACK keeps it for retx."""

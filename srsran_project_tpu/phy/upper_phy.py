@@ -216,9 +216,17 @@ class UpperPhy:
             c = pdu.config
             if isinstance(c, pucch_mod.PucchFormat0Config):
                 val, metric, _ = pucch_mod.format0_detect(rx_grid, c)
-                bits = np.asarray([(int(val) >> i) & 1 for i in range(c.nof_harq_bits)], np.uint8)
+                # candidate index encodes HARQ bits; with an SR opportunity
+                # the upper half of the candidate set means "SR positive" —
+                # appended as a trailing bit in uci_bits.
+                n_base = max(1, 1 << c.nof_harq_bits)
+                harq_val = int(val) % n_base
+                bits = [(harq_val >> i) & 1 for i in range(c.nof_harq_bits)]
+                if c.sr_opportunity:
+                    bits.append(1 if int(val) >= n_base else 0)
                 res.uci.append(
-                    fapi.UciIndicationPdu(pdu.rnti, bits, bool(metric > 0.2), float(metric))
+                    fapi.UciIndicationPdu(pdu.rnti, np.asarray(bits, np.uint8),
+                                          bool(metric > 0.2), float(metric))
                 )
             elif isinstance(c, pucch_mod.PucchFormat1Config):
                 bits, _, metric = pucch_mod.format1_detect(rx_grid, c)

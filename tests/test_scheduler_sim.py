@@ -109,3 +109,44 @@ def test_qos_policy_prefers_weighted_ue():
     # The 4x-weighted UE gets roughly 4x the grants (PF with equal rates).
     assert served[0x2] > served[0x1] * 2
     assert served[0x1] > 0  # starvation-free
+
+
+def test_sr_triggers_demand_driven_ul_grant():
+    """PUCCH F0 SR through the PHY -> UCI indication -> UL grant appears."""
+    import jax.numpy as jnp
+
+    from srsran_project_tpu.fapi import messages as fapi
+    from srsran_project_tpu.phy import pucch as pucch_mod
+
+    cfg = SchedulerConfig(nof_rb=24, max_ues_per_slot=1, ul_demand_driven=True)
+    sched = RoundRobinScheduler(cfg)
+    ue = sched.add_ue(0x44, mcs=4)
+    rng = np.random.default_rng(0)
+
+    # without SR/BSR: DL only, no UL grant
+    dl, tx, ul, grants = sched.run_slot(_slot(0), rng)
+    assert dl.pdsch and not ul.pusch and not grants
+
+    # the UE signals SR on a PUCCH F0 occasion (cyclic-shift candidate set)
+    phy = UpperPhy(UpperPhyConfig(nof_ports=1))
+    f0 = pucch_mod.PucchFormat0Config(prb=0, start_symbol=13, nof_symbols=1,
+                                      initial_cyclic_shift=0, n_id=17,
+                                      nof_harq_bits=1, sr_opportunity=True)
+    sig = pucch_mod.format0_generate(f0, 1, sr=True)
+    grid = np.zeros((1, 14, 624), np.complex64)
+    grid[0, 13, :12] = np.asarray(sig)[-1]
+    req = fapi.UlTtiRequest(slot=_slot(1), pucch=[fapi.UlPucchPdu(f0, 0x44)])
+    res = phy.process_ul_tti(req, jnp.asarray(grid))
+    assert res.uci and res.uci[0].valid
+    bits = np.asarray(res.uci[0].uci_bits)
+    assert bits[-1] == 1  # SR positive (trailing bit)
+    sched.handle_sr(res.uci[0].rnti)
+
+    # next slot: UL grant present; after serving, demand clears again
+    dl, tx, ul, grants = sched.run_slot(_slot(2), rng)
+    assert ul.pusch and grants and grants[0][0] == 0x44
+    # BSR keeps UL flowing while backlog remains
+    sched.handle_bsr(0x44, 10_000)
+    dl, tx, ul, grants = sched.run_slot(_slot(3), rng)
+    assert ul.pusch
+    assert ue.ul_buffer_bytes < 10_000  # grant consumed part of the backlog
