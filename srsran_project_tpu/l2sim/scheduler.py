@@ -67,6 +67,11 @@ class SchedulerConfig:
     # pending SR (the reference's uci_scheduling/ue grant flow).  Off by
     # default: the loopback tests pair every DL grant with a UL grant.
     ul_demand_driven: bool = False
+    # Emit PDCCH PDUs carrying packed DCI 1_0 per DL grant (CORESET on
+    # symbol 0).  Off by default to keep compile costs out of tests that
+    # don't exercise the control channel.
+    emit_dci: bool = False
+    coreset_rb_count: int = 24
 
 
 class RoundRobinScheduler:
@@ -145,6 +150,7 @@ class RoundRobinScheduler:
         rb_each = c.nof_rb // n
 
         pdsch_pdus, payloads, pusch_pdus, grants = [], [], [], []
+        pdcch_pdus = []
         for i, ue in enumerate(sel):
             harq_id = slot.count % NOF_HARQ
             hp = ue.harqs[harq_id]
@@ -169,6 +175,20 @@ class RoundRobinScheduler:
             pdsch_pdus.append(fapi.DlPdschPdu(dl_cfg, ue.rnti, w, len(payloads),
                                               first_rb=i * rb_each))
             payloads.append(tb)
+            if c.emit_dci:
+                from ..phy.pdcch import PdcchConfig
+                from ..ran import dci as dci_mod
+
+                d = dci_mod.Dci10(rb_start=i * rb_each, rb_count=rb_each,
+                                  mcs=ue.mcs, new_data=new_data, rv=rv,
+                                  harq_id=harq_id)
+                bits = dci_mod.pack_dci_1_0(d, c.nof_rb)
+                pc = PdcchConfig(payload_bits=len(bits), aggregation_level=4,
+                                 cce_index=4 * i, coreset_rb_start=0,
+                                 coreset_rb_count=c.coreset_rb_count,
+                                 n_id=1, n_rnti=ue.rnti,
+                                 nof_grid_sc=c.nof_grid_sc)
+                pdcch_pdus.append(fapi.DlPdcchPdu(pc, ue.rnti, bits))
             ul_wanted = (not c.ul_demand_driven) or ue.sr_pending \
                 or ue.ul_buffer_bytes > 0 or hp.active and not new_data
             if ul_wanted:
@@ -183,7 +203,9 @@ class RoundRobinScheduler:
             pdsch_pdus, payloads = [], []
         elif tdd_dir == SlotDirection.SPECIAL:
             pdsch_pdus, payloads, pusch_pdus, grants = [], [], [], []
-        return (fapi.DlTtiRequest(slot=slot, pdsch=pdsch_pdus),
+        if tdd_dir == SlotDirection.UPLINK or tdd_dir == SlotDirection.SPECIAL:
+            pdcch_pdus = []
+        return (fapi.DlTtiRequest(slot=slot, pdsch=pdsch_pdus, pdcch=pdcch_pdus),
                 fapi.TxDataRequest(slot=slot, payloads=payloads),
                 fapi.UlTtiRequest(slot=slot, pusch=pusch_pdus), grants)
 

@@ -152,3 +152,81 @@ def process(payload: jax.Array, rnti: jax.Array, cfg: PdcchConfig) -> jax.Array:
         mask = dmrs_sym == sym
         grid = grid.at[jnp.asarray(dmrs_idx[mask])].set(pilots[jnp.asarray(seq_idx[mask])])
     return grid.reshape(cfg.nof_grid_symbols, cfg.nof_grid_sc)
+
+
+@functools.lru_cache(maxsize=None)
+def _re_groups(cfg: PdcchConfig):
+    """Group ids mapping every data/DM-RS RE to its (symbol, PRB) REG for
+    LS channel estimation on receive."""
+    data_idx, dmrs_idx, seq_idx, dmrs_sym = _re_indices(cfg)
+    def group_of(flat):
+        sym = flat // cfg.nof_grid_sc
+        prb = (flat % cfg.nof_grid_sc) // NRE
+        return sym * (cfg.nof_grid_sc // NRE) + prb
+    groups = sorted({int(group_of(i)) for i in dmrs_idx})
+    gid = {g: k for k, g in enumerate(groups)}
+    data_g = np.asarray([gid[int(group_of(i))] for i in data_idx], np.int32)
+    dmrs_g = np.asarray([gid[int(group_of(i))] for i in dmrs_idx], np.int32)
+    return data_g, dmrs_g, len(groups)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def receive(grid: jax.Array, rnti: jax.Array, cfg: PdcchConfig):
+    """UE-side PDCCH reception for one candidate: (nsym, nsc) grid ->
+    (dci_bits (payload_bits,) uint8, crc_ok bool).
+
+    LS channel estimate per REG from the PDCCH DM-RS, ZF equalize, QPSK
+    soft demap, descramble, polar rate-dematch + SSC decode, CRC24C with
+    the RNTI mask (blind-decode candidate check).
+    """
+    flat = grid.reshape(-1)
+    data_idx, dmrs_idx, seq_idx, dmrs_sym = _re_indices(cfg)
+    data_g, dmrs_g, n_groups = _re_groups(cfg)
+
+    # reference pilots (same construction as process())
+    nseq = int(seq_idx.max()) + 1
+    ref = jnp.zeros((len(dmrs_idx),), jnp.complex64)
+    for sym in sorted(set(int(s) for s in dmrs_sym)):
+        ci = ((1 << 17) * (14 * cfg.slot_in_frame + sym + 1) * (2 * cfg.n_id + 1)
+              + 2 * cfg.n_id) % (1 << 31)
+        c = scrambling.gold_sequence(np.uint32(ci), 2 * nseq)
+        re_p = 1.0 - 2.0 * c[0::2].astype(jnp.float32)
+        im_p = 1.0 - 2.0 * c[1::2].astype(jnp.float32)
+        pilots = ((re_p + 1j * im_p) / np.sqrt(2)).astype(jnp.complex64)
+        mask = dmrs_sym == sym
+        ref = ref.at[jnp.asarray(np.where(mask)[0])].set(pilots[jnp.asarray(seq_idx[mask])])
+
+    rx_p = flat[jnp.asarray(dmrs_idx)]
+    # per-REG LS estimate: mean of rx * conj(ref) over the REG's pilots
+    num = jnp.zeros((n_groups,), jnp.complex64).at[jnp.asarray(dmrs_g)].add(rx_p * jnp.conj(ref))
+    cnt = jnp.zeros((n_groups,), jnp.float32).at[jnp.asarray(dmrs_g)].add(1.0)
+    h = num / (cnt + 1e-12)
+
+    rx_d = flat[jnp.asarray(data_idx)]
+    hd = h[jnp.asarray(data_g)]
+    eq = rx_d * jnp.conj(hd) / (jnp.abs(hd) ** 2 + 1e-9)
+    # QPSK LLRs (sign convention: positive = bit 0), interleaved re/im
+    scale = 2.0 * np.sqrt(2.0)
+    llrs = jnp.stack([scale * eq.real, scale * eq.imag], axis=-1).reshape(-1)
+    c_init = (jnp.asarray(cfg.n_rnti, jnp.uint32) << 16) + jnp.uint32(cfg.n_id)
+    seq = scrambling.gold_sequence(c_init, cfg.nof_coded_bits)
+    llrs = jnp.where(seq == 1, -llrs, llrs)
+    lin = polar.rate_dematch_llrs(llrs, cfg.code)
+    u = polar.decode(lin, cfg.code)
+    # undo the DL input interleaver
+    from ..ops.polar import tables as ptab
+
+    pi = ptab.input_interleaver(cfg.payload_bits + 24)
+    deint = jnp.zeros_like(u)
+    deint = deint.at[..., jnp.asarray(pi)].set(u)
+    payload, crc_rx = deint[..., : cfg.payload_bits], deint[..., cfg.payload_bits :]
+    # unmask the RNTI from the last 16 CRC bits and verify over ones+payload
+    rnti_bits = ((jnp.asarray(rnti, jnp.uint32)[..., None]
+                  >> jnp.arange(15, -1, -1, dtype=jnp.uint32)) & 1).astype(jnp.uint8)
+    crc_rx = crc_rx.at[..., 8:].set(crc_rx[..., 8:] ^ rnti_bits)
+    from ..ops import crc as crc_mod
+
+    ones = jnp.ones(payload.shape[:-1] + (24,), jnp.uint8)
+    expected = crc_mod.crc(jnp.concatenate([ones, payload], axis=-1), "24C")
+    ok = jnp.all(expected == crc_rx, axis=-1)
+    return payload, ok
