@@ -67,6 +67,11 @@ class SchedulerConfig:
     # pending SR (the reference's uci_scheduling/ue grant flow).  Off by
     # default: the loopback tests pair every DL grant with a UL grant.
     ul_demand_driven: bool = False
+    # NTN: cell-specific koffset (TS 38.213 section 4.2 NTN extensions) —
+    # UL grants schedule PUSCH koffset slots after the DL slot that carried
+    # them, absorbing the feeder-link round trip (see support.config
+    # NtnConfig / configs/ntn_geo.yml).
+    ntn_koffset: int = 0
     # Emit PDCCH PDUs carrying packed DCI 1_0 per DL grant (CORESET on
     # symbol 0).  Off by default to keep compile costs out of tests that
     # don't exercise the control channel.
@@ -205,9 +210,11 @@ class RoundRobinScheduler:
             pdsch_pdus, payloads, pusch_pdus, grants = [], [], [], []
         if tdd_dir == SlotDirection.UPLINK or tdd_dir == SlotDirection.SPECIAL:
             pdcch_pdus = []
+        ul_slot = slot if not c.ntn_koffset else dataclasses.replace(
+            slot, count=slot.count + c.ntn_koffset)
         return (fapi.DlTtiRequest(slot=slot, pdsch=pdsch_pdus, pdcch=pdcch_pdus),
                 fapi.TxDataRequest(slot=slot, payloads=payloads),
-                fapi.UlTtiRequest(slot=slot, pusch=pusch_pdus), grants)
+                fapi.UlTtiRequest(slot=ul_slot, pusch=pusch_pdus), grants)
 
     def handle_sr(self, rnti: int) -> None:
         """PUCCH SR detected (UCI indication) -> pend a UL grant."""

@@ -49,9 +49,26 @@ class CellYamlConfig:
 
 
 @dataclasses.dataclass
+class NtnConfig:
+    """Non-terrestrial-network cell parameters (reference:
+    include/srsran/ntn/ntn_configuration_manager.h, configs/geo_ntn.yml).
+
+    The scheduler offsets every UL-grant / HARQ-feedback timing relation by
+    cell_specific_koffset slots, and ta_common_ms pre-compensates the bulk
+    round-trip delay (GEO ~ 240-270 ms) before per-UE TA tracking."""
+
+    enabled: bool = False
+    cell_specific_koffset: int = 0  # slots added to k1/k2 timing relations
+    ta_common_ms: float = 0.0  # broadcast common timing advance
+    ta_common_drift_us_per_s: float = 0.0
+    ephemeris: dict | None = None  # position/velocity state vector (opaque)
+
+
+@dataclasses.dataclass
 class DuLowConfig:
     cell: CellYamlConfig = dataclasses.field(default_factory=CellYamlConfig)
     expert_phy: ExpertPhyConfig = dataclasses.field(default_factory=ExpertPhyConfig)
+    ntn: NtnConfig = dataclasses.field(default_factory=NtnConfig)
     log_level: str = "info"
 
 

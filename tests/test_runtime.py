@@ -107,3 +107,23 @@ def test_slot_pipeline_deadlines():
     pipe.flush()
     assert pipe.report()["late"] == 1
     assert pipe.errors
+
+
+def test_ntn_config_and_koffset():
+    """NTN cell config loads; the scheduler shifts UL grants by koffset."""
+    from srsran_project_tpu.l2sim.scheduler import RoundRobinScheduler, SchedulerConfig
+    from srsran_project_tpu.ran.constants import SubcarrierSpacing
+    from srsran_project_tpu.ran.slot_point import SlotPoint
+    from srsran_project_tpu.support import config as cfg_mod
+
+    cfg = cfg_mod.load_config("configs/ntn_geo.yml")
+    assert cfg.ntn.enabled and cfg.ntn.cell_specific_koffset == 478
+    assert cfg.ntn.ta_common_ms > 200
+
+    sched = RoundRobinScheduler(SchedulerConfig(
+        nof_rb=24, max_ues_per_slot=1, ntn_koffset=cfg.ntn.cell_specific_koffset))
+    sched.add_ue(0x10)
+    slot = SlotPoint.from_sfn_slot(SubcarrierSpacing.KHZ15, 0, 0)
+    dl, tx, ul, grants = sched.run_slot(slot, np.random.default_rng(0))
+    assert dl.slot.count == 0
+    assert ul.slot.count == 478  # PUSCH arrives koffset slots later
