@@ -88,7 +88,9 @@ class CellScheduler:
         self.common = common
         self.ue_scheduler = ue_scheduler
         self.paging = PagingScheduler()
-        self.counters = {"ssb": 0, "sib1": 0, "paging": 0, "csi_rs": 0, "prach": 0}
+        self.cbs = CbsScheduler()
+        self.counters = {"ssb": 0, "sib1": 0, "paging": 0, "csi_rs": 0,
+                         "prach": 0, "cbs": 0}
 
     def _pbch_payload(self, slot: SlotPoint) -> np.ndarray:
         # 32-bit BCH payload: MIB-ish content (sfn + fixed fields), sim fidelity
@@ -113,6 +115,12 @@ class CellScheduler:
             if recs is not None:
                 broadcast = (P_RNTI, recs)
                 self.counters["paging"] += 1
+        elif count % c.paging_period_slots == c.paging_period_slots // 2:
+            # CBS warning SI window sits opposite the paging occasion
+            recs = self.cbs.drain()
+            if recs is not None:
+                broadcast = (CBS_RNTI, recs)
+                self.counters["cbs"] += 1
         if broadcast is not None:
             # broadcast PDSCH takes the band this slot (priority order)
             rnti, payload = broadcast
@@ -145,3 +153,58 @@ class CellScheduler:
         ul2 = fapi.UlTtiRequest(slot=slot, pusch=ul.pusch, pucch=ul.pucch,
                                 prach=prach, srs=ul.srs)
         return dl2, tx2, ul2, grants
+
+
+# ---------------------------------------------------------------------------
+# CBS / ETWS cell broadcast (reference: lib/du/du_high/du_manager/cbs/)
+# ---------------------------------------------------------------------------
+
+CBS_RNTI = 0xFFFD  # broadcast PDSCH identity used by this sim for warnings
+CBS_PAGE_BYTES = 82  # CB-DATA page size (TS 23.041 9.4.2)
+
+
+class CbsScheduler:
+    """Queues ETWS/CMAS warning messages; drains them page-by-page at SI
+    occasions (du_manager cbs + SIB6/7/8 scheduling role).
+
+    Long messages segment into 82-byte CB-DATA pages, each broadcast as a
+    (message_id, serial, page_index, total) record so UEs can reassemble.
+    """
+
+    def __init__(self):
+        self._queue: list[dict] = []
+        self._serial = 0
+
+    def warn(self, message_id: int, body: bytes, repetitions: int = 1) -> int:
+        """Queue a warning (ETWS primary: message_id 0x1100-0x1107 etc.)."""
+        self._serial = (self._serial + 1) & 0xFFFF
+        pages = [body[i : i + CBS_PAGE_BYTES] for i in range(0, len(body), CBS_PAGE_BYTES)] or [b""]
+        for _ in range(repetitions):
+            for k, pg in enumerate(pages):
+                self._queue.append({"message_id": message_id, "serial": self._serial,
+                                    "page": k, "total": len(pages),
+                                    "data": pg.hex()})
+        return self._serial
+
+    def drain(self) -> bytes | None:
+        if not self._queue:
+            return None
+        recs, self._queue = self._queue[:4], self._queue[4:]
+        return json.dumps({"cbs_pages": recs}).encode()
+
+
+def reassemble_cbs(payloads: list[bytes]) -> dict[tuple[int, int], bytes]:
+    """UE-side: join CB-DATA pages back into full warning bodies keyed by
+    (message_id, serial)."""
+    pages: dict[tuple[int, int], dict[int, bytes]] = {}
+    totals: dict[tuple[int, int], int] = {}
+    for p in payloads:
+        for rec in json.loads(p.decode()).get("cbs_pages", []):
+            k = (rec["message_id"], rec["serial"])
+            pages.setdefault(k, {})[rec["page"]] = bytes.fromhex(rec["data"])
+            totals[k] = rec["total"]
+    out = {}
+    for k, pg in pages.items():
+        if len(pg) == totals[k]:
+            out[k] = b"".join(pg[i] for i in range(totals[k]))
+    return out

@@ -109,3 +109,21 @@ def test_ngap_paging_reaches_the_paging_occasion():
     assert [p.rnti for p in dl.pdsch] == [P_RNTI]
     recs = json.loads(np.packbits(np.asarray(tx.payloads[0])).tobytes())
     assert recs["paging_records"][0]["ue_paging_id"] == 0x5551212
+
+
+def test_cbs_etws_warning_broadcast_and_reassembly():
+    from srsran_project_tpu.l2sim.common_scheduling import CBS_RNTI, reassemble_cbs
+
+    cell = make_cell()
+    body = b"EARTHQUAKE WARNING " * 12  # > 2 pages
+    serial = cell.cbs.warn(message_id=0x1100, body=body)
+    rng = np.random.default_rng(0)
+    payloads = []
+    for i in range(64):
+        dl, tx, _, _ = cell.run_slot(_slot(i), rng)
+        for p, bits in zip(dl.pdsch, tx.payloads):
+            if p.rnti == CBS_RNTI:
+                payloads.append(np.packbits(np.asarray(bits)).tobytes())
+    assert cell.counters["cbs"] >= 1 and payloads
+    done = reassemble_cbs(payloads)
+    assert done[(0x1100, serial)] == body
