@@ -109,3 +109,44 @@ def generate_prs(cfg: PrsConfig) -> jax.Array:
         pilots = ((re + 1j * im) / np.sqrt(2)).astype(jnp.complex64)
         grid = grid.at[sym * cfg.nof_grid_sc + jnp.asarray(ks.astype(np.int32))].set(pilots)
     return grid.reshape(cfg.nof_grid_symbols, cfg.nof_grid_sc)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "dft_size"))
+def prs_toa_estimate(rx_grid: jax.Array, cfg: PrsConfig, dft_size: int = 4096):
+    """UE-side DL-PRS time-of-arrival estimate (samples at dft_size/grid
+    resolution) + RSRP — the measurement the positioning procedure reports
+    (counterpart of the reference's PRS processing for NRPPa positioning).
+
+    Per PRS symbol: LS channel estimate on the comb REs -> combined IDFT
+    power-delay profile across symbols -> fractional peak (parabolic
+    interpolation), mapped to TOA in samples of the dft_size domain.
+    """
+    per_sym = cfg.rb_count * NRE // cfg.comb_size
+    offsets = _PRS_OFFSETS[cfg.comb_size]
+    # coherent spectrum accumulation: the staggered comb offsets across
+    # symbols fill the subcarrier grid, so a single IDFT of the combined
+    # spectrum has no comb aliases (static channel over the PRS duration)
+    spread = jnp.zeros((dft_size,), jnp.complex64)
+    rsrp = 0.0
+    for i in range(cfg.nof_symbols):
+        sym = cfg.start_symbol + i
+        koff = (cfg.comb_offset + offsets[i % len(offsets)]) % cfg.comb_size
+        ks = cfg.rb_start * NRE + koff + cfg.comb_size * np.arange(per_sym)
+        c = scrambling.gold_sequence(np.uint32(_prs_c_init(cfg, sym)), 2 * per_sym)
+        re = 1.0 - 2.0 * c[0::2].astype(jnp.float32)
+        im = 1.0 - 2.0 * c[1::2].astype(jnp.float32)
+        pilots = ((re + 1j * im) / np.sqrt(2)).astype(jnp.complex64)
+        h = rx_grid[sym, jnp.asarray(ks.astype(np.int32))] * jnp.conj(pilots)
+        rsrp = rsrp + (jnp.abs(h) ** 2).mean() / cfg.nof_symbols
+        spread = spread.at[jnp.asarray(ks.astype(np.int32) % dft_size)].add(h)
+    pdp = jnp.abs(jnp.fft.ifft(spread)) ** 2
+    peak = jnp.argmax(pdp)
+    # parabolic interpolation around the peak for sub-sample resolution
+    y0 = pdp[(peak - 1) % dft_size]
+    y1 = pdp[peak]
+    y2 = pdp[(peak + 1) % dft_size]
+    frac = 0.5 * (y0 - y2) / (y0 - 2 * y1 + y2 + 1e-12)
+    toa = (peak.astype(jnp.float32) + frac) % dft_size
+    # delays beyond half the window are negative (early) arrivals
+    toa = jnp.where(toa > dft_size / 2, toa - dft_size, toa)
+    return {"toa_samples": toa, "rsrp": rsrp, "peak_power": y1 / (pdp.mean() + 1e-12)}
