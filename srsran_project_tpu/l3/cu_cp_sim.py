@@ -112,6 +112,10 @@ class CuCpSim:
         # paging sink: cb(ue_paging_id) -> the DU cell scheduler's paging
         # queue (l2sim.common_scheduling.PagingScheduler.page)
         self.paging_sink = None
+        # mobility (the reference's cell_meas_manager + mobility_manager):
+        # pci -> (du_id, next target du_ue_id allocator); A3 hysteresis dB
+        self.neighbor_cells: dict[int, tuple[int, object]] = {}
+        self.a3_offset_db = 3.0
 
     def add_du(self, du_id: int, send_fn) -> None:
         """Register an additional DU F1 connection (multi-DU / handover)."""
@@ -239,6 +243,8 @@ class CuCpSim:
                 ran_ue_id=ctx.cu_ue_id, amf_ue_id=ctx.amf_ue_id)))
         elif isinstance(rrc, m.RrcReestablishmentComplete):
             ctx.state = "connected"
+        elif isinstance(rrc, m.RrcMeasurementReport):
+            self._handle_measurement_report(ctx, rrc)
         elif isinstance(rrc, m.RrcReconfigurationComplete):
             if ctx.ho_target is not None:
                 self._finish_handover(ctx)
@@ -418,3 +424,32 @@ CuCpSim.start_handover = _cucp_start_handover
 CuCpSim._continue_handover = _cucp_continue_handover
 CuCpSim._finish_handover = _cucp_finish_handover
 CuCpSim.handle_reestablishment = _cucp_handle_reestablishment
+
+
+def _cucp_add_neighbor(self: CuCpSim, pci: int, du_id: int, allocate_target_ue) -> None:
+    """Register a neighbor cell for measurement-driven mobility.
+
+    allocate_target_ue() -> target gnb_du_ue_id on that DU (the du_manager
+    ue-creation hook; in the sims this is DuF1Sim.allocate_ue bound to the
+    UE's DL delivery callback)."""
+    self.neighbor_cells[pci] = (du_id, allocate_target_ue)
+
+
+def _cucp_handle_measurement_report(self: CuCpSim, ctx: _CuUeCtx, rep) -> None:
+    """A3-style decision (cell_meas_manager role): hand over when a known
+    neighbor beats the serving cell by the hysteresis offset."""
+    if ctx.ho_target is not None or not rep.results:
+        return
+    serving = rep.results[0]
+    best = max(rep.results[1:], key=lambda r: r["rsrp_dbm"], default=None)
+    if best is None or best["rsrp_dbm"] < serving["rsrp_dbm"] + self.a3_offset_db:
+        return
+    target = self.neighbor_cells.get(best["pci"])
+    if target is None or target[0] == ctx.du_id:
+        return
+    du_id, allocate = target
+    self.start_handover(ctx.cu_ue_id, du_id, allocate(), target_pci=best["pci"])
+
+
+CuCpSim.add_neighbor = _cucp_add_neighbor
+CuCpSim._handle_measurement_report = _cucp_handle_measurement_report

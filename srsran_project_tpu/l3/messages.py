@@ -242,3 +242,9 @@ class RrcReestablishmentComplete:
 class Paging:
     ue_paging_id: int  # 5G-S-TMSI
     tac_list: list = None
+
+
+@msg(PROTO_RRC, 11)
+class RrcMeasurementReport:
+    # [{pci, rsrp_dbm}] — serving cell first
+    results: list

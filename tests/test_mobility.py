@@ -150,3 +150,34 @@ def test_reestablishment_unknown_rnti_rejected():
     _attach(amf, cucp, du0)
     ok = cucp.handle_reestablishment(1, 99, m.RrcReestablishmentRequest(rnti=0xDEAD))
     assert not ok
+
+
+def test_measurement_report_triggers_a3_handover():
+    """UE measurement report (neighbor > serving + 3 dB) drives the HO."""
+    amf, cucp, du0, du1, e1, cu_ups = build_two_du_network()
+    ue = _attach(amf, cucp, du0)
+    released = []
+    du0.on_ue_release = released.append
+
+    cucp.add_neighbor(pci=2, du_id=1,
+                      allocate_target_ue=lambda: du1.allocate_ue(ue.deliver_dl))
+    # weak neighbor: no HO
+    ue.ho_switch = None
+    ue._send(m.RrcMeasurementReport(results=[{"pci": 1, "rsrp_dbm": -80.0},
+                                             {"pci": 2, "rsrp_dbm": -82.0}]))
+    assert cucp.ues[1].du_id == 0 and not released
+
+    # strong neighbor: A3 fires, UE executes the sync reconfig to DU1
+    ue.ho_switch = "pending"  # set by the allocator call below
+
+    def alloc():
+        t_id = du1.allocate_ue(ue.deliver_dl)
+        ue.ho_switch = (du1, t_id)
+        return t_id
+
+    cucp.neighbor_cells[2] = (1, alloc)
+    ue._send(m.RrcMeasurementReport(results=[{"pci": 1, "rsrp_dbm": -85.0},
+                                             {"pci": 2, "rsrp_dbm": -78.0}]))
+    ctx = cucp.ues[1]
+    assert ctx.state == "connected" and ctx.du_id == 1
+    assert ue.sync_pcis[-1] == 2 and released
