@@ -74,3 +74,23 @@ def test_cplane_uplane_over_ethernet():
     assert got == 4 and pc.value == 2 and seq.value == 17
     # BFP at width 9 is lossy but close
     assert np.abs(out.astype(np.int32) - iq.astype(np.int32)).max() <= (1 << 3)
+
+
+def test_realtime_timing_worker_paces_slots():
+    import time as _t
+
+    from srsran_project_tpu.ofh.timing import RealtimeTimingWorker
+    from srsran_project_tpu.ran.constants import SubcarrierSpacing
+
+    slots = []
+    w = RealtimeTimingWorker(SubcarrierSpacing.KHZ30, on_slot=slots.append)
+    t0 = _t.monotonic()
+    w.run(nof_slots=10)
+    elapsed = _t.monotonic() - t0
+    assert len(slots) == 10
+    # 10 slots at 0.5 ms: ~5 ms wall clock (generous CI bounds)
+    assert elapsed < 0.5
+    counts = [s.count for s in slots]
+    assert counts == sorted(counts)
+    # ticking monotonically, no duplicate notifications
+    assert len(set(counts)) == len(counts)
