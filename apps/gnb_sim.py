@@ -40,6 +40,8 @@ def main() -> int:
     ap.add_argument("--channel", default="single", choices=["single", "tdla", "tdlb", "tdlc"])
     ap.add_argument("--handover", action="store_true",
                     help="after traffic, hand every UE over to a second DU")
+    ap.add_argument("--e2", action="store_true",
+                    help="attach an E2 agent + RIC double; print KPM indications")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--metrics-json", action="store_true")
     args = ap.parse_args()
@@ -152,6 +154,22 @@ def main() -> int:
     print(f"[gnb_sim] {args.ues} UE(s) attached "
           f"(NG+F1+E1 up, sessions: {amf.sessions_done})")
 
+    # ---- E2 agent (optional) --------------------------------------------------
+    ric = agent = None
+    if args.e2:
+        from srsran_project_tpu.l3 import e2_sim
+        ric = e2_sim.RicSim()
+        agent = e2_sim.E2Agent(gnb_id=411, send_to_ric=ric.rx)
+        ric.agent_tx = agent.rx
+        agent.kpm.register("DRB.UEThpUl",
+                           lambda: sum(u.ul_bits_ok for u in du.scheduler.ues.values()))
+        agent.kpm.register("DRB.RlcSduTransmittedVolumeDL", lambda: du.dl_bytes)
+        agent.kpm.register("RRU.PrbTotDl", lambda: 48.0)
+        agent.start()
+        ric.subscribe(req_id=1, period=2,
+                      measurements=["DRB.UEThpUl", "DRB.RlcSduTransmittedVolumeDL",
+                                    "RRU.PrbTotDl"])
+
     # ---- traffic over the PHY ----------------------------------------------
     du.scheduler.tb_source = du.build_dl_tb
     phy = UpperPhy(UpperPhyConfig(nof_ports=1))
@@ -210,6 +228,8 @@ def main() -> int:
             u.pdcp.tick(k)
         for c in cu_ups.values():
             c.tick(k)
+        if agent is not None:
+            agent.tick(k)
         got_all = all(len(u.delivered) >= args.packets for _, u in ues) \
             and len(core_rx) >= args.ues * args.packets
         if got_all:
@@ -239,6 +259,10 @@ def main() -> int:
             print(f"[gnb_sim] UE{i} handover -> DU2: state={ctx.state} "
                   f"du_id={ctx.du_id}")
             ok &= ctx.du_id == 1
+
+    if ric is not None:
+        print(f"[gnb_sim] E2: {len(ric.indications)} KPM indications, last records: "
+              f"{ric.indications[-1].records if ric.indications else {}}")
 
     if args.metrics_json:
         print(json.dumps({"ues": args.ues, "dl_packets": sum(len(u.delivered) for _, u in ues),
