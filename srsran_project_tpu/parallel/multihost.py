@@ -27,6 +27,7 @@ from __future__ import annotations
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -62,6 +63,26 @@ def host_mesh(nof_hosts: int | None = None, tp: int = 1, devices=None) -> Mesh:
     assert per_host >= 1 and per_host % tp == 0, (len(devices), nof_hosts, tp)
     arr = np.asarray(devices[: nof_hosts * per_host]).reshape(nof_hosts, per_host // tp, tp)
     return Mesh(arr, ("host", "dp", "tp"))
+
+
+def global_batch(mesh: Mesh, local_batch, spec: P | None = None):
+    """Assemble a global sharded array from each process's local batch rows.
+
+    This is the DCN data-plane input path: each host contributes the
+    cells/slots it received from its own fronthaul, and the result is one
+    global (cells, ...) array laid out host-locally (no cross-host transfer
+    happens — each process's rows land on its own devices).  Single-process
+    (tests, virtual hosts) it degrades to a plain device_put.
+    """
+    if spec is None:
+        spec = P(("host", "dp"))
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(jnp.asarray(local_batch), sharding)
+    global_shape = (local_batch.shape[0] * jax.process_count(),) + tuple(
+        local_batch.shape[1:]
+    )
+    return jax.make_array_from_process_local_data(sharding, local_batch, global_shape)
 
 
 def cell_sharding(mesh: Mesh) -> NamedSharding:

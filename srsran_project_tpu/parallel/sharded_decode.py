@@ -24,9 +24,10 @@ def decode_codeblocks_sharded(
     z: int,
     mesh: Mesh,
     nof_iterations: int = 6,
-    axis: str = "dp",
+    axis: str | tuple[str, ...] = "dp",
 ):
-    """Decode (C, N) codeblock LLRs with C sharded over `axis`.
+    """Decode (C, N) codeblock LLRs with C sharded over `axis` (a mesh axis
+    name or a tuple of axes, e.g. ("host", "dp") to span hosts over DCN).
 
     Returns (bits (C, K), nof_crc24b_failures (scalar, psum across shards)).
     C must divide by the axis size (pad with zero-LLR codeblocks upstream).
@@ -51,7 +52,11 @@ def decode_codeblocks_sharded(
 
 def shard_codeblocks(llrs: np.ndarray, mesh: Mesh, axis: str = "dp"):
     """Pad C to a multiple of the axis size and device_put with sharding."""
-    size = mesh.shape[axis]
+    size = (
+        int(np.prod([mesh.shape[a] for a in axis]))
+        if isinstance(axis, tuple)
+        else mesh.shape[axis]
+    )
     c = llrs.shape[0]
     pad = (-c) % size
     x = np.pad(llrs, ((0, pad), (0, 0)))
