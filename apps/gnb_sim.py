@@ -44,6 +44,8 @@ def main() -> int:
                     help="attach an E2 agent + RIC double; print KPM indications")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--metrics-json", action="store_true")
+    ap.add_argument("--pcap-dir", default=None,
+                    help="write ngap/f1ap/e1ap/e2ap/gtpu pcaps into this directory")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -59,6 +61,27 @@ def main() -> int:
 
     sys.path.insert(0, __file__.rsplit("/", 1)[0] + "/../tests")
     from test_du_cu_split import UeSim  # UE-side stack (tests double as libs)
+
+    pcap_writers = []
+    if args.pcap_dir:
+        import os
+
+        from srsran_project_tpu.l3.e2_sim import PROTO_E2AP
+        from srsran_project_tpu.support import pcap as pcap_mod
+
+        os.makedirs(args.pcap_dir, exist_ok=True)
+        for proto, mk, name in (
+            (m.PROTO_NGAP, pcap_mod.ngap_pcap, "ngap"),
+            (m.PROTO_F1AP, pcap_mod.f1ap_pcap, "f1ap"),
+            (m.PROTO_E1AP, pcap_mod.e1ap_pcap, "e1ap"),
+            (PROTO_E2AP, pcap_mod.e2ap_pcap, "e2ap"),
+        ):
+            w = mk(os.path.join(args.pcap_dir, f"gnb_{name}.pcap"))
+            m.attach_pcap(proto, w)
+            pcap_writers.append((lambda p=proto: m.detach_pcap(p), w))
+        wg = pcap_mod.gtpu_pcap(os.path.join(args.pcap_dir, "gnb_gtpu.pcap"))
+        gtpu.attach_pcap(wg)
+        pcap_writers.append((gtpu.detach_pcap, wg))
 
     t0 = time.time()
     rng = np.random.default_rng(0)
@@ -268,6 +291,10 @@ def main() -> int:
         print(json.dumps({"ues": args.ues, "dl_packets": sum(len(u.delivered) for _, u in ues),
                           "ul_packets": len(ul_got), "slots_used": done_slot,
                           "wall_s": round(time.time() - t0, 2), "ok": ok}))
+    for detach, w in pcap_writers:
+        detach()
+        w.close()
+        print(f"[gnb_sim] pcap: {w.path} ({w.nof_packets} packets)")
     return 0 if ok else 1
 
 

@@ -34,6 +34,21 @@ class GtpuPdu:
     pdu_session_dl: bool = True
 
 
+# GTP-U pcap capture hook (reference: gtpu dlt_pcap, DLT 156).  Captures
+# every encoded tunnel PDU; rx capture opt-in (loopback links double up).
+_PCAP: tuple[object, bool] | None = None
+
+
+def attach_pcap(writer, capture_rx: bool = False) -> None:
+    global _PCAP
+    _PCAP = (writer, capture_rx)
+
+
+def detach_pcap() -> None:
+    global _PCAP
+    _PCAP = None
+
+
 def _pdu_session_container(qfi: int, downlink: bool) -> bytes:
     """TS 38.415 DL/UL PDU SESSION INFORMATION (minimal 2-byte body)."""
     t = PDU_SESSION_DL if downlink else PDU_SESSION_UL
@@ -59,10 +74,15 @@ def encode(pdu: GtpuPdu) -> bytes:
             opt += bytes([(len(body) + 2 + pad) // 4]) + body + bytes(pad) + bytes([0])
     body = opt + pdu.payload
     hdr = bytes([flags, pdu.msg_type]) + len(body).to_bytes(2, "big") + pdu.teid.to_bytes(4, "big")
-    return hdr + body
+    frame = hdr + body
+    if _PCAP is not None:
+        _PCAP[0].write_packet(frame)
+    return frame
 
 
 def decode(data: bytes) -> GtpuPdu:
+    if _PCAP is not None and _PCAP[1]:
+        _PCAP[0].write_packet(bytes(data))
     flags = data[0]
     assert (flags >> 5) == 1, "GTP version must be 1"
     msg_type = data[1]

@@ -27,14 +27,38 @@ def msg(proto: int, type_id: int):
     return deco
 
 
+# Per-protocol pcap capture hooks — the dlt_pcap role (reference
+# lib/pcap/dlt_pcap_impl.cpp): every encoded (tx) frame of an attached
+# protocol is written to its writer; rx capture is opt-in so in-process
+# loopback links don't record each frame twice.
+_PCAPS: dict[int, tuple[object, bool]] = {}
+
+
+def attach_pcap(proto: int, writer, capture_rx: bool = False) -> None:
+    """Attach a support.pcap.PcapWriter to a protocol id (PROTO_* or the
+    E2 sim's PROTO_E2AP).  All subsequently encoded frames are captured."""
+    _PCAPS[proto] = (writer, capture_rx)
+
+
+def detach_pcap(proto: int) -> None:
+    _PCAPS.pop(proto, None)
+
+
 def encode(m) -> bytes:
     proto, tid = _TAGS[type(m)]
     body = json.dumps(dataclasses.asdict(m), separators=(",", ":"), sort_keys=True)
-    return bytes([proto, tid]) + body.encode()
+    frame = bytes([proto, tid]) + body.encode()
+    cap = _PCAPS.get(proto)
+    if cap is not None:
+        cap[0].write_packet(frame)
+    return frame
 
 
 def decode(data: bytes):
     cls = _REGISTRY[(data[0], data[1])]
+    cap = _PCAPS.get(data[0])
+    if cap is not None and cap[1]:
+        cap[0].write_packet(bytes(data))
     return cls(**json.loads(data[2:].decode()))
 
 

@@ -69,6 +69,35 @@ class PcapWriter:
         self.close()
 
 
+# Per-protocol DLT_USER assignments, identical to the reference's
+# (lib/pcap/dlt_pcap_impl.cpp:30-34) so Wireshark decode-as rules carry over.
+PCAP_NGAP_DLT = 152
+PCAP_E1AP_DLT = 153
+PCAP_F1AP_DLT = 154
+PCAP_E2AP_DLT = 155
+PCAP_GTPU_DLT = 156
+
+
+def ngap_pcap(path: str) -> "PcapWriter":
+    return PcapWriter(path, dlt=PCAP_NGAP_DLT)
+
+
+def e1ap_pcap(path: str) -> "PcapWriter":
+    return PcapWriter(path, dlt=PCAP_E1AP_DLT)
+
+
+def f1ap_pcap(path: str) -> "PcapWriter":
+    return PcapWriter(path, dlt=PCAP_F1AP_DLT)
+
+
+def e2ap_pcap(path: str) -> "PcapWriter":
+    return PcapWriter(path, dlt=PCAP_E2AP_DLT)
+
+
+def gtpu_pcap(path: str) -> "PcapWriter":
+    return PcapWriter(path, dlt=PCAP_GTPU_DLT)
+
+
 class MacNrPcapWriter(PcapWriter):
     """MAC-NR pcap: Wireshark udp-framed context header + MAC PDU."""
 

@@ -65,3 +65,42 @@ def test_write_after_close_raises(tmp_path):
     except ValueError:
         raised = True
     assert raised
+
+
+def test_protocol_pcap_hooks(tmp_path):
+    """Per-protocol dlt_pcap capture on the L3 message layer + GTP-U
+    (reference: lib/pcap/dlt_pcap_impl.cpp DLTs 152-156)."""
+    from srsran_project_tpu.l2 import gtpu
+    from srsran_project_tpu.l3 import messages as m
+
+    ngap_p = str(tmp_path / "ngap.pcap")
+    f1ap_p = str(tmp_path / "f1ap.pcap")
+    gtpu_p = str(tmp_path / "gtpu.pcap")
+    wn = pcap.ngap_pcap(ngap_p)
+    wf = pcap.f1ap_pcap(f1ap_p)
+    wg = pcap.gtpu_pcap(gtpu_p)
+    m.attach_pcap(m.PROTO_NGAP, wn)
+    m.attach_pcap(m.PROTO_F1AP, wf, capture_rx=True)
+    gtpu.attach_pcap(wg)
+    try:
+        frame_ng = m.encode(m.NgSetupRequest(gnb_id=1, plmn="00101", tac=7))
+        frame_f1 = m.encode(m.F1SetupRequest(gnb_du_id=2, cells=[]))
+        m.decode(frame_f1)  # rx capture doubles the F1AP frame
+        m.decode(frame_ng)  # NGAP rx NOT captured (capture_rx default off)
+        g = gtpu.encode_gpdu(teid=0x10, payload=b"ip-packet", qfi=1)
+        gtpu.decode(g)
+    finally:
+        m.detach_pcap(m.PROTO_NGAP)
+        m.detach_pcap(m.PROTO_F1AP)
+        gtpu.detach_pcap()
+        wn.close(); wf.close(); wg.close()
+
+    dlt, pkts = pcap.read_pcap(ngap_p)
+    assert dlt == pcap.PCAP_NGAP_DLT and len(pkts) == 1
+    assert pkts[0][1] == frame_ng
+    dlt, pkts = pcap.read_pcap(f1ap_p)
+    assert dlt == pcap.PCAP_F1AP_DLT and len(pkts) == 2
+    assert pkts[0][1] == frame_f1 == pkts[1][1]
+    dlt, pkts = pcap.read_pcap(gtpu_p)
+    assert dlt == pcap.PCAP_GTPU_DLT and len(pkts) == 1
+    assert pkts[0][1] == g
