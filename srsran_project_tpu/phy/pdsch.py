@@ -79,16 +79,17 @@ def dmrs_pilots(cfg: PdschConfig, nof_pilots: int) -> jax.Array:
     return jnp.stack(outs).astype(jnp.complex64)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def _bit_chain(tb_bits: jax.Array, rnti: jax.Array, cfg: PdschConfig) -> jax.Array:
     """Segment + LDPC encode + rate match + scramble: (A,) -> (G,) bits.
 
-    Plain Python over individually-jitted blocks: fusing several blocks
-    into one XLA program blows up the TPU compiler at 100 MHz sizes, while
-    each block alone compiles in seconds (CRC/LDPC/rate-match/Gold are the
-    compiled units; glue is cached elementwise ops).
+    One compiled program: the whole bit chain fuses fine (it is the
+    whole-slot fusion incl. modulation/grid/OFDM that blows up the TPU
+    compiler), and fusing removes ~10 per-call program dispatches whose
+    tunnel overhead dominated the encode wall-clock.
     """
-    cw = checkpoint(encode_transport_block(tb_bits, cfg.sch))
-    return checkpoint(scrambling.scramble_bits(cw, _pdsch_c_init(jnp.asarray(rnti), cfg.n_id)))
+    cw = encode_transport_block(tb_bits, cfg.sch)
+    return scrambling.scramble_bits(cw, _pdsch_c_init(rnti, cfg.n_id))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

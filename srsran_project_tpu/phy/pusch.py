@@ -125,45 +125,46 @@ def _pusch_c_init(rnti, n_id: int):
     return (rnti.astype(jnp.uint32) << 15) + jnp.uint32(n_id)
 
 
-def _dmrs_pilots(cfg: PuschConfig, nof_pilots: int) -> jax.Array:
-    outs = []
-    for sym in cfg.alloc.dmrs_symbols:
-        c_init = dmrs_mod.dmrs_c_init(cfg.slot_in_frame, sym, cfg.dmrs_scrambling_id, cfg.n_scid)
-        c = scrambling.gold_sequence(np.uint32(c_init), 2 * nof_pilots)
-        re = 1.0 - 2.0 * c[0::2].astype(jnp.float32)
-        im = 1.0 - 2.0 * c[1::2].astype(jnp.float32)
-        outs.append((re + 1j * im) / np.sqrt(2))
-    return jnp.stack(outs).astype(jnp.complex64)
-
-
-def _front_end(grid: jax.Array, rnti: jax.Array, cfg: PuschConfig):
-    """Grid -> descrambled int8 codeword LLRs (+ channel metrics).
-
-    Deliberately NOT wrapped in an outer jit: the inner blocks
-    (estimate_channel, equalize, demap_soft, gold_sequence) are each jitted
-    programs that compile in seconds, while fusing them into one XLA
-    program makes the TPU compiler blow up super-linearly on large
-    carriers; the glue between them is a handful of cached elementwise /
-    gather ops.
-    """
+@functools.lru_cache(maxsize=None)
+def _estimate_constants(cfg: PuschConfig):
+    """Host-side pilot geometry + DM-RS pilot values for this static config
+    (NumPy constants baked into the estimate program; the Gold sequence is
+    the host LFSR — no device program needed for pilots)."""
     a = cfg.alloc
-    nl, npr = cfg.nof_layers, cfg.nof_rx_ports
-    gflat = grid.reshape(npr, -1)
-
-    # --- Channel estimation, all (rx port, layer) pairs in ONE batched call
-    # (layers stack on a leading axis; estimate_channel broadcasts) ---
     idx_l, wf_l, seq_l = [], [], []
     pair_pos = None
-    for layer in range(nl):
+    for layer in range(cfg.nof_layers):
         idx, wf, pair_pos, seq_idx = alloc_mod.pilot_re_indices(a, layer, cfg.nof_grid_sc)
         idx_l.append(idx.reshape(-1))
         wf_l.append(wf)
         seq_l.append(seq_idx)
-    idx_all = jnp.asarray(np.stack(idx_l))  # (nl, nsym_d*Np)
-    wf_all = jnp.asarray(np.stack(wf_l), jnp.float32)  # (nl, Np)
-    nof_pilots_total = int(max(s[-1] for s in seq_l)) + 1
-    pilots = _dmrs_pilots(cfg, nof_pilots_total)  # (nsym_d, n_total)
-    r_all = jnp.stack([pilots[:, jnp.asarray(s)] for s in seq_l])  # (nl, nsym_d, Np)
+    idx_all = np.stack(idx_l).astype(np.int32)  # (nl, nsym_d*Np)
+    wf_all = np.stack(wf_l).astype(np.float32)  # (nl, Np)
+    n_total = int(max(s[-1] for s in seq_l)) + 1
+    pil = []
+    for sym in a.dmrs_symbols:
+        c_init = dmrs_mod.dmrs_c_init(cfg.slot_in_frame, sym, cfg.dmrs_scrambling_id, cfg.n_scid)
+        c = scrambling.gold_ref(int(c_init), 2 * n_total).astype(np.float32)
+        pil.append(((1.0 - 2.0 * c[0::2]) + 1j * (1.0 - 2.0 * c[1::2])) / np.sqrt(2))
+    pilots = np.stack(pil).astype(np.complex64)  # (nsym_d, n_total)
+    r_all = np.stack([pilots[:, s] for s in seq_l]).astype(np.complex64)  # (nl, nsym_d, Np)
+    return idx_all, wf_all, r_all, pair_pos
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _estimate_stage(grid: jax.Array, cfg: PuschConfig):
+    """Pilot gather + channel estimation (all port/layer pairs) + CFO
+    derotation + PT-RS common-phase-error tracking, ONE compiled program.
+
+    Returns (gflat (npr, nsym*nsc) possibly derotated, h (npr, nof_sc, nl),
+    noise_var, snr_acc)."""
+    a = cfg.alloc
+    nl, npr = cfg.nof_layers, cfg.nof_rx_ports
+    idx_np, wf_np, r_np, pair_pos = _estimate_constants(cfg)
+    idx_all = jnp.asarray(idx_np)
+    wf_all = jnp.asarray(wf_np)
+    r_all = jnp.asarray(r_np)
+    gflat = grid.reshape(npr, -1)
 
     def estimate_all(gf):
         y_p = gf[:, idx_all].reshape(npr, nl, len(a.dmrs_symbols), -1)
@@ -172,7 +173,6 @@ def _front_end(grid: jax.Array, rnti: jax.Array, cfg: PuschConfig):
             y_p, r_all[:, None], wf_all[:, None, None, :], pair_pos, a.nof_sc,
             compute_cfo=cfg.cfo_compensation,
         )  # h_l: (nl, npr, nof_sc), nv_l: (nl, npr)
-        checkpoint(h_l)
         h = jnp.moveaxis(h_l, 0, -1)  # (npr, nof_sc, nl)
         nvar_acc = nv_l.mean()
         snr_acc = metrics["snr"].mean()
@@ -190,7 +190,6 @@ def _front_end(grid: jax.Array, rnti: jax.Array, cfg: PuschConfig):
         derot = jnp.exp(-1j * slope * sym_idx).astype(jnp.complex64)
         gflat = (grid * derot[None, :, None]).reshape(npr, -1)
         h, nvar_acc, snr_acc, _ = estimate_all(gflat)
-    noise_var = nvar_acc
 
     if cfg.ptrs_enabled:
         # PT-RS common-phase-error tracking: per data symbol, the rotation
@@ -217,13 +216,24 @@ def _front_end(grid: jax.Array, rnti: jax.Array, cfg: PuschConfig):
         phase = jnp.where(jnp.abs(per_sym) > 0, per_sym / jnp.maximum(jnp.abs(per_sym), 1e-12), 1.0)
         gflat = (grid * jnp.conj(phase)[None, :, None]).reshape(npr, -1)
 
+    return gflat, h, nvar_acc, snr_acc
+
+
+def _front_end(grid: jax.Array, rnti: jax.Array, cfg: PuschConfig):
+    """Grid -> descrambled int8 codeword LLRs (+ channel metrics).
+
+    Three compiled programs (estimate / equalize / demap), each with all of
+    its gather/reshape glue fused in: per-program dispatch on the TPU
+    tunnel costs ~1 ms per batch, so eager glue ops between stages dominate
+    wall-clock if left outside the jits.  Fusing ALL stages into one XLA
+    program is the other extreme — it blows up the compiler super-linearly
+    on 100 MHz carriers — so the stage granularity stays.
+    """
+    gflat, h, noise_var, snr_acc = checkpoint(_estimate_stage(grid, cfg))
     x_hat, eq_nvar = checkpoint(_equalize_stage(gflat, h, noise_var, cfg))
     llr_i8 = checkpoint(
         _demap_stage(x_hat, eq_nvar, jnp.asarray(rnti), cfg)
     )
-    if cfg.ptrs_enabled:
-        # Erase LLRs of the punctured PT-RS positions.
-        llr_i8 = llr_i8.at[jnp.asarray(_ptrs_bit_positions(cfg))].set(0)
     return llr_i8, noise_var, snr_acc
 
 
@@ -279,7 +289,11 @@ def _demap_stage(x_hat: jax.Array, eq_nvar: jax.Array, rnti: jax.Array, cfg: Pus
     llr = llr_layers.reshape(nl, ndata, qm)
     llr = jnp.moveaxis(llr, 0, 1).reshape(-1)  # (G,)
     llr_i8 = quantize_llr(llr, cfg.llr_range_limit)
-    return scrambling.descramble_llrs(llr_i8, _pusch_c_init(rnti, cfg.n_id))
+    llr_i8 = scrambling.descramble_llrs(llr_i8, _pusch_c_init(rnti, cfg.n_id))
+    if cfg.ptrs_enabled:
+        # Erase LLRs of the punctured PT-RS positions.
+        llr_i8 = llr_i8.at[jnp.asarray(_ptrs_bit_positions(cfg))].set(0)
+    return llr_i8
 
 
 def transmit(

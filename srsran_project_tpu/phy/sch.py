@@ -76,11 +76,16 @@ def _e_groups(cb_e_bits):
     return groups
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def encode_transport_block(tb_bits: jax.Array, cfg: SchConfig) -> jax.Array:
-    """TB payload (..., A) -> codeword bits (..., G)."""
+    """TB payload (..., A) -> codeword bits (..., G).
+
+    One compiled program (segment + CRC + LDPC encode + rate match):
+    per-program dispatch overhead on the TPU tunnel makes eager glue
+    between sub-blocks cost more than the compute itself."""
     seg = cfg.seg
     cbs = segmenter.segment_tx(tb_bits, seg)  # (..., C, K)
-    buf = checkpoint(ldpc_encoder.encode_to_buffer(cbs, seg.base_graph, seg.lifting_size))
+    buf = ldpc_encoder.encode_to_buffer(cbs, seg.base_graph, seg.lifting_size)
     k_prime = seg.nof_payload_bits_per_cb
     pieces = []
     for start, count, e in _e_groups(cfg.cb_e_bits):
@@ -97,6 +102,41 @@ def encode_transport_block(tb_bits: jax.Array, cfg: SchConfig) -> jax.Array:
     return jnp.concatenate(pieces, axis=-1)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _dematch_stage(llrs: jax.Array, harq_buffer, cfg: SchConfig):
+    """Rate dematch + HARQ combine + flatten, one compiled program.
+
+    harq_buffer may be None (its None-ness is pytree structure, so the two
+    cases compile separately).  Returns (new_harq (..., C, N) int8,
+    flat (C', N) float32 decoder input)."""
+    seg = cfg.seg
+    k_prime = seg.nof_payload_bits_per_cb
+    dematched = []
+    off = 0
+    for start, count, e in _e_groups(cfg.cb_e_bits):
+        span = llrs[..., off : off + count * e]
+        span = span.reshape(span.shape[:-1] + (count, e))
+        dematched.append(
+            rm.rate_dematch(
+                span, seg.base_graph, seg.lifting_size, k_prime, e, cfg.rv, cfg.qm
+            )
+        )
+        off += count * e
+    buf = jnp.concatenate(dematched, axis=-2)  # (..., C, N)
+    if harq_buffer is not None:
+        buf = rm.combine_harq(harq_buffer, buf)
+    flat = buf.reshape((-1,) + buf.shape[-1:]).astype(jnp.float32)
+    return buf, flat
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "lead_shape"))
+def _desegment_stage(bits: jax.Array, cfg: SchConfig, lead_shape: tuple):
+    """CB reshape + TB desegmentation + CRC verdict, one compiled program."""
+    seg = cfg.seg
+    bits = bits.reshape(lead_shape + (seg.nof_codeblocks, bits.shape[-1]))
+    return segmenter.desegment_rx(bits, seg)
+
+
 def decode_transport_block(
     llrs: jax.Array,
     cfg: SchConfig,
@@ -111,24 +151,8 @@ def decode_transport_block(
     (re)transmissions; pass None for a new transmission.
     """
     seg = cfg.seg
-    k_prime = seg.nof_payload_bits_per_cb
-    dematched = []
-    off = 0
-    for start, count, e in _e_groups(cfg.cb_e_bits):
-        span = llrs[..., off : off + count * e]
-        span = span.reshape(span.shape[:-1] + (count, e))
-        dematched.append(
-            rm.rate_dematch(
-                span, seg.base_graph, seg.lifting_size, k_prime, e, cfg.rv, cfg.qm
-            )
-        )
-        off += count * e
-    buf = checkpoint(jnp.concatenate(dematched, axis=-2))  # (..., C, N)
-    if harq_buffer is not None:
-        buf = rm.combine_harq(harq_buffer, buf)
-    new_harq = buf
-
-    flat = buf.reshape((-1,) + buf.shape[-1:])
+    new_harq, flat = checkpoint(_dematch_stage(llrs, harq_buffer, cfg))
+    buf = new_harq
 
     def run_decode(llr_in, iters):
         if _use_pallas_decoder():
@@ -137,7 +161,7 @@ def decode_transport_block(
             )[0]
         return ldpc_decoder.decode(llr_in, seg.base_graph, seg.lifting_size, iters)[0]
 
-    llr_f = flat.astype(jnp.float32)
+    llr_f = flat
     if early_stop and nof_iterations > 2:
         # CRC-gated two-phase decode (the reference's per-iteration CRC
         # early stop, adapted to static shapes): try 2 iterations; only if
@@ -155,6 +179,5 @@ def decode_transport_block(
     else:
         bits = run_decode(llr_f, nof_iterations)
     checkpoint(bits)
-    bits = bits.reshape(buf.shape[:-1] + (bits.shape[-1],))  # (..., C, K)
-    tb, ok = segmenter.desegment_rx(bits, seg)
+    tb, ok = _desegment_stage(bits, cfg, buf.shape[:-2])
     return tb, ok, new_harq

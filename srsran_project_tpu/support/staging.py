@@ -31,9 +31,14 @@ def sync_enabled() -> bool:
 
 
 def checkpoint(x):
-    """Block on x if synchronous staging is active; returns x."""
+    """Block on x if synchronous staging is active; returns x.
+
+    No-op under tracing (jit/vmap) so stage functions can be fused into
+    larger compiled programs without the sync hook failing on tracers."""
     global _COUNT
-    if _SYNC:
+    if _SYNC and not any(
+        isinstance(l, jax.core.Tracer) for l in jax.tree_util.tree_leaves(x)
+    ):
         t0 = time.monotonic()
         jax.block_until_ready(x)
         if _DEBUG:
