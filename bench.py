@@ -131,8 +131,8 @@ def worker() -> None:
     # shape — slots pipeline).  Supersedes again if it survives.
     # Fallback ladder: a too-large batch can overflow the remote compile
     # service; smaller batches still beat the unbatched number by a lot.
-    b_env = int(os.environ.get("BENCH_SLOT_BATCH", "32"))
-    for b in dict.fromkeys(x for x in (b_env, 32, 16, 8) if x <= b_env):
+    b_env = int(os.environ.get("BENCH_SLOT_BATCH", "64"))
+    for b in dict.fromkeys(x for x in (b_env, 64, 32, 16, 8) if x <= b_env):
         try:
             tbs_b = jnp.stack([tb] * b)
             rntis_b = jnp.asarray(np.arange(b, dtype=np.uint32) + 0x4601)

@@ -1,0 +1,210 @@
+"""Sequence-parallel (subcarrier-sharded) PUSCH front end for carriers too
+wide for one chip — the north-star's sequence-length scaling axis
+(SURVEY.md §5.7).
+
+A wide carrier's resource grid shards along the subcarrier axis over the
+mesh; everything per-RE (LS pilot estimate, OCC despread, interpolation,
+MMSE equalization, soft demapping) is shard-local, and the ONLY
+communication is:
+
+  - the raised-cosine smoothing filter's halo at shard boundaries
+    (overlap-save via `jax.lax.ppermute`, +5 CDM pairs each side: 4 for the
+    9-tap filter, 1 for the linear interpolation straddling the boundary);
+  - one scalar psum for the global noise-variance / SNR accumulators.
+
+Constraints (asserted): full-band type-1 DM-RS allocation starting at RB 0
+with no data on DM-RS symbols, local shard width divisible by 12 (so every
+shard sees the same pilot geometry and the shard program is uniform).
+
+The output LLR stream is bit-identical in layout to the unsharded
+phy.pusch._front_end (symbol-major, subcarrier order, layer x Qm per RE),
+so the existing descramble + LDPC decode path consumes it unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.equalizer import equalize
+from ..ops.estimator import _rc_filter_taps
+from ..ops.modulation import Modulation, demap_soft, quantize_llr
+from ..ops import scrambling
+from ..ran import dmrs as dmrs_mod
+from ..phy.pusch import PuschConfig, _pusch_c_init
+from .sharded_estimator import _halo_exchange
+
+
+def _check_shardable(cfg: PuschConfig, nof_shards: int) -> int:
+    a = cfg.alloc
+    assert a.rb_start == 0 and a.dmrs_config_type == 1, "full-band type-1 only"
+    assert a.nof_sc == cfg.nof_grid_sc, "allocation must span the carrier"
+    assert a.nof_cdm_groups_without_data == 2, "no data on DM-RS symbols"
+    assert not cfg.cfo_compensation and not cfg.ptrs_enabled and cfg.uci is None
+    local_sc = cfg.nof_grid_sc // nof_shards
+    assert local_sc * nof_shards == cfg.nof_grid_sc and local_sc % 12 == 0, (
+        "shard width must be whole PRBs with uniform pilot geometry",
+        cfg.nof_grid_sc, nof_shards)
+    return local_sc
+
+
+@functools.lru_cache(maxsize=None)
+def _local_geometry(cfg: PuschConfig, local_sc: int):
+    """Per-shard constants: pilot gather indices, OCC, interp tables."""
+    nsym_d = len(cfg.alloc.dmrs_symbols)
+    # Type-1 pilots of CDM group g sit at 4n + 2k' + g: per-PRB pattern.
+    ks_loc, wf_loc = dmrs_mod.pilot_subcarriers(1, 0, local_sc // 12, 0)
+    n_pairs = len(ks_loc) // 2
+    # OCC per layer (port = layer index, v1 convention).
+    wf_layers = np.stack([
+        dmrs_mod.pilot_subcarriers(1, layer, local_sc // 12, 0)[1]
+        for layer in range(cfg.nof_layers)
+    ]).astype(np.float32)  # (nl, Np_loc)
+    ks_layers = np.stack([
+        dmrs_mod.pilot_subcarriers(1, layer, local_sc // 12, 0)[0]
+        for layer in range(cfg.nof_layers)
+    ]).astype(np.int32)  # (nl, Np_loc)
+    # Interp: pair centers extended one pair each side (halo).
+    centers = (ks_loc[0::2] + ks_loc[1::2]) / 2.0  # 1, 5, 9, ... (port-0 ref)
+    pos = np.concatenate([[centers[0] - 4.0], centers, [centers[-1] + 4.0]])
+    x = np.arange(local_sc, dtype=np.float32)
+    li = np.clip(np.searchsorted(pos, x, side="right") - 1, 0, len(pos) - 2)
+    frac = np.clip((x - pos[li]) / (pos[li + 1] - pos[li]), 0.0, 1.0)
+    data_syms = [s for s in range(cfg.alloc.sym_start,
+                                  cfg.alloc.sym_start + cfg.alloc.sym_count)
+                 if s not in cfg.alloc.dmrs_symbols]
+    return (ks_layers, wf_layers, n_pairs, li.astype(np.int32),
+            frac.astype(np.float32), tuple(data_syms), nsym_d)
+
+
+@functools.lru_cache(maxsize=None)
+def _global_pilots(cfg: PuschConfig) -> np.ndarray:
+    """(nsym_d, Np_global) DM-RS values r(m) (host LFSR; type-1 full band)."""
+    n_total = cfg.alloc.rb_count * dmrs_mod.pilots_per_prb(1)
+    out = []
+    for sym in cfg.alloc.dmrs_symbols:
+        c_init = dmrs_mod.dmrs_c_init(cfg.slot_in_frame, sym,
+                                      cfg.dmrs_scrambling_id, cfg.n_scid)
+        c = scrambling.gold_ref(int(c_init), 2 * n_total).astype(np.float32)
+        out.append(((1.0 - 2.0 * c[0::2]) + 1j * (1.0 - 2.0 * c[1::2])) / np.sqrt(2))
+    return np.stack(out).astype(np.complex64)
+
+
+def sharded_front_end(grid: jax.Array, cfg: PuschConfig, mesh: Mesh,
+                      axis: str = "sp"):
+    """grid (npr, nsym, nsc) with the subcarrier axis sharded over `axis`
+    -> (llr_pre_descramble (G,) int8 sharded-consistent global array,
+        noise_var scalar, snr scalar).
+
+    Pair with finish_decode() (descramble + LDPC) or feed the existing
+    decode_transport_block after descrambling.
+    """
+    nof_shards = mesh.shape[axis]
+    local_sc = _check_shardable(cfg, nof_shards)
+    (ks_layers, wf_layers, n_pairs, li, frac, data_syms, nsym_d) = (
+        _local_geometry(cfg, local_sc))
+    nl, npr = cfg.nof_layers, cfg.nof_rx_ports
+    qm = int(cfg.modulation) if cfg.modulation != Modulation.PI_2_BPSK else 1
+    taps = _rc_filter_taps()
+    halo = len(taps) // 2 + 1  # filter halo + one interp pair
+
+    pilots_g = jnp.asarray(_global_pilots(cfg))  # (nsym_d, Np_global)
+    r_sh = pilots_g.reshape(nsym_d, nof_shards, -1)  # shard axis in middle
+
+    def local(g, r_loc):
+        # g: (npr, nsym, local_sc); r_loc: (nsym_d, 1, Np_loc)
+        r_loc = r_loc[:, 0]
+        ks = jnp.asarray(ks_layers)  # (nl, Np_loc)
+        wf = jnp.asarray(wf_layers)  # (nl, Np_loc)
+        y_p = g[:, jnp.asarray(cfg.alloc.dmrs_symbols)][:, :, ks]  # (npr, nsym_d, nl, Np)
+        y_p = jnp.moveaxis(y_p, 2, 0)  # (nl, npr, nsym_d, Np)
+        ls = y_p * jnp.conj(r_loc)[None, None] * wf[:, None, None, :]
+        pair = ls.reshape(ls.shape[:-1] + (n_pairs, 2))
+        h_pair_sym = pair.mean(axis=-1)  # (nl, npr, nsym_d, n_pairs)
+        h_pair = h_pair_sym.mean(axis=-2)  # time avg: (nl, npr, n_pairs)
+
+        # Halo exchange + RC smoothing; keep one extra smoothed pair per
+        # side for the boundary-straddling interpolation.
+        ext = _halo_exchange(h_pair, halo, axis)  # (nl, npr, n+2*halo)
+        w = jnp.asarray(taps)
+        k = len(taps)
+        sm_len = n_pairs + 2  # [-1 .. n] pair positions
+        sm = jnp.zeros(h_pair.shape[:-1] + (sm_len,), h_pair.dtype)
+        for i in range(k):
+            sm = sm + w[i] * ext[..., i + 1 - 1: i + 1 - 1 + sm_len]
+        # At the global edges the unsharded interp clamps to the first/last
+        # smoothed pair; replicate it into the interp halo slot.
+        idx = jax.lax.axis_index(axis)
+        size = jax.lax.axis_size(axis)
+        sm = sm.at[..., 0].set(jnp.where(idx == 0, sm[..., 1], sm[..., 0]))
+        sm = sm.at[..., -1].set(jnp.where(idx == size - 1, sm[..., -2], sm[..., -1]))
+
+        h = sm[..., jnp.asarray(li)] * (1 - jnp.asarray(frac)) \
+            + sm[..., jnp.asarray(li) + 1] * jnp.asarray(frac)  # (nl, npr, local_sc)
+
+        # Noise variance / SNR accumulators (global psum mean).
+        h_rep = jnp.repeat(h_pair_sym, 2, axis=-1)
+        resid = ls - h_rep
+        nv_loc = (jnp.abs(resid) ** 2).mean() * 2.0
+        rsrp_loc = (jnp.abs(h_pair_sym) ** 2).mean()
+        nv = jnp.maximum(jax.lax.pmean(nv_loc, axis), 1e-10)
+        rsrp = jax.lax.pmean(rsrp_loc, axis)
+        snr = rsrp / nv
+
+        # Equalize + demap the local data REs (all sc of data symbols).
+        y_d = g[:, jnp.asarray(data_syms)]  # (npr, nsym_data, local_sc)
+        nsym_data = len(data_syms)
+        y_flat = y_d.reshape(npr, -1)  # sym-major, sc within symbol
+        h_d = jnp.moveaxis(h, 0, -1)  # (npr, local_sc, nl)
+        h_full = jnp.tile(h_d[:, None], (1, nsym_data, 1, 1)).reshape(npr, -1, nl)
+        x_hat, eq_nvar = equalize(jnp.moveaxis(y_flat, 0, -1),
+                                  jnp.moveaxis(h_full, 0, 1), nv,
+                                  method=cfg.equalizer)
+        llr_layers = demap_soft(x_hat.T, eq_nvar.T, cfg.modulation)  # (nl, nd*qm)
+        nd = llr_layers.shape[-1] // qm
+        llr = jnp.moveaxis(llr_layers.reshape(nl, nd, qm), 0, 1)  # (nd, nl, qm)
+        llr_i8 = quantize_llr(llr.reshape(-1), cfg.llr_range_limit)
+        # (nsym_data, local_sc * nl * qm): symbol-major so the gathered
+        # global array matches the unsharded didx order exactly.
+        return llr_i8.reshape(nsym_data, local_sc * nl * qm), nv, snr
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, None, axis), P(None, axis, None)),
+        out_specs=(P(None, axis), P(), P()),
+    )
+    llr2d, nv, snr = fn(grid, r_sh)
+    return llr2d.reshape(-1), nv, snr
+
+
+def sharded_decode(grid: jax.Array, rnti, cfg: PuschConfig, mesh: Mesh,
+                   axis: str = "sp", sharded_ldpc: bool = False):
+    """Full sp-sharded PUSCH decode: sharded front end -> descramble ->
+    LDPC decode (optionally codeblock-sharded over the same devices)."""
+    from ..phy.sch import decode_transport_block
+
+    llr, nv, snr = sharded_front_end(grid, cfg, mesh, axis)
+    llr = scrambling.descramble_llrs(llr, _pusch_c_init(jnp.asarray(rnti), cfg.n_id))
+    if sharded_ldpc:
+        from . import sharded_decode as sd
+        from ..phy.sch import _dematch_stage, _desegment_stage
+
+        seg = cfg.sch.seg
+        _, flat = _dematch_stage(llr, None, cfg.sch)
+        c = flat.shape[0]
+        pad = (-c) % mesh.shape[axis]
+        flat_p = jax.device_put(
+            jnp.pad(flat, ((0, pad), (0, 0))), NamedSharding(mesh, P(axis, None)))
+        bits, _bad = sd.decode_codeblocks_sharded(
+            flat_p, seg.base_graph, seg.lifting_size, mesh,
+            nof_iterations=cfg.nof_ldpc_iterations, axis=axis)
+        tb, ok = _desegment_stage(bits[:c], cfg.sch, ())
+        return {"tb_bits": tb, "tb_crc_ok": ok, "noise_var": nv,
+                "snr_db": 10.0 * jnp.log10(jnp.maximum(snr, 1e-12))}
+    tb, ok, harq = decode_transport_block(llr, cfg.sch, cfg.nof_ldpc_iterations)
+    return {"tb_bits": tb, "tb_crc_ok": ok, "harq_buffer": harq, "noise_var": nv,
+            "snr_db": 10.0 * jnp.log10(jnp.maximum(snr, 1e-12))}
