@@ -15,6 +15,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 import time
 
@@ -44,6 +45,9 @@ def main() -> int:
     ap.add_argument("--pcap", default=None,
                     help="write MAC-NR pcap of scheduler-mode TBs here")
     ap.add_argument("--metrics-json", action="store_true", help="print metrics JSON line")
+    ap.add_argument("--metrics-interval-slots", type=int, default=0,
+                    help="emit a periodic metrics JSON line every N slots "
+                         "(the reference's periodic_metrics_report_controller)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--dump-config", action="store_true")
     args = ap.parse_args()
@@ -134,6 +138,19 @@ def main() -> int:
             sched.ues = ue_sched.ues  # report/harq access passthrough
             sched.handle_results = ue_sched.handle_results
             sched.report = ue_sched.report
+        # Periodic metrics reports: a TimerManager ticked once per slot
+        # re-arms itself (reference periodic_metrics_report_controller).
+        from srsran_project_tpu.support.timers import TimerManager
+        tm = TimerManager()
+        if args.metrics_interval_slots > 0:
+            report_timer = tm.create_timer()
+
+            def _periodic_report():
+                print(json.dumps({"slot": tm.now, "type": "periodic",
+                                  **{k: v for k, v in sched.report().items()}}))
+                report_timer.run()
+
+            report_timer.set(args.metrics_interval_slots, _periodic_report)
         pcap_w = None
         if args.pcap:
             from srsran_project_tpu.support.pcap import (
@@ -145,6 +162,7 @@ def main() -> int:
             first = True
             for i in range(args.slots):
                 slot = SlotPoint.from_sfn_slot(SubcarrierSpacing(cell.scs), i // 20, i % 20)
+                tm.tick()
                 dl, txd, ulr, grants = sched.run_slot(slot, rng)
                 rx_grid = None
                 if dl.pdsch:
