@@ -40,6 +40,13 @@ class CellConfig:
     sym_count: int = 13
     dmrs_symbols: tuple[int, ...] = (2,)
     slot_in_frame: int = 0
+    # Expert PHY knobs (reference du_low_config.h), plumbed into pusch_cfg.
+    nof_ldpc_iterations: int = 6
+    ldpc_early_stop: bool = False
+    equalizer: str = "mmse"
+    sinr_method: str = "post_equalization"
+    cfo_compensation: bool = False
+    llr_range_limit: float = 20.0
 
     @property
     def dft_size(self) -> int:
@@ -93,6 +100,12 @@ class CellConfig:
             nof_grid_symbols=14,
             nof_grid_sc=self.nof_sc,
             slot_in_frame=self.slot_in_frame,
+            nof_ldpc_iterations=self.nof_ldpc_iterations,
+            ldpc_early_stop=self.ldpc_early_stop,
+            equalizer=self.equalizer,
+            sinr_method=self.sinr_method,
+            cfo_compensation=self.cfo_compensation,
+            llr_range_limit=self.llr_range_limit,
         )
 
 

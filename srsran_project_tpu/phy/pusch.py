@@ -55,6 +55,19 @@ class PuschConfig:
     n_scid: int = 0
     nof_ldpc_iterations: int = 6  # reference default (du_low pusch max iterations)
     equalizer: str = "mmse"
+    # SINR calculation method (reference knob du_low_config.h pusch sinr
+    # calc): "post_equalization" = decision-directed EVM of the equalized
+    # symbols (immune to the CDM co-layer term that inflates the
+    # channel-estimator noise residual); "channel_estimator" = pilot
+    # residual SNR.
+    sinr_method: str = "post_equalization"
+    # Noise-variance estimator feeding the MMSE + LLR scaling:
+    # "second_difference" measures noise on (1,-2,1) second differences of
+    # the OCC-despread pair estimates (co-CDM layer removed exactly,
+    # channel level+slope cancelled); "pair_residual" is the per-layer
+    # despread residual (biased by |h_other|^2 when 2 layers share a CDM
+    # group -- the co-layer appears as interference in the estimate).
+    noise_method: str = "second_difference"
     llr_range_limit: float = 20.0
     cfo_compensation: bool = False  # reference knob: du_low_config.h CFO comp
     ldpc_early_stop: bool = False  # CRC-gated two-phase decode (see sch.py)
@@ -179,6 +192,23 @@ def _estimate_stage(grid: jax.Array, cfg: PuschConfig):
         cfo_acc = metrics["cfo_phase_per_dmrs_symbol"].mean() if cfg.cfo_compensation else 0.0
         return h, nvar_acc, snr_acc, cfo_acc
 
+    def noise_by_second_difference(gf):
+        """Noise variance from second differences of the despread pair
+        estimates: the OCC despread removes the co-CDM layer exactly, and
+        the (1, -2, 1) stencil cancels channel level AND slope, leaving
+        6x the per-pair noise (sigma^2 / (2 nsym_d) per despread+averaged
+        pair).  Clean sigma^2 where the raw pair residual reads
+        |h_other|^2 + sigma^2 (CDM-shared layers)."""
+        nsym_d = len(a.dmrs_symbols)
+        y_p = gf[:, idx_all].reshape(npr, nl, nsym_d, -1)
+        y_p = jnp.moveaxis(y_p, 0, 1)  # (nl, npr, nsym_d, Np)
+        ls = y_p * jnp.conj(r_all[:, None]) * wf_all[:, None, None, :]
+        pair = ls.reshape(ls.shape[:-1] + (ls.shape[-1] // 2, 2))
+        h_pair = pair.mean(axis=-1).mean(axis=-2)  # (nl, npr, NpPairs)
+        d2 = h_pair[..., 2:] - 2.0 * h_pair[..., 1:-1] + h_pair[..., :-2]
+        nv = (jnp.abs(d2) ** 2).mean() * nsym_d / 3.0
+        return jnp.maximum(nv, 1e-10)
+
     h, nvar_acc, snr_acc, cfo_acc = estimate_all(gflat)
     if cfg.cfo_compensation and len(a.dmrs_symbols) > 1:
         # Derotate the grid by the estimated CFO slope (reference CFO-comp
@@ -190,6 +220,9 @@ def _estimate_stage(grid: jax.Array, cfg: PuschConfig):
         derot = jnp.exp(-1j * slope * sym_idx).astype(jnp.complex64)
         gflat = (grid * derot[None, :, None]).reshape(npr, -1)
         h, nvar_acc, snr_acc, _ = estimate_all(gflat)
+
+    if cfg.noise_method == "second_difference":
+        nvar_acc = noise_by_second_difference(gflat)
 
     if cfg.ptrs_enabled:
         # PT-RS common-phase-error tracking: per data symbol, the rotation
@@ -231,9 +264,11 @@ def _front_end(grid: jax.Array, rnti: jax.Array, cfg: PuschConfig):
     """
     gflat, h, noise_var, snr_acc = checkpoint(_estimate_stage(grid, cfg))
     x_hat, eq_nvar = checkpoint(_equalize_stage(gflat, h, noise_var, cfg))
-    llr_i8 = checkpoint(
+    llr_i8, sinr_post_eq = checkpoint(
         _demap_stage(x_hat, eq_nvar, jnp.asarray(rnti), cfg)
     )
+    if cfg.sinr_method == "post_equalization":
+        snr_acc = sinr_post_eq
     return llr_i8, noise_var, snr_acc
 
 
@@ -293,7 +328,13 @@ def _demap_stage(x_hat: jax.Array, eq_nvar: jax.Array, rnti: jax.Array, cfg: Pus
     if cfg.ptrs_enabled:
         # Erase LLRs of the punctured PT-RS positions.
         llr_i8 = llr_i8.at[jnp.asarray(_ptrs_bit_positions(cfg))].set(0)
-    return llr_i8
+    # Post-equalization SINR: decision-directed EVM on the unbiased
+    # equalized symbols (reference "post_equalization" SINR method).
+    from ..ops.modulation.evm import evm
+
+    e = evm(x_hat.reshape(-1), cfg.modulation)
+    sinr_post_eq = 1.0 / jnp.maximum(e * e, 1e-12)
+    return llr_i8, sinr_post_eq
 
 
 def transmit(

@@ -146,6 +146,7 @@ def to_cell_config(cfg: DuLowConfig):
     from ..models.cell import CellConfig
 
     c = cfg.cell
+    e = cfg.expert_phy
     return CellConfig(
         nof_rb=c.nof_rb,
         scs=_SCS_MAP[c.scs_khz],
@@ -155,4 +156,12 @@ def to_cell_config(cfg: DuLowConfig):
         modulation=_MOD_MAP[c.modulation],
         target_code_rate=c.target_code_rate,
         f_center_hz=c.f_center_hz,
+        nof_ldpc_iterations=e.pusch_max_nof_ldpc_iterations,
+        ldpc_early_stop=e.ldpc_decoder_early_stop,
+        equalizer=e.pusch_channel_equalizer_algorithm,
+        sinr_method=("post_equalization"
+                     if e.pusch_sinr_calc_method == "post_equalization"
+                     else "channel_estimator"),
+        cfo_compensation=e.pusch_channel_estimator_cfo_compensation,
+        llr_range_limit=e.llr_range_limit,
     )

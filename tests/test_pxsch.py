@@ -137,3 +137,43 @@ def test_loopback_dmrs_type2_2layer():
     tb, out = _run(tx, rx, h=h, noise=0.002, seed=8)
     assert bool(np.asarray(out["tb_crc_ok"]))
     np.testing.assert_array_equal(np.asarray(out["tb_bits"]), tb)
+
+
+def test_post_eq_sinr_tracks_true_snr():
+    """The post_equalization SINR method (reference du_low sinr calc knob)
+    must track the true channel SNR where the channel-estimator residual
+    method is biased by the co-CDM layer (see ROUND1_NOTES)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from srsran_project_tpu.ops.modulation import Modulation
+    from srsran_project_tpu.phy import pusch
+    from srsran_project_tpu.phy.allocation import Allocation
+
+    true_snr_db = 20.0
+    base = dict(tbs=4096, target_code_rate=0.4, modulation=Modulation.QAM16,
+                alloc=Allocation(0, 24, 1, 13, (2,)), nof_layers=2,
+                nof_rx_ports=2, nof_grid_symbols=14, nof_grid_sc=288)
+    rng = np.random.default_rng(3)
+    tb = jnp.asarray(rng.integers(0, 2, size=(4096,), dtype=np.uint8))
+    cfg_tx = pusch.PuschConfig(**base)
+    grid = pusch.transmit(tb, jnp.uint32(0x17), cfg_tx)
+    nvar = 10 ** (-true_snr_db / 10)
+    noise = (rng.standard_normal(grid.shape) + 1j * rng.standard_normal(grid.shape))
+    rx = grid + jnp.asarray((noise * np.sqrt(nvar / 2)).astype(np.complex64))
+
+    out_pe = pusch.process(rx, jnp.uint32(0x17),
+                           pusch.PuschConfig(**base, sinr_method="post_equalization"))
+    assert bool(np.asarray(out_pe["tb_crc_ok"]))
+    snr_pe = float(np.asarray(out_pe["snr_db"]))
+    # post-eq SINR tracks the true channel SNR within a few dB.
+    assert abs(snr_pe - true_snr_db) < 4.0, snr_pe
+    # The second-difference noise estimator recovers true sigma^2 even
+    # with 2 CDM-multiplexed layers (the pair residual reads ~1.0 here:
+    # the co-layer channel).
+    nv_rec = float(np.asarray(out_pe["noise_var"]))
+    true_nvar = 10 ** (-true_snr_db / 10)
+    assert 0.5 * true_nvar < nv_rec < 2.0 * true_nvar, (nv_rec, true_nvar)
+    out_pr = pusch.process(rx, jnp.uint32(0x17),
+                           pusch.PuschConfig(**base, noise_method="pair_residual"))
+    nv_pr = float(np.asarray(out_pr["noise_var"]))
+    assert nv_pr > 10 * nv_rec, (nv_pr, nv_rec)  # the documented bias

@@ -28,6 +28,9 @@ def wide_cfg():
         nof_rx_ports=2,
         nof_grid_symbols=14,
         nof_grid_sc=nof_rb * 12,
+        # the sharded front end implements the pair-residual noise method;
+        # keep strict nv parity against the same method here
+        noise_method="pair_residual",
     )
 
 

@@ -86,7 +86,7 @@ eq1 = lambda gf, h, nv: pusch_mod._equalize_stage(gf, h, nv, pcfg)
 x_b, eqn_b = jax.vmap(eq1)(gflat_b, h_b, nvar_b)
 jax.block_until_ready((x_b, eqn_b))
 
-demap1 = lambda x, nv, r: pusch_mod._demap_stage(x, nv, r, pcfg)
+demap1 = lambda x, nv, r: pusch_mod._demap_stage(x, nv, r, pcfg)[0]
 llr_b = jax.vmap(demap1)(x_b, eqn_b, rntis)
 jax.block_until_ready(llr_b)
 
