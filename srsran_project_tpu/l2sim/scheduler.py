@@ -120,16 +120,20 @@ class RoundRobinScheduler:
             ue.avg_rate = (1 - a) * ue.avg_rate + a * served
         return sel
 
-    def _grant_configs(self, ue: UeContext, rb_count: int, rv: int):
-        """Compact rb_start=0 configs: every equal-size grant (any UE, any
-        PRB offset) shares one compiled PHY program; placement happens with
-        a dynamic slice via the PDU's first_rb."""
+    def _grant_configs(self, ue: UeContext, rb_count: int, rv: int, first_rb: int = 0):
+        """Compact rb_start=0 configs: the grant is encoded on a window grid
+        and placed at the PDU's first_rb with a dynamic slice.  crb_start
+        repoints the window's DM-RS/PT-RS sequence index to the absolute CRB
+        (TS 38.211 reference point = CRB0), so equal-size grants share the
+        program *structure* but compile per distinct PRB offset (bounded by
+        max_ues_per_slot since offsets are i*rb_each)."""
         qm, rate = tbs_mod.mcs_to_qm_rate(ue.mcs, ue.mcs_table)
         mod = {1: Modulation.BPSK, 2: Modulation.QPSK, 4: Modulation.QAM16,
                6: Modulation.QAM64, 8: Modulation.QAM256}[qm]
         c = self.cfg
         alloc = Allocation(rb_start=0, rb_count=rb_count, sym_start=c.sym_start,
-                           sym_count=c.sym_count, dmrs_symbols=c.dmrs_symbols)
+                           sym_count=c.sym_count, dmrs_symbols=c.dmrs_symbols,
+                           crb_start=first_rb)
         tbs = tbs_mod.calculate_tbs(rb_count, c.sym_count, NRE * len(c.dmrs_symbols),
                                     rate, qm, c.nof_layers)
         common = dict(tbs=tbs, target_code_rate=rate, modulation=mod, alloc=alloc,
@@ -168,7 +172,8 @@ class RoundRobinScheduler:
                 rv = 0
                 new_data = True
                 tb = None
-            dl_cfg, ul_cfg, tbs = self._grant_configs(ue, rb_each, rv)
+            dl_cfg, ul_cfg, tbs = self._grant_configs(ue, rb_each, rv,
+                                                      first_rb=i * rb_each)
             if tb is None:
                 if self.tb_source is not None:
                     tb = np.asarray(self.tb_source(ue.rnti, tbs), dtype=np.uint8)

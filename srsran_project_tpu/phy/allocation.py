@@ -28,6 +28,12 @@ class Allocation:
     dmrs_symbols: tuple[int, ...]  # absolute symbol indices carrying DM-RS
     dmrs_config_type: int = 1
     nof_cdm_groups_without_data: int = 2
+    # Absolute CRB index of this grid's subcarrier 0.  A compact window grid
+    # (multi-UE grant placed by the PDU's first_rb) sets crb_start=first_rb so
+    # the DM-RS Gold-sequence index still counts from CRB0 of the carrier
+    # (TS 38.211 §7.4.1.1.2 reference point), matching the reference's
+    # dmrs_pdsch/pusch generators.  Geometry (rb_start/indices) is unaffected.
+    crb_start: int = 0
 
     @property
     def nof_sc(self) -> int:
@@ -72,9 +78,10 @@ def pilot_re_indices(alloc: Allocation, port: int, nof_sc_grid: int):
     pair_pos = tuple(
         float((ks[2 * i] + ks[2 * i + 1]) / 2 - alloc.sc_start) for i in range(len(ks) // 2)
     )
-    # Sequence index: pilots per PRB counted from grid subcarrier 0.
+    # Sequence index: pilots per PRB counted from CRB0 of the carrier
+    # (crb_start repoints compact window grids to their absolute CRB).
     ppb = dmrs_mod.pilots_per_prb(alloc.dmrs_config_type)
-    seq_idx = alloc.rb_start * ppb + np.arange(len(ks), dtype=np.int32)
+    seq_idx = (alloc.crb_start + alloc.rb_start) * ppb + np.arange(len(ks), dtype=np.int32)
     return idx.astype(np.int32), wf, pair_pos, seq_idx
 
 

@@ -137,7 +137,7 @@ def ptrs_layout(cfg: PdschConfig):
     idx, vals, syms = [], [], []
     for sym in data_syms:
         c_init = dmrs_mod.dmrs_c_init(cfg.slot_in_frame, sym, cfg.dmrs_scrambling_id, cfg.n_scid)
-        nseq = (a.rb_start + a.rb_count) * 6
+        nseq = (a.crb_start + a.rb_start + a.rb_count) * 6
         # Host-side LFSR (this helper is lru_cached and also runs inside jit
         # traces, where calling the jitted gold_sequence is not allowed).
         c = scrambling.gold_ref(c_init, 2 * nseq)
@@ -146,7 +146,7 @@ def ptrs_layout(cfg: PdschConfig):
         r = (re_p + 1j * im_p) / np.sqrt(2)
         for prb in prbs:
             idx.append(sym * cfg.nof_grid_sc + prb * 12 + cfg.ptrs_re_offset)
-            vals.append(r[prb * 6 + cfg.ptrs_re_offset // 2])
+            vals.append(r[(a.crb_start + prb) * 6 + cfg.ptrs_re_offset // 2])
             syms.append(sym)
     return (np.asarray(idx, np.int32), np.asarray(vals, np.complex64),
             np.asarray(syms, np.int32))

@@ -195,3 +195,35 @@ def test_phy_tap_observers():
     assert kinds == ["dl_grid", "ul_grid", "ul_results"]
     phy.remove_tap(phy._taps[0])
     assert not phy._taps
+
+def test_compact_window_dmrs_counts_from_crb0():
+    """A compact window grant (placed by first_rb, crb_start=first_rb) must
+    produce EXACTLY the same REs as a full-grid allocation at rb_start=first_rb
+    (reference: DM-RS/PT-RS sequences count from CRB0 — TS 38.211 §7.4.1.1.2),
+    and the compact-window PUSCH receive path must decode it."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    first_rb, rb = 17, 12
+    full_alloc = Allocation(rb_start=first_rb, rb_count=rb, sym_start=1,
+                            sym_count=12, dmrs_symbols=(2,))
+    win_alloc = Allocation(rb_start=0, rb_count=rb, sym_start=1, sym_count=12,
+                           dmrs_symbols=(2,), crb_start=first_rb)
+    common = dict(tbs=1000, target_code_rate=0.3, modulation=Modulation.QPSK,
+                  nof_layers=1, nof_grid_symbols=14)
+    full_tx = pdsch_mod.PdschConfig(nof_ports=1, alloc=full_alloc, nof_grid_sc=624, **common)
+    win_tx = pdsch_mod.PdschConfig(nof_ports=1, alloc=win_alloc, nof_grid_sc=rb * 12, **common)
+    win_rx = pusch_mod.PuschConfig(nof_rx_ports=1, alloc=win_alloc, nof_grid_sc=rb * 12,
+                                   nof_ldpc_iterations=8, **common)
+
+    tb = rng.integers(0, 2, size=(1000,), dtype=np.uint8)
+    w = jnp.eye(1, dtype=jnp.complex64)
+    g_full = np.asarray(pdsch_mod.process(jnp.asarray(tb), jnp.uint32(0x4601), w, full_tx))
+    g_win = np.asarray(pdsch_mod.process(jnp.asarray(tb), jnp.uint32(0x4601), w, win_tx))
+    placed = np.zeros_like(g_full)
+    placed[:, :, first_rb * 12 : (first_rb + rb) * 12] = g_win
+    np.testing.assert_array_equal(placed, g_full)
+
+    out = pusch_mod.process(jnp.asarray(g_win), jnp.uint32(0x4601), win_rx)
+    assert bool(np.asarray(out["tb_crc_ok"]))
+    np.testing.assert_array_equal(np.asarray(out["tb_bits"]), tb)
