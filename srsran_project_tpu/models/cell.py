@@ -47,6 +47,13 @@ class CellConfig:
     sinr_method: str = "post_equalization"
     cfo_compensation: bool = False
     llr_range_limit: float = 20.0
+    # Program granularity: fused = 2 programs per direction (UL: demod+
+    # estimate+equalize+demap | LDPC; DL: bit chain | gridmap+OFDM).  The
+    # TPU tunnel charges ~0.5 ms dispatch per program per batch, which
+    # dominates these sub-millisecond compute stages; the fused front end
+    # compiles in ~10 s at 273 PRB (only the LDPC-included whole-slot
+    # fusion blows up the compiler).  False = 5/3-program stage mode.
+    fuse_stages: bool = True
 
     @property
     def dft_size(self) -> int:
@@ -121,13 +128,39 @@ def tiny_cell(nof_rb: int = 6, nof_ports: int = 1) -> CellConfig:
     )
 
 
+import functools as _functools
+
+import jax.numpy as _jnp
+
+
+@_functools.partial(jax.jit, static_argnames=("cfg",))
+def _dl_back_program(cw: jax.Array, precoding: jax.Array, cfg: CellConfig):
+    """Grid mapping + OFDM modulation as ONE compiled program."""
+    grid = pdsch._grid_chain(cw, precoding, cfg.pdsch_cfg)
+    return ofdm.modulate_slot(grid, cfg.scs, cfg.dft_size, cfg.cp, 0,
+                              f_center_hz=cfg.f_center_hz)
+
+
+@_functools.partial(jax.jit, static_argnames=("cfg",))
+def _ul_front_program(iq: jax.Array, rnti: jax.Array, cfg: CellConfig):
+    """OFDM demod + estimate + equalize + demap as ONE compiled program
+    (everything except the LDPC decode)."""
+    grid = ofdm.demodulate_slot(iq, cfg.nof_rb, cfg.scs, cfg.dft_size, cfg.cp,
+                                0, f_center_hz=cfg.f_center_hz)
+    return pusch._front_end(grid, rnti, cfg.pusch_cfg)
+
+
 def encode_slot(tb_bits: jax.Array, rnti: jax.Array, precoding: jax.Array, cfg: CellConfig):
     """DL slot: TB payload -> baseband IQ (nof_ports, nof_samples).
 
-    Stage-jitted (PDSCH chain and OFDM modulator are separate compiled
-    programs): one fused whole-slot program makes the TPU compiler blow up
-    at 100 MHz sizes while the stages compile in seconds.
+    Stage-jitted: fusing the ENTIRE slot (LDPC included) into one program
+    makes the TPU compiler blow up at 100 MHz sizes, so the bit chain stays
+    its own program; with cfg.fuse_stages the rest (grid map + OFDM) is one
+    fused program (2 total), else three stage programs.
     """
+    if cfg.fuse_stages:
+        cw = checkpoint(pdsch._bit_chain(tb_bits, _jnp.asarray(rnti), cfg.pdsch_cfg))
+        return _dl_back_program(cw, _jnp.asarray(precoding), cfg)
     grid = checkpoint(pdsch.process(tb_bits, rnti, precoding, cfg.pdsch_cfg))
     return ofdm.modulate_slot(
         grid,
@@ -140,7 +173,14 @@ def encode_slot(tb_bits: jax.Array, rnti: jax.Array, precoding: jax.Array, cfg: 
 
 
 def decode_slot(iq: jax.Array, rnti: jax.Array, cfg: CellConfig):
-    """UL slot: baseband IQ (nof_rx_ports, nof_samples) -> decode results."""
+    """UL slot: baseband IQ (nof_rx_ports, nof_samples) -> decode results.
+
+    With cfg.fuse_stages: 2 compiled programs (fused front end | LDPC);
+    else 5 (demod/estimate/equalize/demap/LDPC)."""
+    if cfg.fuse_stages:
+        llr_i8, noise_var, snr_acc = checkpoint(
+            _ul_front_program(iq, _jnp.asarray(rnti), cfg))
+        return pusch.finish(llr_i8, noise_var, snr_acc, cfg.pusch_cfg)
     grid = checkpoint(
         ofdm.demodulate_slot(
             iq,

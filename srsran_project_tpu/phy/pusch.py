@@ -387,6 +387,13 @@ def process(
     separate compiled programs (see _front_end).
     """
     llr_i8, noise_var, snr_acc = _front_end(grid, jnp.asarray(rnti), cfg)
+    return finish(llr_i8, noise_var, snr_acc, cfg, harq_buffer=harq_buffer)
+
+
+def finish(llr_i8, noise_var, snr_acc, cfg: PuschConfig, harq_buffer=None):
+    """Back half of process(): UCI demux + LDPC decode + result dict, from
+    descrambled codeword LLRs (so callers may substitute a fused front end,
+    e.g. models.cell fuses OFDM demod + front end into one program)."""
     uci_out = {}
     if cfg.uci_mux is not None:
         from . import ulsch_demux
