@@ -42,7 +42,7 @@ class CellConfig:
     slot_in_frame: int = 0
     # Expert PHY knobs (reference du_low_config.h), plumbed into pusch_cfg.
     nof_ldpc_iterations: int = 6
-    ldpc_early_stop: bool = False
+    ldpc_early_stop: bool = True
     equalizer: str = "mmse"
     sinr_method: str = "post_equalization"
     cfo_compensation: bool = False

@@ -38,7 +38,10 @@ def _edge_plan(bg: int, z: int, nof_layers: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bg", "z", "nof_iterations", "nof_layers", "batch_tile", "interpret")
+    jax.jit,
+    static_argnames=(
+        "bg", "z", "nof_iterations", "nof_layers", "batch_tile", "interpret", "early_stop"
+    ),
 )
 def decode_pallas(
     llrs: jax.Array,
@@ -48,11 +51,23 @@ def decode_pallas(
     nof_layers: int | None = None,
     batch_tile: int = DEFAULT_BATCH_TILE,
     interpret: bool = False,
+    early_stop: bool = False,
 ):
     """Pallas-kernel LDPC decode.
 
     llrs: (batch, N) rate-dematched LLRs, N = (n-2)*Z.
-    Returns (bits (batch, K) uint8, app (batch, n*Z) f32).
+    Returns (bits (batch, K) uint8, app (batch, n*Z) f32,
+    nof_iters (batch,) int32 — iterations actually run (per batch tile; the
+    reference reports the same statistic per codeblock,
+    pxsch_bler_test.cpp:375-388)).
+
+    early_stop: on-device syndrome convergence check — the iteration loop is
+    a `while_loop` that exits once every check equation in the tile was
+    satisfied throughout a full iteration (the on-the-fly layered syndrome,
+    the TPU-native analogue of the reference's per-iteration CRC early stop,
+    ldpc_decoder_impl.cpp:126-136).  nof_iterations is the budget.  The
+    per-tile exit keeps shapes static; a failing codeword in the tile runs
+    the tile to the budget, matching per-CB behavior at tile granularity.
     """
     g = graphs.get_graph(bg, z)
     if nof_layers is None:
@@ -72,24 +87,36 @@ def decode_pallas(
         edge_offsets.append(total_edges)
         total_edges += len(edges)
 
-    def kernel(in_ref, app_out_ref, app_scr, r_scr):
+    def kernel(in_ref, app_out_ref, iters_out_ref, app_scr, r_scr):
         # Load channel LLRs into the APP scratch (with puncture prefix).
         app_scr[:, : 2 * z] = jnp.zeros((bt, 2 * z), jnp.float32)
         app_scr[:, 2 * z :] = jnp.clip(in_ref[:], -INPUT_CLAMP, INPUT_CLAMP)
         r_scr[:] = jnp.zeros_like(r_scr)
 
-        def one_iteration(_, carry):
-            del carry
+        def one_iteration(carry):
+            i, _ = carry
+            odd_any = jnp.zeros((), jnp.int32)
             for li, edges in enumerate(layers):
                 base = edge_offsets[li]
                 # Gather rotated variable blocks and subtract extrinsics.
                 # Forward circulant P^s maps v[i] <- v[(i+s) mod Z], i.e.
                 # jnp.roll(v, -s) == pltpu.roll(v, Z - s).
                 vs = []
+                app_parity = None
                 for e, (col, shift) in enumerate(edges):
                     blk = app_scr[:, col * z : (col + 1) * z]
                     rot = pltpu.roll(blk, shift=(z - shift) % z, axis=1) if shift else blk
+                    if early_stop:
+                        hard = (rot < 0).astype(jnp.float32)
+                        app_parity = hard if app_parity is None else app_parity + hard
                     vs.append(rot - r_scr[:, (base + e) * z : (base + e + 1) * z])
+                if early_stop:
+                    # On-the-fly syndrome: parity of the a-posteriori hard
+                    # decisions entering this layer (TPU-native analogue of
+                    # the reference's per-iteration CRC early stop,
+                    # ldpc_decoder_impl.cpp:126-136).
+                    layer_odd = jnp.mod(app_parity, 2.0) > 0.5
+                    odd_any = jnp.maximum(odd_any, jnp.max(layer_odd.astype(jnp.int32)))
                 absv = [jnp.abs(v) for v in vs]
                 m1 = absv[0]
                 for a in absv[1:]:
@@ -118,17 +145,36 @@ def decode_pallas(
                     newv = v + r_new
                     back = pltpu.roll(newv, shift=shift, axis=1) if shift else newv
                     app_scr[:, col * z : (col + 1) * z] = back
-            return 0
+            return i + 1, odd_any
 
-        jax.lax.fori_loop(0, nof_iterations, one_iteration, 0)
+        if early_stop:
+            # Exit once an entire iteration saw every check satisfied for
+            # every codeword in the tile (or the budget runs out).
+            final_i, _ = jax.lax.while_loop(
+                lambda c: jnp.logical_and(c[0] < nof_iterations, c[1] > 0),
+                one_iteration,
+                (jnp.zeros((), jnp.int32), jnp.ones((), jnp.int32)),
+            )
+        else:
+            jax.lax.fori_loop(
+                0, nof_iterations, lambda it, c: one_iteration((it, c))[1], jnp.zeros((), jnp.int32)
+            )
+            final_i = jnp.full((), nof_iterations, jnp.int32)
         app_out_ref[:] = app_scr[:]
+        iters_out_ref[:] = jnp.full_like(iters_out_ref, final_i)
 
-    app = pl.pallas_call(
+    app, iters = pl.pallas_call(
         kernel,
         grid=(nof_tiles,),
         in_specs=[pl.BlockSpec((bt, x.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((bt, nb * z), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((x.shape[0], nb * z), jnp.float32),
+        out_specs=(
+            pl.BlockSpec((bt, nb * z), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((x.shape[0], nb * z), jnp.float32),
+            jax.ShapeDtypeStruct((x.shape[0], 1), jnp.int32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((bt, nb * z), jnp.float32),
             pltpu.VMEM((bt, total_edges * z), jnp.float32),
@@ -138,4 +184,4 @@ def decode_pallas(
 
     app = app[:batch]
     bits = (app[:, : g.kb * z] < 0).astype(jnp.uint8)
-    return bits, app
+    return bits, app, iters[:batch, 0]

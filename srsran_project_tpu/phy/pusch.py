@@ -70,7 +70,7 @@ class PuschConfig:
     noise_method: str = "second_difference"
     llr_range_limit: float = 20.0
     cfo_compensation: bool = False  # reference knob: du_low_config.h CFO comp
-    ldpc_early_stop: bool = False  # CRC-gated two-phase decode (see sch.py)
+    ldpc_early_stop: bool = True  # kernel syndrome early stop / CRC two-phase (see sch.py)
     uci: UciOnPuschConfig | None = None
     # PT-RS common-phase-error tracking (pairs with PdschConfig.ptrs_*).
     ptrs_enabled: bool = False

@@ -154,15 +154,22 @@ def decode_transport_block(
     new_harq, flat = checkpoint(_dematch_stage(llrs, harq_buffer, cfg))
     buf = new_harq
 
-    def run_decode(llr_in, iters):
+    def run_decode(llr_in, iters, kernel_early_stop=False):
         if _use_pallas_decoder():
             return ldpc_decoder_pallas.decode_pallas(
-                llr_in, seg.base_graph, seg.lifting_size, iters
+                llr_in, seg.base_graph, seg.lifting_size, iters,
+                early_stop=kernel_early_stop,
             )[0]
         return ldpc_decoder.decode(llr_in, seg.base_graph, seg.lifting_size, iters)[0]
 
     llr_f = flat
-    if early_stop and nof_iterations > 2:
+    if early_stop and _use_pallas_decoder():
+        # On-device syndrome early stop inside the Pallas kernel: exits the
+        # iteration while_loop per batch tile once all checks pass.  Unlike
+        # the two-phase CRC gate below, this survives vmap (the loop is
+        # inside the kernel, not in the traced program).
+        bits = run_decode(llr_f, nof_iterations, kernel_early_stop=True)
+    elif early_stop and nof_iterations > 2:
         # CRC-gated two-phase decode (the reference's per-iteration CRC
         # early stop, adapted to static shapes): try 2 iterations; only if
         # any codeblock's CRC still fails run the full budget.  At

@@ -24,7 +24,7 @@ class ExpertPhyConfig:
 
     max_processing_delay_slots: int = 5
     pusch_max_nof_ldpc_iterations: int = 6
-    ldpc_decoder_early_stop: bool = False  # fixed-iteration on TPU; masked convergence TBD
+    ldpc_decoder_early_stop: bool = True  # on-device syndrome while_loop (Pallas); CRC two-phase on CPU
     pusch_sinr_calc_method: str = "post_equalization"
     pusch_channel_estimator_fd_strategy: str = "filter"  # none | mean | filter
     pusch_channel_estimator_td_strategy: str = "average"

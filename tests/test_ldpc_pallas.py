@@ -14,7 +14,7 @@ def test_pallas_decoder_noiseless(bg, z):
     msg = rng.integers(0, 2, size=(3, g.kb * z), dtype=np.uint8)
     cw = np.asarray(encoder.encode(msg, bg, z))
     llr = np.where(cw[:, 2 * z :] == 0, 20.0, -20.0).astype(np.float32)
-    bits, _ = decoder_pallas.decode_pallas(llr, bg, z, nof_iterations=4, batch_tile=2,
+    bits, _, _ = decoder_pallas.decode_pallas(llr, bg, z, nof_iterations=4, batch_tile=2,
                                            interpret=True)
     np.testing.assert_array_equal(np.asarray(bits), msg)
 
@@ -31,7 +31,7 @@ def test_pallas_matches_xla_decoder_awgn():
     y = x + sigma * rng.standard_normal(x.shape).astype(np.float32)
     llr = (2 * y / sigma**2).astype(np.float32)
     b_ref, app_ref = decoder.decode(llr, bg, z, nof_iterations=5)
-    b_pal, app_pal = decoder_pallas.decode_pallas(llr, bg, z, nof_iterations=5,
+    b_pal, app_pal, _ = decoder_pallas.decode_pallas(llr, bg, z, nof_iterations=5,
                                                   batch_tile=4, interpret=True)
     # Same algorithm, same schedule: hard decisions must agree.
     np.testing.assert_array_equal(np.asarray(b_pal), np.asarray(b_ref))
@@ -45,7 +45,41 @@ def test_pallas_batch_padding():
     msg = rng.integers(0, 2, size=(5, g.kb * z), dtype=np.uint8)  # 5 % tile != 0
     cw = np.asarray(encoder.encode(msg, bg, z))
     llr = np.where(cw[:, 2 * z :] == 0, 15.0, -15.0).astype(np.float32)
-    bits, _ = decoder_pallas.decode_pallas(llr, bg, z, nof_iterations=3, batch_tile=4,
+    bits, _, _ = decoder_pallas.decode_pallas(llr, bg, z, nof_iterations=3, batch_tile=4,
                                            interpret=True)
     assert bits.shape == (5, g.kb * z)
     np.testing.assert_array_equal(np.asarray(bits), msg)
+
+
+def test_pallas_early_stop_syndrome():
+    """Kernel-level while_loop early stop: converges in far fewer iterations
+    at high SNR, bits identical to the full-budget decode; reports the
+    iteration count actually run (reference's LDPC iteration statistic)."""
+    bg, z = 2, 64
+    g = graphs.get_graph(bg, z)
+    rng = np.random.default_rng(3)
+    msg = rng.integers(0, 2, size=(4, g.kb * z), dtype=np.uint8)
+    cw = np.asarray(encoder.encode(msg, bg, z))
+    tx = cw[:, 2 * z :]
+    llr = np.where(tx == 0, 20.0, -20.0).astype(np.float32)
+    bits, _, iters = decoder_pallas.decode_pallas(
+        llr, bg, z, nof_iterations=8, batch_tile=4, interpret=True, early_stop=True
+    )
+    np.testing.assert_array_equal(np.asarray(bits), msg)
+    assert iters.shape == (4,)
+    assert int(np.asarray(iters).max()) <= 2  # noiseless: instant convergence
+
+    # Moderate noise: early-stop hard decisions match the fixed-budget run.
+    x = 1.0 - 2.0 * tx.astype(np.float32)
+    sigma = 0.6
+    y = x + sigma * rng.standard_normal(x.shape).astype(np.float32)
+    llr = (2 * y / sigma**2).astype(np.float32)
+    b_full, _, it_full = decoder_pallas.decode_pallas(
+        llr, bg, z, nof_iterations=8, batch_tile=4, interpret=True, early_stop=False
+    )
+    b_es, _, it_es = decoder_pallas.decode_pallas(
+        llr, bg, z, nof_iterations=8, batch_tile=4, interpret=True, early_stop=True
+    )
+    np.testing.assert_array_equal(np.asarray(b_es), np.asarray(b_full))
+    assert int(np.asarray(it_full)[0]) == 8
+    assert int(np.asarray(it_es).max()) <= 8
