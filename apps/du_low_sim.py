@@ -48,6 +48,9 @@ def main() -> int:
     ap.add_argument("--metrics-interval-slots", type=int, default=0,
                     help="emit a periodic metrics JSON line every N slots "
                          "(the reference's periodic_metrics_report_controller)")
+    ap.add_argument("--remote-port", type=int, default=None,
+                    help="serve the remote-control WebSocket endpoint here "
+                         "(reference apps/services/remote_control; 0 = ephemeral)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--dump-config", action="store_true")
     args = ap.parse_args()
@@ -142,12 +145,30 @@ def main() -> int:
         # re-arms itself (reference periodic_metrics_report_controller).
         from srsran_project_tpu.support.timers import TimerManager
         tm = TimerManager()
+        # Remote control endpoint (reference remote_server.cpp): JSON
+        # commands over WebSocket; subscribed clients get the periodic
+        # metrics lines; "quit" stops the slot loop.
+        import threading
+        stop_flag = threading.Event()
+        remote = None
+        if args.remote_port is not None:
+            from srsran_project_tpu.support.remote_server import RemoteServer
+            remote = RemoteServer(
+                "127.0.0.1", args.remote_port,
+                commands={"metrics": lambda msg: {"report": sched.report()}},
+                on_quit=stop_flag.set)
+            remote.start()
+            print(f"# remote control: ws://127.0.0.1:{remote.port}",
+                  file=sys.stderr)
         if args.metrics_interval_slots > 0:
             report_timer = tm.create_timer()
 
             def _periodic_report():
-                print(json.dumps({"slot": tm.now, "type": "periodic",
-                                  **{k: v for k, v in sched.report().items()}}))
+                line = json.dumps({"slot": tm.now, "type": "periodic",
+                                   **{k: v for k, v in sched.report().items()}})
+                print(line)
+                if remote is not None:
+                    remote.broadcast_metrics(line)
                 report_timer.run()
 
             report_timer.set(args.metrics_interval_slots, _periodic_report)
@@ -161,6 +182,8 @@ def main() -> int:
         with staging.sync_stages():
             first = True
             for i in range(args.slots):
+                if stop_flag.is_set():  # remote "quit"
+                    break
                 slot = SlotPoint.from_sfn_slot(SubcarrierSpacing(cell.scs), i // 20, i % 20)
                 tm.tick()
                 dl, txd, ulr, grants = sched.run_slot(slot, rng)
@@ -199,6 +222,8 @@ def main() -> int:
                     first = False
                     staging._SYNC = False  # steady state after first slot
         elapsed = time.monotonic() - t_start
+        if remote is not None:
+            remote.stop()
         if pcap_w is not None:
             pcap_w.close()
             print(f"# pcap: {pcap_w.nof_packets} MAC PDUs -> {args.pcap}",
