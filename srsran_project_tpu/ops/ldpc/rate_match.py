@@ -127,6 +127,47 @@ def rate_dematch(
     return jnp.where(filler, jnp.int32(LLR_INF), acc).astype(jnp.int8)
 
 
+@functools.partial(jax.jit, static_argnames=("bg", "z", "k_prime", "e", "rv", "qm", "n_cb"))
+def rate_dematch_combine(
+    buffer: jax.Array,
+    llrs: jax.Array,
+    bg: int,
+    z: int,
+    k_prime: int,
+    e: int,
+    rv: int,
+    qm: int,
+    n_cb: int | None = None,
+) -> jax.Array:
+    """HARQ retransmission: dematch `llrs` (..., E) and combine into the
+    existing codeblock `buffer` (..., N) with int8 saturation at ±LLR_MAX.
+
+    Mirrors the reference's allot_llrs combine mode
+    (ldpc_rate_dematcher_impl.cpp:146-152): written positions add with
+    saturation, filler positions keep +LLR_INF, untouched positions keep
+    their previous value.
+    """
+    g = graphs.get_graph(bg, z)
+    n = g.nof_codeword_bits
+    if n_cb is None:
+        n_cb = n
+    batch = llrs.shape[:-1]
+    inv = _inverse_indices(bg, z, k_prime, e, rv, qm, n_cb)
+    if inv is not None:
+        padded = jnp.concatenate(
+            [llrs.astype(jnp.int32), jnp.zeros(batch + (1,), jnp.int32)], axis=-1
+        )
+        inc = padded[..., jnp.asarray(inv)]
+    else:
+        idx = jnp.asarray(selection_indices(bg, z, k_prime, e, rv, qm, n_cb))
+        inc = jnp.zeros(batch + (n,), dtype=jnp.int32)
+        inc = inc.at[..., idx].add(llrs.astype(jnp.int32))
+    filler = jnp.asarray(_filler_mask(bg, z, k_prime, n_cb))
+    filler = jnp.pad(filler, (0, n - n_cb)) if n_cb < n else filler
+    combined = jnp.clip(buffer.astype(jnp.int32) + inc, -LLR_MAX, LLR_MAX)
+    return jnp.where(filler, jnp.int32(LLR_INF), combined).astype(jnp.int8)
+
+
 def combine_harq(old: jax.Array, new: jax.Array) -> jax.Array:
     """Saturating int8 LLR combine of a retransmission into the HARQ buffer
     (reference: pusch_decoder_impl.cpp:336)."""

@@ -39,6 +39,7 @@ class SegmentParams:
     nof_cb_bits: int  # K = K_b * Z (message length fed to the encoder)
     nof_payload_bits_per_cb: int  # K': info+CRC bits per codeblock
     nof_filler_bits: int  # F = K - K'
+    zero_pad: int  # zeros appended after the TB CRC in the last segment (TS 38.212 ceil split)
     tb_crc: str
 
     @property
@@ -49,6 +50,13 @@ class SegmentParams:
 
 def compute_segment_params(tbs: int, target_code_rate: float) -> SegmentParams:
     bg = graphs.select_base_graph(tbs, target_code_rate)
+    return compute_segment_params_bg(tbs, bg)
+
+
+def compute_segment_params_bg(tbs: int, base_graph: int) -> SegmentParams:
+    """Segmentation geometry for an explicitly selected base graph
+    (reference: segmenter_config carries the base graph directly)."""
+    bg = base_graph
     crc_name = tb_crc_name(tbs)
     l_tb = crc_mod.POLYS[crc_name][1]
     b = tbs + l_tb
@@ -57,9 +65,12 @@ def compute_segment_params(tbs: int, target_code_rate: float) -> SegmentParams:
         c = 1
     else:
         c = -(-b // (k_cb - CB_CRC_BITS))
-    if b % c != 0:
-        raise ValueError(f"TB size {tbs} (+{l_tb} CRC) not divisible into {c} codeblocks")
-    k_prime = b // c + (CB_CRC_BITS if c > 1 else 0)
+    # B' = B + C*24 (C > 1); K' = ceil(B'/C); the shortfall of the ceil split
+    # is zero-padded after the TB CRC in the last segment
+    # (reference: ldpc_segmenter_tx_impl.cpp:85-90,189).
+    b_prime = b + (CB_CRC_BITS * c if c > 1 else 0)
+    k_prime = -(-b_prime // c)
+    zero_pad = k_prime * c - b_prime
     z = graphs.select_lifting_size(bg, b, c)
     g = graphs.get_graph(bg, z)
     k = g.kb * z
@@ -71,8 +82,28 @@ def compute_segment_params(tbs: int, target_code_rate: float) -> SegmentParams:
         nof_cb_bits=k,
         nof_payload_bits_per_cb=k_prime,
         nof_filler_bits=k - k_prime,
+        zero_pad=zero_pad,
         tb_crc=crc_name,
     )
+
+
+def rate_matched_length(
+    params: SegmentParams, cb_index: int, qm: int, nof_layers: int, nof_ch_symbols: int
+) -> int:
+    """Rate-matched length E_j of segment `cb_index` (TS 38.212 §5.4.2.1;
+    reference: ldpc_segmenter_helpers.h compute_rm_length).
+
+    `nof_ch_symbols` counts channel symbols over all layers (the reference
+    segmenter_config convention); symbols per layer = nof_ch_symbols / N_L.
+    """
+    c = params.nof_codeblocks
+    symbols_per_layer = nof_ch_symbols // nof_layers
+    nof_short = c - (symbols_per_layer % c)
+    if cb_index < nof_short:
+        tmp = symbols_per_layer // c
+    else:
+        tmp = -(-symbols_per_layer // c)
+    return tmp * nof_layers * qm
 
 
 def segment_tx(tb_bits: jax.Array, params: SegmentParams) -> jax.Array:
@@ -83,6 +114,9 @@ def segment_tx(tb_bits: jax.Array, params: SegmentParams) -> jax.Array:
     matcher skips them by index).
     """
     with_crc = crc_mod.crc_append(tb_bits, params.tb_crc)
+    if params.zero_pad:
+        zp = jnp.zeros(with_crc.shape[:-1] + (params.zero_pad,), dtype=with_crc.dtype)
+        with_crc = jnp.concatenate([with_crc, zp], axis=-1)
     c = params.nof_codeblocks
     seg_payload = with_crc.shape[-1] // c
     segs = with_crc.reshape(with_crc.shape[:-1] + (c, seg_payload))
@@ -111,6 +145,8 @@ def desegment_rx(cb_bits: jax.Array, params: SegmentParams):
         nof_bad = nof_bad + cb_crc.sum(axis=(-2, -1))
         payload = payload[..., : k_prime - CB_CRC_BITS]
     tb_with_crc = payload.reshape(payload.shape[:-2] + (-1,))
+    if params.zero_pad:
+        tb_with_crc = tb_with_crc[..., : tb_with_crc.shape[-1] - params.zero_pad]
     tb_crc = checkpoint(crc_mod.crc(tb_with_crc, params.tb_crc)).astype(jnp.int32)
     nof_bad = nof_bad + tb_crc.sum(axis=-1)
     tb_ok = checkpoint(nof_bad == 0)
