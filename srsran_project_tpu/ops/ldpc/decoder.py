@@ -126,3 +126,114 @@ def decode(
     full = app[:, : nb * z]
     bits = (full[:, : g.kb * z] < 0).astype(jnp.uint8)
     return bits, full
+
+
+# ---------------------------------------------------------------------------
+# Reference-exact int8 mode
+# ---------------------------------------------------------------------------
+
+LLR_INF = 127  # fixed-bit marker (log_likelihood_ratio.h:250)
+LLR_MAX = 120  # saturation bound (log_likelihood_ratio.h:255)
+
+
+def _sat_add(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Reference saturated LLR sum (log_likelihood_ratio.cpp operator+=):
+    a == -b -> 0; ±INF operands pass through; else clip(a+b, ±LLR_MAX)."""
+    plain = jnp.clip(a + b, -LLR_MAX, LLR_MAX)
+    out = jnp.where(jnp.abs(b) == LLR_INF, b, plain)
+    out = jnp.where(jnp.abs(a) == LLR_INF, a, out)
+    return jnp.where(a == -b, 0, out)
+
+
+def _promotion_sum(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Reference promotion sum: like _sat_add but overflow promotes to ±INF
+    (log_likelihood_ratio.cpp promotion_sum)."""
+    s = a + b
+    plain = jnp.where(jnp.abs(s) > LLR_MAX, jnp.sign(s) * LLR_INF, s)
+    out = jnp.where(jnp.abs(b) == LLR_INF, b, plain)
+    out = jnp.where(jnp.abs(a) == LLR_INF, a, out)
+    return jnp.where(a == -b, 0, out)
+
+
+@functools.partial(jax.jit, static_argnames=("bg", "z", "nof_iterations", "nof_layers"))
+def decode_i8(
+    llrs: jax.Array,
+    bg: int,
+    z: int,
+    nof_iterations: int = 6,
+    nof_layers: int | None = None,
+):
+    """Bit-exact re-expression of the reference's int8 layered min-sum
+    decoder (ldpc_decoder_generic.cpp semantics) on int32 lanes.
+
+    llrs: (batch, N) int8/int32 circular-buffer LLRs (no punctured 2Z bits).
+    Returns (bits (batch, K) uint8, app (batch, NB*Z) int32 final LLRs).
+
+    Numerics (all asserted against reference goldens):
+    - input clamped to ±64 on load (ldpc_decoder_impl.h:205-207);
+    - var-to-check = saturated difference with ±127 pass-through;
+    - check-to-var magnitude = round(0.8f * min) half away from zero,
+      ±127 kept as ±127 (ldpc_decoder_generic.cpp scale_llr);
+    - soft bits = promotion sum (overflow -> ±127 fixed bits).
+    """
+    g = graphs.get_graph(bg, z)
+    if nof_layers is None:
+        nof_layers = g.m
+    nb = g.n
+    batch = llrs.shape[0]
+
+    idx_np, valid_np = _layer_tables(bg, z, nof_layers)
+    idx = jnp.asarray(idx_np)
+    valid = jnp.asarray(valid_np)
+    dmax = idx.shape[1]
+
+    x = jnp.clip(llrs.astype(jnp.int32), -int(INPUT_CLAMP), int(INPUT_CLAMP))
+    app = jnp.concatenate(
+        [jnp.zeros((batch, 2 * z), jnp.int32), x, jnp.zeros((batch, 1), jnp.int32)],
+        axis=-1,
+    )
+    r0 = jnp.zeros((nof_layers, batch, dmax, z), jnp.int32) + 0 * x[0, 0]
+
+    big = jnp.int32(1 << 20)
+
+    def layer_step(app, inputs):
+        layer_idx, layer_valid, r_l = inputs
+        flat = layer_idx.reshape(-1)
+        gathered = app[:, flat].reshape(batch, dmax, z)
+        v = _sat_add(gathered, -r_l)
+        # The reference's min registers start at LLR_MAX with strict '<'
+        # updates (ldpc_decoder_impl.cpp:258 srsvec::fill(min, LLR_MAX)), so
+        # check minima are capped at 120 and ±127 never wins the min.
+        absv = jnp.where(layer_valid, jnp.minimum(jnp.abs(v), LLR_MAX), big)
+        neg = jnp.where(layer_valid, v < 0, False)
+        total_sign_odd = jnp.sum(neg, axis=1, keepdims=True) % 2 == 1
+        m1 = jnp.min(absv, axis=1, keepdims=True)
+        is_min = absv == m1
+        m2 = jnp.min(jnp.where(is_min, big, absv), axis=1, keepdims=True)
+        nof_min = jnp.sum(is_min, axis=1, keepdims=True)
+        m2 = jnp.where((nof_min > 1) | (m2 >= big), m1, m2)
+        m2 = jnp.minimum(m2, LLR_MAX)
+        mag = jnp.where(is_min, m2, m1)
+        # scale_llr: round(0.8f * min) half away from zero (min <= 120).
+        magf = mag.astype(jnp.float32) * np.float32(SCALING)
+        scaled = jnp.floor(magf + np.float32(0.5)).astype(jnp.int32)
+        own_neg = v < 0
+        c2v_neg = total_sign_odd ^ own_neg
+        r_new = jnp.where(c2v_neg, -scaled, scaled)
+        r_new = jnp.where(layer_valid, r_new, 0)
+        newval = _promotion_sum(v, r_new)
+        out = jnp.where(layer_valid, newval, gathered).reshape(batch, -1)
+        app = app.at[:, flat].set(out)
+        return app, r_new
+
+    def iteration(_, carry):
+        app, r = carry
+        app, r = jax.lax.scan(layer_step, app, (idx, valid, r))
+        return app, r
+
+    app, _ = jax.lax.fori_loop(0, nof_iterations, iteration, (app, r0))
+
+    full = app[:, : nb * z]
+    # Reference hard decision: bit = 1 iff llr <= 0 (log_likelihood_ratio.cpp:120).
+    bits = (full[:, : g.kb * z] <= 0).astype(jnp.uint8)
+    return bits, full
