@@ -49,14 +49,44 @@ def _mother_codewords(k: int) -> np.ndarray:
     return (msgs @ BASIS[:k]) % 2
 
 
-def encode(msg: jax.Array, e: int) -> jax.Array:
+# Placeholder markers for K <= 2 (TS 38.212 §5.3.3.1/.2; reference
+# short_block_encoder.h:40-45): "x" repeats the previous modulation symbol
+# value, "y" repeats the previous bit after scrambling.
+PLACEHOLDER_X = 255
+PLACEHOLDER_Y = 254
+
+
+def encode(msg: jax.Array, e: int, placeholders: bool = False) -> jax.Array:
     """(..., K) bits -> (..., E) coded bits (rate-matched by repetition).
 
     K = msg.shape[-1] in [1, 11]; for K in [3, 11] codeword
     d(n) = sum_k a_k M_{n,k} mod 2 (TS 38.212 §5.3.3.3).
+
+    placeholders=True emits the spec's x/y markers (255/254) for K <= 2
+    exactly like the reference encoder; E must then be Qm (K=1) or 3*Qm
+    (K=2).  The markers are resolved later during scrambling.
     """
     k = msg.shape[-1]
     msg = msg.astype(jnp.uint8)
+    if placeholders and k <= 2:
+        batch = msg.shape[:-1]
+        out = jnp.full(batch + (e,), PLACEHOLDER_X, jnp.uint8)
+        if k == 1:
+            out = out.at[..., 0].set(msg[..., 0])
+            if e > 1:
+                out = out.at[..., 1].set(PLACEHOLDER_Y)
+            return out
+        c2 = msg[..., 0] ^ msg[..., 1]
+        out = out.at[..., 0].set(msg[..., 0])
+        out = out.at[..., 1].set(msg[..., 1])
+        if e == 3:
+            return out.at[..., 2].set(c2)
+        step = e // 3
+        out = out.at[..., step].set(c2)
+        out = out.at[..., step + 1].set(msg[..., 0])
+        out = out.at[..., 2 * step].set(msg[..., 1])
+        out = out.at[..., 2 * step + 1].set(c2)
+        return out
     if k == 1:
         base = msg
     elif k == 2:
@@ -96,3 +126,73 @@ def detect(llrs: jax.Array, k: int, e: int):
     denom = jnp.sum(jnp.abs(folded), axis=-1) + 1e-9
     metric = jnp.take_along_axis(scores, best[..., None], axis=-1)[..., 0] / denom
     return bits, metric
+
+
+def detect_ref(llrs: jax.Array, k: int, e: int, qm: int):
+    """Reference-exact short-block detection on int8 LLRs
+    (short_block_detector_impl.cpp): returns (bits (..., K) uint8,
+    ok (...,) bool).
+
+    Mirrors the reference's rate-dematch (saturated int8 fold onto the
+    mother length), per-K detectors, and GLRT thresholds.
+    """
+    x = llrs.astype(jnp.int32)
+    batch = x.shape[:-1]
+
+    def sat_fold(vec, n):
+        reps = -(-vec.shape[-1] // n)
+        pad = reps * n - vec.shape[-1]
+        v = jnp.pad(vec, [(0, 0)] * (vec.ndim - 1) + [(0, pad)])
+        blocks = v.reshape(v.shape[:-1] + (reps, n))
+        out = blocks[..., 0, :]
+        for r in range(1, reps):
+            b = blocks[..., r, :]
+            plain = jnp.clip(out + b, -120, 120)
+            res = jnp.where(jnp.abs(b) == 127, b, plain)
+            res = jnp.where(jnp.abs(out) == 127, out, res)
+            out = jnp.where(out == -b, 0, res)
+        return out
+
+    if k == 1:
+        bit = (x[..., 0] <= 0).astype(jnp.uint8)
+        return bit[..., None], jnp.ones(batch, bool)
+
+    if k == 2:
+        if e == 3:
+            l0, l1, l2 = x[..., 0], x[..., 1], x[..., 2]
+        else:
+            step = e // 3 - 2
+            l0 = x[..., 0] + x[..., step + 3]
+            l1 = x[..., 1] + x[..., 2 * step + 4]
+            l2 = x[..., step + 2] + x[..., 2 * step + 5]
+        lv = jnp.stack([l0, l1, l2], axis=-1).astype(jnp.float64)
+        table2 = jnp.asarray(
+            np.array([[1, 1, 1], [-1, 1, -1], [1, -1, -1], [-1, -1, 1]], np.float64)
+        )
+        scores = lv @ table2.T  # (..., 4)
+        # Strict '>' against a tiny positive init: all-nonpositive -> idx 0.
+        best = jnp.argmax(scores, axis=-1)
+        best = jnp.where(jnp.max(scores, axis=-1) > 0, best, 0)
+        bits = jnp.stack([best & 1, (best >> 1) & 1], axis=-1).astype(jnp.uint8)
+        m = jnp.take_along_axis(scores, best[..., None], axis=-1)[..., 0]
+        norm = jnp.sum(lv * lv, axis=-1)
+        metric = 2.0 * m * m / (3.0 * norm - m * m)
+        return bits, metric > 0.0  # THRESHOLDS[1] = 0
+
+    folded = sat_fold(x, 32)
+    nof_cw = 1 << (k - 1)
+    idx = np.arange(nof_cw)
+    msgs = (((2 * idx)[:, None] >> np.arange(11)) & 1).astype(np.uint8)  # LSB-first
+    cw = (msgs @ BASIS) % 2  # (2^(K-1), 32)
+    signs = jnp.asarray(1.0 - 2.0 * cw.astype(np.float64))
+    scores = folded.astype(jnp.float64) @ signs.T  # (..., 2^(K-1))
+    absval = jnp.abs(scores)
+    best = jnp.argmax(absval, axis=-1)
+    m = jnp.max(absval, axis=-1)
+    bit0 = (jnp.take_along_axis(scores, best[..., None], axis=-1)[..., 0] < 0).astype(jnp.int32)
+    full_idx = 2 * best + bit0
+    bits = ((full_idx[..., None] >> jnp.arange(k)) & 1).astype(jnp.uint8)
+    norm = jnp.sum(folded.astype(jnp.float64) ** 2, axis=-1)
+    metric = 31.0 * m * m / (32.0 * norm - m * m)
+    thresholds = (0, 0, 12, 14, 16, 18, 20, 22, 24, 26, 29)
+    return bits, metric > thresholds[k - 1]

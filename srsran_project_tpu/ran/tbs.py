@@ -21,8 +21,14 @@ TBS_TABLE = (
 
 
 def nof_re_per_prb(nof_symbols: int, nof_dmrs_re_per_prb: int, overhead: int = 0) -> int:
-    """N'_RE = 12*nsymb - N_dmrs - N_oh, capped at 156 in the TBS formula."""
-    return 12 * nof_symbols - nof_dmrs_re_per_prb - overhead
+    """N'_RE = 12*nsymb - N_dmrs - N_oh, capped at 156 in the TBS formula.
+
+    The reference computes this in unsigned arithmetic
+    (tbs_calculator.cpp:133): a negative value wraps and the min() then
+    selects 156 — reproduce that by treating negatives as "above the cap".
+    """
+    n = 12 * nof_symbols - nof_dmrs_re_per_prb - overhead
+    return n if n >= 0 else 1 << 32
 
 
 def calculate_tbs(
@@ -36,20 +42,28 @@ def calculate_tbs(
     tb_scaling: float = 1.0,
 ) -> int:
     """TBS in bits per TS 38.214 §5.1.3.2 steps 1-4."""
+    import numpy as np
+
     n_re_prime = nof_re_per_prb(nof_symbols, nof_dmrs_re_per_prb, overhead)
     n_re = min(156, n_re_prime) * nof_prb
-    n_info = n_re * code_rate * qm * nof_layers * tb_scaling
+    # The reference computes N_info in float32 (tbs_calculator.cpp:62-64);
+    # mirror that so floor/round boundaries agree exactly.
+    f32 = np.float32
+    n_info = float(f32(tb_scaling) * f32(n_re) * f32(code_rate) * f32(qm) * f32(nof_layers))
     if n_info <= 3824:
         # Step 3: quantize then pick smallest valid TBS not less than N'_info.
-        n = max(3, int(math.floor(math.log2(n_info))) - 6) if n_info >= 8 else 3
-        n_info_prime = max(24, (1 << n) * int(n_info / (1 << n)))
+        n = 3
+        if n_info > 512:
+            n = int(math.floor(math.log2(n_info))) - 6
+        n_info_prime = max(24, (1 << n) * int(float(f32(n_info)) / (1 << n)))
         for tbs in TBS_TABLE:
             if tbs >= n_info_prime:
                 return tbs
         return TBS_TABLE[-1]
-    # Step 4.
+    # Step 4 (tbs_calculator.cpp:44-59); round = half away from zero.
     n = int(math.floor(math.log2(n_info - 24))) - 5
-    n_info_prime = max(3840, (1 << n) * int(round((n_info - 24) / (1 << n))))
+    quotient = float(f32(n_info - 24) / f32(1 << n))
+    n_info_prime = max(3840, (1 << n) * int(math.floor(quotient + 0.5)))
     if code_rate <= 0.25:
         c = math.ceil((n_info_prime + 24) / 3816)
     elif n_info_prime > 8424:
@@ -75,8 +89,51 @@ MCS_TABLE_256QAM = (
 )
 
 
-def mcs_to_qm_rate(mcs: int, table: str = "qam64"):
-    """(Qm, code rate) for an MCS index."""
-    tab = MCS_TABLE_64QAM if table == "qam64" else MCS_TABLE_256QAM
-    qm, r1024 = tab[mcs]
+# TS 38.214 Table 5.1.3.1-3 (qam64LowSe).
+MCS_TABLE_64QAM_LOW_SE = (
+    (2, 30), (2, 40), (2, 50), (2, 64), (2, 78), (2, 99), (2, 120), (2, 157),
+    (2, 193), (2, 251), (2, 308), (2, 379), (2, 449), (2, 526), (2, 602),
+    (4, 340), (4, 378), (4, 434), (4, 490), (4, 553), (4, 616), (6, 438),
+    (6, 466), (6, 517), (6, 567), (6, 616), (6, 666), (6, 719), (6, 772),
+)
+# TS 38.214 Table 6.1.4.1-1 (PUSCH with transform precoding); Qm 1 = pi/2-BPSK.
+MCS_TABLE_TP_64QAM = (
+    (1, 240), (1, 314), (2, 193), (2, 251), (2, 308), (2, 379), (2, 449),
+    (2, 526), (2, 602), (2, 679), (4, 340), (4, 378), (4, 434), (4, 490),
+    (4, 553), (4, 616), (4, 658), (6, 466), (6, 517), (6, 567), (6, 616),
+    (6, 666), (6, 719), (6, 772), (6, 822), (6, 873), (6, 910), (6, 948),
+    (1, 0),  # reserved (retransmission, Qm only)
+)
+# TS 38.214 Table 6.1.4.1-2 (PUSCH with transform precoding, low SE).
+MCS_TABLE_TP_64QAM_LOW_SE = (
+    (1, 60), (1, 80), (1, 100), (1, 128), (1, 156), (1, 198), (2, 120),
+    (2, 157), (2, 193), (2, 251), (2, 308), (2, 379), (2, 449), (2, 526),
+    (2, 602), (2, 679), (4, 378), (4, 434), (4, 490), (4, 553), (4, 616),
+    (4, 658), (4, 699), (4, 772), (6, 567), (6, 616), (6, 666), (6, 772),
+    (1, 0),  # reserved
+)
+
+_TABLES = {
+    "qam64": MCS_TABLE_64QAM,
+    "qam256": MCS_TABLE_256QAM,
+    "qam64LowSe": MCS_TABLE_64QAM_LOW_SE,
+}
+_TP_TABLES = {
+    "qam64": MCS_TABLE_TP_64QAM,
+    "qam64LowSe": MCS_TABLE_TP_64QAM_LOW_SE,
+}
+
+
+def mcs_to_qm_rate(mcs: int, table: str = "qam64", transform_precoding: bool = False,
+                   tp_pi2bpsk: bool = False):
+    """(Qm, code rate) for an MCS index (reference pusch_mcs.cpp /
+    pdsch_mcs.cpp semantics; qam256 ignores transform precoding)."""
+    if transform_precoding and table != "qam256":
+        qm, r1024 = _TP_TABLES[table][mcs]
+        if qm == 1:  # pi/2-BPSK entry
+            if not tp_pi2bpsk:
+                return 2, (r1024 / 2) / 1024.0
+            return 1, r1024 / 1024.0
+        return qm, r1024 / 1024.0
+    qm, r1024 = _TABLES[table][mcs]
     return qm, r1024 / 1024.0

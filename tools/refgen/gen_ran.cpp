@@ -1,0 +1,442 @@
+// Golden generators for the lib/ran derived-parameter library and the
+// polar / short-block codecs — all pure functions of integer configs,
+// dumped as JSON manifests (+ .dat bit/LLR vectors for the codecs).
+
+#include "common.h"
+
+#include "lib/phy/upper/channel_coding/polar/polar_allocator_impl.h"
+#include "lib/phy/upper/channel_coding/polar/polar_code_impl.h"
+#include "lib/phy/upper/channel_coding/polar/polar_deallocator_impl.h"
+#include "lib/phy/upper/channel_coding/polar/polar_decoder_impl.h"
+#include "lib/phy/upper/channel_coding/polar/polar_encoder_impl.h"
+#include "lib/phy/upper/channel_coding/polar/polar_interleaver_impl.h"
+#include "lib/phy/upper/channel_coding/polar/polar_rate_dematcher_impl.h"
+#include "lib/phy/upper/channel_coding/polar/polar_rate_matcher_impl.h"
+#include "lib/phy/upper/channel_coding/short/short_block_detector_impl.h"
+#include "lib/phy/upper/channel_coding/short/short_block_encoder_impl.h"
+#include "srsran/ran/pdsch/dlsch_info.h"
+#include "srsran/ran/pusch/pusch_mcs.h"
+#include "srsran/ran/pusch/pusch_uci_beta_offset.h"
+#include "srsran/ran/pusch/ulsch_info.h"
+#include "srsran/ran/sch/tbs_calculator.h"
+
+#include <cmath>
+#include <cstring>
+
+using namespace srsran;
+using namespace refgen;
+
+extern std::string g_root_outdir;
+
+namespace {
+void start(const std::string& name) { set_outdir(g_root_outdir + "/" + name); }
+}
+
+// ------------------------------------------------------------------ tbs ----
+
+void gen_ran_tbs() {
+  start("ran_tbs");
+  manifest m("manifest.json");
+  const modulation_scheme mods[] = {modulation_scheme::QPSK, modulation_scheme::QAM16,
+                                    modulation_scheme::QAM64, modulation_scheme::QAM256};
+  const float rates[] = {0.076171875f, 0.30078125f, 0.438476562f, 0.650390625f, 0.92578125f};
+  for (unsigned nof_symb : {2u, 7u, 12u, 14u}) {
+    for (unsigned dmrs_prb : {12u, 24u, 36u}) {
+      for (unsigned oh : {0u, 6u, 18u}) {
+        for (auto mod : mods) {
+          for (float rate : rates) {
+            for (unsigned layers : {1u, 2u, 4u}) {
+              for (unsigned n_prb : {1u, 4u, 24u, 106u, 270u, 275u}) {
+                tbs_calculator_configuration cfg = {};
+                cfg.nof_symb_sh = nof_symb;
+                cfg.nof_dmrs_prb = dmrs_prb;
+                cfg.nof_oh_prb = oh;
+                cfg.mcs_descr = {mod, rate * 1024.f};
+                cfg.nof_layers = layers;
+                cfg.tb_scaling_field = 0;
+                cfg.n_prb = n_prb;
+                unsigned tbs = tbs_calculator_calculate(cfg);
+                m.begin_case();
+                m.field("nof_symb", (long long)nof_symb);
+                m.field("dmrs_prb", (long long)dmrs_prb);
+                m.field("oh", (long long)oh);
+                m.field("qm", (long long)(unsigned)mod);
+                m.field("rate1024", (double)(rate * 1024.f));
+                m.field("layers", (long long)layers);
+                m.field("n_prb", (long long)n_prb);
+                m.field("tbs", (long long)tbs);
+                m.end_case();
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+  m.flush();
+}
+
+// ------------------------------------------------------------------ mcs ----
+
+void gen_ran_mcs() {
+  start("ran_mcs");
+  manifest m("manifest.json");
+  const std::pair<pusch_mcs_table, const char*> tables[] = {
+      {pusch_mcs_table::qam64, "qam64"},
+      {pusch_mcs_table::qam256, "qam256"},
+      {pusch_mcs_table::qam64LowSe, "qam64LowSe"},
+  };
+  for (auto [table, tname] : tables) {
+    unsigned max_mcs = (table == pusch_mcs_table::qam256) ? 28 : 29;
+    for (unsigned tp = 0; tp < 2; ++tp) {
+      for (unsigned idx = 0; idx < max_mcs; ++idx) {
+        sch_mcs_description d = pusch_mcs_get_config(table, idx, tp != 0, false);
+        m.begin_case();
+        m.field("table", std::string(tname));
+        m.field("tp", (long long)tp);
+        m.field("mcs", (long long)idx);
+        m.field("qm", (long long)get_bits_per_symbol(d.modulation));
+        m.field("r1024", (double)d.target_code_rate);
+        m.end_case();
+      }
+    }
+  }
+  m.flush();
+}
+
+// ----------------------------------------------------------- beta offset ----
+
+void gen_ran_beta() {
+  start("ran_beta");
+  manifest m("manifest.json");
+  for (unsigned v = 0; v < 16; ++v) {
+    m.begin_case();
+    m.field("kind", std::string("harq_ack"));
+    m.field("index", (long long)v);
+    m.field("value", (double)beta_harq_ack_to_float(v));
+    m.end_case();
+  }
+  for (unsigned v = 0; v < 19; ++v) {
+    m.begin_case();
+    m.field("kind", std::string("csi"));
+    m.field("index", (long long)v);
+    m.field("value", (double)beta_csi_to_float(v));
+    m.end_case();
+  }
+  m.flush();
+}
+
+// ----------------------------------------------------------- ulsch info ----
+
+void gen_ulsch_info() {
+  start("ulsch_info");
+  manifest m("manifest.json");
+  struct ucase {
+    unsigned tbs_bytes, ack, csi1, csi2, nof_rb, start_sym, nof_symbols, cdm, layers;
+    modulation_scheme mod;
+    float rate;
+    dmrs_config_type dmrs;
+    unsigned dmrs_mask; // bitmask over 14 symbols
+    bool dc;
+  };
+  std::vector<ucase> cases;
+  for (unsigned ack : {0u, 1u, 2u, 11u, 24u}) {
+    for (unsigned csi1 : {0u, 4u, 11u, 44u}) {
+      for (unsigned csi2 : {0u, 7u}) {
+        cases.push_back({96, ack, csi1, csi2, 24, 0, 14, 2, 1, modulation_scheme::QAM16, 0.5f,
+                         dmrs_config_type::type1, (1u << 2) | (1u << 11), false});
+      }
+    }
+  }
+  cases.push_back({1024, 2, 4, 0, 106, 0, 14, 2, 2, modulation_scheme::QAM64, 0.65f,
+                   dmrs_config_type::type1, (1u << 2) | (1u << 7) | (1u << 11), false});
+  cases.push_back({4096, 1, 0, 0, 270, 0, 14, 2, 4, modulation_scheme::QAM256, 0.85f,
+                   dmrs_config_type::type1, (1u << 2) | (1u << 11), true});
+  cases.push_back({0, 4, 11, 7, 24, 0, 14, 2, 1, modulation_scheme::QPSK, 0.3f,
+                   dmrs_config_type::type2, (1u << 2) | (1u << 11), false});
+  cases.push_back({48, 1, 0, 0, 4, 2, 12, 1, 1, modulation_scheme::QPSK, 0.3f,
+                   dmrs_config_type::type1, (1u << 3) | (1u << 10), false});
+
+  int idx = 0;
+  for (const auto& c : cases) {
+    ulsch_configuration cfg = {};
+    cfg.tbs = units::bits(c.tbs_bytes * 8);
+    cfg.mcs_descr = {c.mod, c.rate * 1024.f};
+    cfg.nof_harq_ack_bits = units::bits(c.ack);
+    cfg.nof_csi_part1_bits = units::bits(c.csi1);
+    cfg.nof_csi_part2_bits = units::bits(c.csi2);
+    cfg.alpha_scaling = 1.0f;
+    cfg.beta_offset_harq_ack = 2.0f;
+    cfg.beta_offset_csi_part1 = 2.0f;
+    cfg.beta_offset_csi_part2 = 2.0f;
+    cfg.nof_rb = c.nof_rb;
+    cfg.start_symbol_index = c.start_sym;
+    cfg.nof_symbols = c.nof_symbols;
+    cfg.dmrs_type = c.dmrs;
+    cfg.dmrs_symbol_mask = bounded_bitset<MAX_NSYMB_PER_SLOT>(14);
+    for (unsigned s = 0; s < 14; ++s)
+      if (c.dmrs_mask & (1u << s)) cfg.dmrs_symbol_mask.set(s);
+    cfg.nof_cdm_groups_without_data = c.cdm;
+    cfg.nof_layers = c.layers;
+    cfg.contains_dc = c.dc;
+    ulsch_information info = get_ulsch_information(cfg);
+    m.begin_case();
+    m.field("tbs", (long long)(c.tbs_bytes * 8));
+    m.field("qm", (long long)get_bits_per_symbol(c.mod));
+    m.field("rate1024", (double)(c.rate * 1024.f));
+    m.field("ack", (long long)c.ack);
+    m.field("csi1", (long long)c.csi1);
+    m.field("csi2", (long long)c.csi2);
+    m.field("nof_rb", (long long)c.nof_rb);
+    m.field("start_sym", (long long)c.start_sym);
+    m.field("nof_symbols", (long long)c.nof_symbols);
+    m.field("dmrs_type", (long long)(c.dmrs == dmrs_config_type::type1 ? 1 : 2));
+    m.field("dmrs_mask", (long long)c.dmrs_mask);
+    m.field("cdm_groups", (long long)c.cdm);
+    m.field("layers", (long long)c.layers);
+    m.field("contains_dc", (long long)(c.dc ? 1 : 0));
+    m.field("alpha", (double)1.0);
+    m.field("beta_ack", (double)2.0);
+    m.field("beta_csi1", (double)2.0);
+    m.field("beta_csi2", (double)2.0);
+    // outputs
+    m.field("g_ulsch", (long long)info.nof_ul_sch_bits.value());
+    m.field("g_ack", (long long)info.nof_harq_ack_bits.value());
+    m.field("g_ack_rvd", (long long)info.nof_harq_ack_rvd.value());
+    m.field("g_csi1", (long long)info.nof_csi_part1_bits.value());
+    m.field("g_csi2", (long long)info.nof_csi_part2_bits.value());
+    m.field("q_ack", (long long)info.nof_harq_ack_re);
+    m.field("q_csi1", (long long)info.nof_csi_part1_re);
+    m.field("q_csi2", (long long)info.nof_csi_part2_re);
+    m.field("dc_overlap_bits", (long long)info.nof_dc_overlap_bits.value());
+    if (info.sch.has_value()) {
+      m.field("sch_nof_cb", (long long)info.sch->nof_cb);
+      m.field("sch_bits_per_cb", (long long)info.sch->nof_bits_per_cb.value());
+      m.field("sch_filler_per_cb", (long long)info.sch->nof_filler_bits_per_cb.value());
+    }
+    m.end_case();
+    ++idx;
+  }
+  m.flush();
+}
+
+// ----------------------------------------------------------- dlsch info ----
+
+void gen_dlsch_info() {
+  start("dlsch_info");
+  manifest m("manifest.json");
+  struct dcase {
+    unsigned tbs_bits, nof_rb, start_sym, nof_symbols, cdm, layers;
+    modulation_scheme mod;
+    float rate;
+    unsigned dmrs_mask;
+  };
+  std::vector<dcase> cases = {
+      {768, 24, 1, 13, 1, 1, modulation_scheme::QPSK, 0.3f, (1u << 2)},
+      {8192, 106, 0, 14, 2, 2, modulation_scheme::QAM64, 0.65f, (1u << 2) | (1u << 11)},
+      {147576, 270, 0, 14, 2, 4, modulation_scheme::QAM256, 0.89f, (1u << 2) | (1u << 11)},
+      {3824, 52, 2, 12, 2, 1, modulation_scheme::QAM16, 0.5f, (1u << 3) | (1u << 10)},
+  };
+  for (const auto& c : cases) {
+    dlsch_configuration cfg = {};
+    cfg.tbs = units::bits(c.tbs_bits);
+    cfg.mcs_descr = {c.mod, c.rate * 1024.f};
+    cfg.nof_rb = c.nof_rb;
+    cfg.start_symbol_index = c.start_sym;
+    cfg.nof_symbols = c.nof_symbols;
+    cfg.dmrs_type = dmrs_config_type::type1;
+    cfg.dmrs_symbol_mask = bounded_bitset<MAX_NSYMB_PER_SLOT>(14);
+    for (unsigned s = 0; s < 14; ++s)
+      if (c.dmrs_mask & (1u << s)) cfg.dmrs_symbol_mask.set(s);
+    cfg.nof_cdm_groups_without_data = c.cdm;
+    cfg.nof_layers = c.layers;
+    cfg.contains_dc = false;
+    dlsch_information info = get_dlsch_information(cfg);
+    m.begin_case();
+    m.field("tbs", (long long)c.tbs_bits);
+    m.field("qm", (long long)get_bits_per_symbol(c.mod));
+    m.field("rate1024", (double)(c.rate * 1024.f));
+    m.field("nof_rb", (long long)c.nof_rb);
+    m.field("start_sym", (long long)c.start_sym);
+    m.field("nof_symbols", (long long)c.nof_symbols);
+    m.field("dmrs_mask", (long long)c.dmrs_mask);
+    m.field("cdm_groups", (long long)c.cdm);
+    m.field("layers", (long long)c.layers);
+    m.field("g_dlsch", (long long)info.nof_dl_sch_bits.value());
+    m.field("sch_nof_cb", (long long)info.sch.nof_cb);
+    m.field("sch_bits_per_cb", (long long)info.sch.nof_bits_per_cb.value());
+    m.field("sch_filler_per_cb", (long long)info.sch.nof_filler_bits_per_cb.value());
+    m.end_case();
+  }
+  m.flush();
+}
+
+// ---------------------------------------------------------------- polar ----
+
+void gen_polar() {
+  start("polar");
+  manifest m("manifest.json");
+  auto rng = make_rng(0x9014);
+  polar_code_impl code;
+  polar_encoder_impl enc;
+  polar_allocator_impl alloc;
+  polar_deallocator_impl dealloc;
+  polar_interleaver_impl interleaver;
+  polar_rate_matcher_impl rm;
+  polar_rate_dematcher_impl rdm;
+  polar_decoder_impl dec(std::make_unique<polar_encoder_impl>(), polar_code::NMAX_LOG);
+  std::normal_distribution<float> noise_d(0.f, 1.f);
+
+  struct pcase { unsigned K, E; uint8_t nMax; polar_code_ibil ibil; };
+  std::vector<pcase> cases = {
+      // UCI-style (nMax=10, with block interleaving)
+      {18, 48, 10, polar_code_ibil::present},
+      {23, 72, 10, polar_code_ibil::present},
+      {32, 128, 10, polar_code_ibil::present},
+      {54, 216, 10, polar_code_ibil::present},
+      {80, 256, 10, polar_code_ibil::present},
+      {120, 512, 10, polar_code_ibil::present},
+      {164, 864, 10, polar_code_ibil::present},
+      {500, 1024, 10, polar_code_ibil::present},
+      // DCI/PBCH-style (nMax=9, no interleaving)
+      {36, 108, 9, polar_code_ibil::not_present},
+      {44, 96, 9, polar_code_ibil::not_present},
+      {40, 216, 9, polar_code_ibil::not_present},
+      {60, 432, 9, polar_code_ibil::not_present},
+      {100, 256, 9, polar_code_ibil::not_present},
+      {140, 288, 9, polar_code_ibil::not_present},
+      {164, 8192, 9, polar_code_ibil::not_present},
+  };
+  int idx = 0;
+  for (const auto& c : cases) {
+    code.set(c.K, c.E, c.nMax, c.ibil);
+    unsigned N = code.get_N();
+    // Dump the code construction.
+    std::vector<uint16_t> kset, fset, pcset;
+    const auto& kmask = code.get_K_set();
+    for (unsigned i = 0; i < N; ++i)
+      if (kmask.test(i)) kset.push_back(i);
+    const auto& fmask = code.get_F_set();
+    for (unsigned i = 0; i < N; ++i)
+      if (fmask.test(i)) fset.push_back(i);
+    for (auto p : code.get_PC_set()) pcset.push_back(p);
+
+    auto msg = random_bits(rng, c.K);
+    // Input interleaving (I_IL = 1) applies to DL (DCI) only, TS 38.212 5.3.1.1.
+    bool use_iil = (c.nMax == 9);
+    std::vector<uint8_t> interleaved(c.K);
+    if (use_iil) {
+      interleaver.interleave(interleaved, msg, polar_interleaver_direction::tx);
+    } else {
+      interleaved = msg;
+    }
+    std::vector<uint8_t> allocated(N);
+    alloc.allocate(allocated, interleaved, code);
+    std::vector<uint8_t> encoded(N);
+    enc.encode(encoded, allocated, code.get_n());
+    std::vector<uint8_t> matched(c.E);
+    rm.rate_match(matched, encoded, code);
+
+    // BPSK + AWGN at 3 dB -> int8 LLRs.
+    float sigma = std::pow(10.f, -3.f / 20.f);
+    std::vector<log_likelihood_ratio> llrs(c.E);
+    for (unsigned i = 0; i < c.E; ++i) {
+      float x = (matched[i] ? -1.f : 1.f) + sigma * noise_d(rng);
+      int q = (int)std::lround(2.f * x / (sigma * sigma) * 4.f);
+      llrs[i] = std::max(-127, std::min(127, q));
+    }
+    std::vector<log_likelihood_ratio> dematched(N);
+    rdm.rate_dematch(dematched, llrs, code);
+    std::vector<uint8_t> dec_out(N);
+    dec.decode(dec_out, dematched, code);
+    std::vector<uint8_t> dec_msg_il(c.K);
+    dealloc.deallocate(dec_msg_il, dec_out, code);
+    std::vector<uint8_t> dec_msg(c.K);
+    if (use_iil) {
+      interleaver.interleave(dec_msg, dec_msg_il, polar_interleaver_direction::rx);
+    } else {
+      dec_msg = dec_msg_il;
+    }
+
+    std::string base = std::to_string(idx);
+    write_dat("kset" + base + ".dat", kset);
+    write_dat("fset" + base + ".dat", fset);
+    write_dat("pcset" + base + ".dat", pcset);
+    write_dat("msg" + base + ".dat", msg);
+    write_dat("encoded" + base + ".dat", encoded);
+    write_dat("matched" + base + ".dat", matched);
+    write_dat("llrs" + base + ".dat", reinterpret_cast<const int8_t*>(llrs.data()), c.E);
+    write_dat("dematched" + base + ".dat", reinterpret_cast<const int8_t*>(dematched.data()), N);
+    write_dat("decoded" + base + ".dat", dec_msg);
+    m.begin_case();
+    m.field("k", (long long)c.K);
+    m.field("e", (long long)c.E);
+    m.field("n_max", (long long)c.nMax);
+    m.field("ibil", (long long)(c.ibil == polar_code_ibil::present ? 1 : 0));
+    m.field("n", (long long)N);
+    m.field("n_pc", (long long)code.get_nPC());
+    m.field("idx", (long long)idx);
+    m.end_case();
+    ++idx;
+  }
+  m.flush();
+}
+
+// ----------------------------------------------------------- short block ----
+
+void gen_short_block() {
+  start("short_block");
+  manifest m("manifest.json");
+  auto rng = make_rng(0x5B0C);
+  short_block_encoder_impl enc;
+  short_block_detector_impl det;
+  std::normal_distribution<float> noise_d(0.f, 1.f);
+  const std::pair<modulation_scheme, const char*> mods[] = {
+      {modulation_scheme::QPSK, "qpsk"},
+      {modulation_scheme::QAM16, "qam16"},
+      {modulation_scheme::QAM64, "qam64"},
+      {modulation_scheme::QAM256, "qam256"},
+  };
+  int idx = 0;
+  for (unsigned k = 1; k <= 11; ++k) {
+    for (auto [mod, mname] : mods) {
+      unsigned qm = get_bits_per_symbol(mod);
+      unsigned e;
+      if (k == 1) {
+        e = qm;
+      } else if (k == 2) {
+        e = 3 * qm;
+      } else {
+        e = 32 + (idx % 3) * qm; // exercise rate-matched repetition a bit
+      }
+      auto msg = random_bits(rng, k);
+      std::vector<uint8_t> out(e);
+      enc.encode(out, msg, mod);
+      // Noisy LLRs for the detector at 6 dB.
+      float sigma = std::pow(10.f, -6.f / 20.f);
+      std::vector<log_likelihood_ratio> llrs(e);
+      for (unsigned i = 0; i < e; ++i) {
+        float x = (out[i] ? -1.f : 1.f) + sigma * noise_d(rng);
+        int q = (int)std::lround(2.f * x / (sigma * sigma) * 4.f);
+        llrs[i] = std::max(-127, std::min(127, q));
+      }
+      std::vector<uint8_t> detected(k);
+      bool ok = det.detect(detected, llrs, mod);
+      std::string base = std::to_string(idx);
+      write_dat("msg" + base + ".dat", msg);
+      write_dat("enc" + base + ".dat", out);
+      write_dat("llrs" + base + ".dat", reinterpret_cast<const int8_t*>(llrs.data()), e);
+      write_dat("det" + base + ".dat", detected);
+      m.begin_case();
+      m.field("k", (long long)k);
+      m.field("e", (long long)e);
+      m.field("mod", std::string(mname));
+      m.field("qm", (long long)qm);
+      m.field("detect_ok", (long long)(ok ? 1 : 0));
+      m.field("idx", (long long)idx);
+      m.end_case();
+      ++idx;
+    }
+  }
+  m.flush();
+}

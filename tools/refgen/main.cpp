@@ -33,12 +33,21 @@
 using namespace srsran;
 using namespace refgen;
 
+std::string g_root_outdir;
+
+// Suites defined in gen_ran.cpp.
+void gen_ran_tbs();
+void gen_ran_mcs();
+void gen_ran_beta();
+void gen_ulsch_info();
+void gen_dlsch_info();
+void gen_polar();
+void gen_short_block();
+
 namespace {
 
-std::string root_outdir;
-
 void start_suite(const std::string& name) {
-  set_outdir(root_outdir + "/" + name);
+  set_outdir(g_root_outdir + "/" + name);
 }
 
 // ------------------------------------------------------------------ crc ----
@@ -589,8 +598,8 @@ int main(int argc, char** argv) {
     ::fprintf(stderr, "usage: %s <outdir> [suite ...]\n", argv[0]);
     return 1;
   }
-  root_outdir = argv[1];
-  ::mkdir(root_outdir.c_str(), 0755);
+  g_root_outdir = argv[1];
+  ::mkdir(g_root_outdir.c_str(), 0755);
   std::map<std::string, std::function<void()>> suites = {
       {"crc", gen_crc},
       {"scrambler", gen_scrambler},
@@ -602,6 +611,13 @@ int main(int argc, char** argv) {
       {"mod_mapper", gen_mod_mapper},
       {"demod_mapper", gen_demod_mapper},
       {"low_papr", gen_low_papr},
+      {"ran_tbs", gen_ran_tbs},
+      {"ran_mcs", gen_ran_mcs},
+      {"ran_beta", gen_ran_beta},
+      {"ulsch_info", gen_ulsch_info},
+      {"dlsch_info", gen_dlsch_info},
+      {"polar", gen_polar},
+      {"short_block", gen_short_block},
   };
   if (argc == 2) {
     for (auto& [name, fn] : suites) fn();
