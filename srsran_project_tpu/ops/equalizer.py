@@ -69,3 +69,77 @@ def equalize(
         diag = jnp.einsum("...ii->...i", cinv).real
         eq_nvar = nv * diag / beta2
     return x_hat, eq_nvar
+
+
+def equalize_ref(
+    y: jax.Array,
+    h: jax.Array,
+    noise_var_port: jax.Array,
+    tx_scaling: float = 1.0,
+    method: str = "zf",
+):
+    """Reference-parity equalizer (channel_equalizer_generic_impl).
+
+    y: (..., nre, P) received symbols; h: (..., nre, P, L) estimates;
+    noise_var_port: (P,) per-port noise variance estimates.
+
+    Semantics matched to the reference kernels:
+    - L == 1 (both ZF and MMSE — the reference reduces 1-layer MMSE to ZF,
+      channel_equalizer_generic_impl.cpp:341): per-port accumulation with
+      per-port noise weighting and non-normal port exclusion
+      (equalize_zf_1xn.h); nvar = sum(|h|^2 sigma_p) / (beta*sum|h|^2)^2.
+    - L == 2 (ZF, P in {2,4}): adjugate solve with the most pessimistic
+      (max) noise variance; nvar_l = sigma_max * [G^-1]_ll / beta
+      (equalize_zf_2xn.h).
+    Abnormal denominators yield (0, inf) like the reference.
+
+    Returns (x_hat (..., nre, L), eq_noise_var (..., nre, L)).
+    """
+    import numpy as np
+
+    nlayers = h.shape[-1]
+    beta = jnp.float32(tx_scaling)
+    tiny = np.float32(1.1754944e-38)  # smallest normal float32 (isnormal gate)
+    inf = np.float32(np.inf)
+    nv = jnp.asarray(noise_var_port, jnp.float32)
+
+    def _isnormal(x):
+        return jnp.isfinite(x) & (jnp.abs(x) >= tiny)
+
+    if nlayers == 1:
+        h1 = h[..., 0]  # (..., nre, P)
+        norm = jnp.abs(h1) ** 2
+        port_ok = _isnormal(norm) & _isnormal(nv) & (nv > 0)
+        norm = jnp.where(port_ok, norm, 0.0)
+        mf = jnp.where(port_ok, y * jnp.conj(h1), 0.0)
+        ch_mod_sq = jnp.sum(norm, axis=-1)
+        nvar_acc = jnp.sum(norm * nv, axis=-1)
+        re_out = jnp.sum(mf, axis=-1)
+        d_pinv = beta * ch_mod_sq
+        ok = _isnormal(d_pinv) & _isnormal(nvar_acc)
+        rcp = jnp.where(ok, 1.0 / jnp.where(ok, d_pinv, 1.0), 0.0)
+        x = jnp.where(ok, re_out * rcp, 0.0)
+        nvar = jnp.where(ok, nvar_acc * rcp * rcp, inf)
+        return x[..., None], nvar[..., None]
+
+    if nlayers == 2:
+        sigma = jnp.max(nv)
+        h0, h1 = h[..., 0], h[..., 1]  # (..., nre, P)
+        g00 = jnp.sum(jnp.abs(h0) ** 2, axis=-1)
+        g11 = jnp.sum(jnp.abs(h1) ** 2, axis=-1)
+        xi = jnp.sum(h1 * jnp.conj(h0), axis=-1)
+        m0 = jnp.sum(y * jnp.conj(h0), axis=-1)
+        m1 = jnp.sum(y * jnp.conj(h1), axis=-1)
+        d_pinv = beta * (g00 * g11 - jnp.abs(xi) ** 2)
+        ok = _isnormal(d_pinv) & (d_pinv > 0)
+        rcp = jnp.where(ok, 1.0 / jnp.where(ok, d_pinv, 1.0), 0.0)
+        x0 = jnp.where(ok, (m0 * g11 - xi * m1) * rcp, 0.0)
+        x1 = jnp.where(ok, (m1 * g00 - jnp.conj(xi) * m0) * rcp, 0.0)
+        nv0 = jnp.where(ok, g11 * sigma * rcp, inf)
+        nv1 = jnp.where(ok, g00 * sigma * rcp, inf)
+        return jnp.stack([x0, x1], axis=-1), jnp.stack([nv0, nv1], axis=-1)
+
+    raise ValueError(
+        f"reference parity covers 1-2 layers (the open-source reference stubs "
+        f"3-4 layer equalizers); got {nlayers} — use equalize() instead"
+    )

@@ -123,7 +123,7 @@ def modulate_slot(
     jax.jit,
     static_argnames=(
         "nof_rb", "scs", "dft_size", "cp", "slot_in_subframe", "f_center_hz", "scale",
-        "window_offset",
+        "window_offset", "window_offset_samples",
     ),
 )
 def demodulate_slot(
@@ -136,6 +136,7 @@ def demodulate_slot(
     f_center_hz: float = 0.0,
     scale: float | None = None,
     window_offset: float = 0.0,
+    window_offset_samples: int | None = None,
 ) -> jax.Array:
     """Baseband samples (..., slot_nof_samples) -> grid (..., nsym, nsc).
 
@@ -143,6 +144,9 @@ def demodulate_slot(
     by that fraction of the CP (the reference's intra-CP window,
     ofdm_demodulator_impl.cpp:63-77), compensated per-bin with a linear
     phase ramp.  Improves robustness to negative timing errors / ISI.
+    window_offset_samples: alternatively, a FIXED advance in samples for
+    every symbol — the reference's nof_samples_window_offset convention
+    (must be < 144*dft_size/2048, i.e. within the shortest CP).
     """
     nsym = nof_symbols_per_slot(cp)
     nsc = nof_rb * NRE
@@ -156,7 +160,10 @@ def demodulate_slot(
     syms = []
     advs = []
     for l in range(nsym):
-        adv = int(window_offset * cps[l])
+        if window_offset_samples is not None:
+            adv = int(window_offset_samples)
+        else:
+            adv = int(window_offset * cps[l])
         advs.append(adv)
         offs += cps[l]
         syms.append(samples[..., offs - adv : offs - adv + dft_size])
@@ -169,7 +176,7 @@ def demodulate_slot(
     spec = jnp.fft.fft(x, axis=-1).astype(jnp.complex64) / (dft_size * scale)
     half = nsc // 2
     grid = jnp.concatenate([spec[..., dft_size - half :], spec[..., :half]], axis=-1)
-    if window_offset:
+    if window_offset or window_offset_samples:
         # A window advanced by `adv` samples rotates bin k by
         # exp(+j*2*pi*k*adv/N) (k = signed subcarrier index); undo it.
         k = np.arange(nsc) - half

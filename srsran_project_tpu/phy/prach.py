@@ -184,3 +184,73 @@ def detect(rx_fd: jax.Array, cfg: PrachConfig):
     detected = flat_metric > thr
     ta = flat_pos.astype(jnp.float32)
     return {"detected": detected, "metric": flat_metric, "ta_samples": ta}
+
+
+# ---------------------------------------------------------------------------
+# Reference-exact generation (conformance surface)
+# ---------------------------------------------------------------------------
+
+# Long formats use L_RA = 839 (RA SCS 1.25 kHz for 0-2, 5 kHz for 3);
+# short formats use L_RA = 139 (TS 38.211 Table 6.3.3.1-1/2).
+_LONG_FORMATS = {"0": 1250, "1": 1250, "2": 1250, "3": 5000}
+
+
+@functools.lru_cache(maxsize=1)
+def _std_tables():
+    import os
+
+    d = np.load(os.path.join(os.path.dirname(__file__), "_prach_tables.npz"))
+    return {k: d[k] for k in d.files}
+
+
+def prach_ncs(fmt: str, zero_correlation_zone: int, restricted: str = "unrestricted") -> int:
+    """N_CS from TS 38.211 Tables 6.3.3.1-5/6/7 (reference
+    lib/ran/prach/prach_cyclic_shifts.cpp).  Raises on reserved entries."""
+    t = _std_tables()
+    if fmt in _LONG_FORMATS:
+        base = "ncs_1_25" if _LONG_FORMATS[fmt] == 1250 else "ncs_5"
+        key = {"unrestricted": f"{base}_unrestricted",
+               "type_a": f"{base}_type_a",
+               "type_b": f"{base}_type_b"}[restricted]
+    else:
+        if restricted != "unrestricted":
+            raise ValueError("restricted sets apply to long preambles only")
+        key = "ncs_short_unrestricted"
+    val = int(t[key][zero_correlation_zone])
+    if val == int(t["ncs_reserved_marker"][0]):
+        raise ValueError(f"reserved N_CS for format {fmt} zcz {zero_correlation_zone}")
+    return val
+
+
+def physical_root_ref(logical_index: int, l_ra: int) -> int:
+    """Logical -> physical root (TS 38.211 Tables 6.3.3.1-3/4), verified
+    against the reference generator."""
+    t = _std_tables()
+    table = t["long_root_map"] if l_ra == 839 else t["short_root_map"]
+    return int(table[logical_index % len(table)])
+
+
+def generate_preamble_ref(
+    fmt: str,
+    root_sequence_index: int,
+    preamble_index: int,
+    zero_correlation_zone: int,
+    restricted: str = "unrestricted",
+) -> np.ndarray:
+    """Frequency-domain preamble y_u,v — bit-parity surface vs the
+    reference prach_generator_impl::generate (unnormalized DFT of the
+    cyclic-shifted time ZC root; root/shift selection per TS 38.211
+    §6.3.3.1)."""
+    l_ra = 839 if fmt in _LONG_FORMATS else 139
+    n_cs = prach_ncs(fmt, zero_correlation_zone, restricted)
+    logical = root_sequence_index + preamble_index
+    shift = 0
+    if n_cs != 0:
+        nof_seq_per_root = l_ra // n_cs
+        logical = root_sequence_index + preamble_index // nof_seq_per_root
+        shift = (preamble_index % nof_seq_per_root) * n_cs
+    u = physical_root_ref(logical, l_ra)
+    x = zc_root(u, l_ra)
+    if shift:
+        x = np.roll(x, -shift)
+    return np.fft.fft(x).astype(np.complex64)

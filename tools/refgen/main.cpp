@@ -44,6 +44,13 @@ void gen_dlsch_info();
 void gen_polar();
 void gen_short_block();
 
+// Suites defined in gen_phy.cpp.
+void gen_dft_suite();
+void gen_ofdm_modulator_suite();
+void gen_ofdm_demodulator_suite();
+void gen_equalizer_suite();
+void gen_prach_generator_suite();
+
 namespace {
 
 void start_suite(const std::string& name) {
@@ -618,6 +625,11 @@ int main(int argc, char** argv) {
       {"dlsch_info", gen_dlsch_info},
       {"polar", gen_polar},
       {"short_block", gen_short_block},
+      {"dft", gen_dft_suite},
+      {"ofdm_modulator", gen_ofdm_modulator_suite},
+      {"ofdm_demodulator", gen_ofdm_demodulator_suite},
+      {"equalizer", gen_equalizer_suite},
+      {"prach_generator", gen_prach_generator_suite},
   };
   if (argc == 2) {
     for (auto& [name, fn] : suites) fn();
