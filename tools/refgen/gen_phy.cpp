@@ -34,9 +34,17 @@ public:
         data_(nof_ports * nof_symbols * nof_subc, cbf16_t()) {}
 
   cbf16_t& at(unsigned p, unsigned l, unsigned k) {
+    if (p >= ports_ || l >= symbols_ || k >= subc_) {
+      ::fprintf(stderr, "dense_grid OOB put p=%u l=%u k=%u (ports=%u sym=%u subc=%u)\n", p, l, k, ports_, symbols_, subc_);
+      ::abort();
+    }
     return data_[(p * symbols_ + l) * subc_ + k];
   }
   const cbf16_t& at(unsigned p, unsigned l, unsigned k) const {
+    if (p >= ports_ || l >= symbols_ || k >= subc_) {
+      ::fprintf(stderr, "dense_grid OOB get p=%u l=%u k=%u (ports=%u sym=%u subc=%u)\n", p, l, k, ports_, symbols_, subc_);
+      ::abort();
+    }
     return data_[(p * symbols_ + l) * subc_ + k];
   }
 
@@ -459,3 +467,217 @@ void gen_ofdm_modulator_suite() { gen_ofdm_modulator(); }
 void gen_ofdm_demodulator_suite() { gen_ofdm_demodulator(); }
 void gen_equalizer_suite() { gen_equalizer(); }
 void gen_prach_generator_suite() { gen_prach_generator(); }
+
+// ----------------------------------------------------- channel estimator ----
+
+#include "lib/phy/support/interpolator/interpolator_linear_impl.h"
+#include "lib/phy/support/time_alignment_estimator/time_alignment_estimator_dft_impl.h"
+#include "lib/phy/upper/signal_processors/channel_estimator/port_channel_estimator_average_impl.h"
+#include "srsran/phy/upper/channel_estimation.h"
+
+namespace {
+
+std::unique_ptr<time_alignment_estimator> make_ta_estimator() {
+  time_alignment_estimator_dft_impl::collection_dft_processors dfts;
+  for (unsigned size = 128; size <= 8192; size *= 2) {
+    dfts.emplace(size, std::make_unique<dft_processor_generic_impl>(
+                           dft_processor::configuration{size, dft_processor::direction::INVERSE}));
+  }
+  return std::make_unique<time_alignment_estimator_dft_impl>(std::move(dfts));
+}
+
+void gen_estimator() {
+  start("estimator");
+  manifest m("manifest.json");
+  auto rng = make_rng(0xE571);
+  std::normal_distribution<float> noise_d(0.f, 1.f);
+
+  struct ecase {
+    unsigned nof_prb, layers;
+    unsigned dmrs_type;      // 1 or 2
+    unsigned symbol_mask;    // DM-RS symbols within the slot
+    float snr_db;
+    unsigned nof_taps;
+    const char* smoothing;   // "filter" | "mean" | "none"
+    const char* td;          // "average" | "interpolate"
+    bool cfo;
+  };
+  std::vector<ecase> cases = {
+      {52, 1, 1, (1u << 2) | (1u << 11), 20.f, 1, "filter", "average", true},
+      {52, 1, 1, (1u << 2) | (1u << 7) | (1u << 11), 10.f, 3, "filter", "average", true},
+      {106, 1, 3, (1u << 2) | (1u << 11), 15.f, 2, "filter", "average", true},   // PUCCH-F2 pattern
+      {24, 1, 4, (1u << 4) | (1u << 9), 18.f, 2, "filter", "average", true},       // all-RE (PUCCH F3/F4)
+      {24, 1, 1, (1u << 2), 30.f, 1, "mean", "average", false},
+      {273, 1, 1, (1u << 2) | (1u << 11), 25.f, 4, "filter", "average", true},
+      {52, 2, 1, (1u << 2) | (1u << 11), 20.f, 2, "filter", "average", false},
+      {52, 1, 1, (1u << 2) | (1u << 6) | (1u << 10), 15.f, 2, "filter", "interpolate", true},
+  };
+
+  int idx = 0;
+  for (const auto& c : cases) {
+    ::fprintf(stderr, "estimator case %d\n", idx);
+    auto smoothing = (std::string(c.smoothing) == "filter")
+                         ? port_channel_estimator_fd_smoothing_strategy::filter
+                         : ((std::string(c.smoothing) == "mean")
+                                ? port_channel_estimator_fd_smoothing_strategy::mean
+                                : port_channel_estimator_fd_smoothing_strategy::none);
+    auto td = (std::string(c.td) == "average")
+                  ? port_channel_estimator_td_interpolation_strategy::average
+                  : port_channel_estimator_td_interpolation_strategy::interpolate;
+    port_channel_estimator_average_impl est(std::make_unique<interpolator_linear_impl>(),
+                                            make_ta_estimator(), smoothing, td, c.cfo);
+
+    unsigned nof_symbols = 14;
+    unsigned nof_subc = c.nof_prb * NRE;
+    // DM-RS RE pattern within an RB: 1 = PUSCH type1, 3 = PUCCH F2,
+    // 4 = all REs (PUCCH F3/F4).  (PUSCH type-2 {0,1,6,7} is NOT covered:
+    // the reference interpolator configuration assumes a uniform stride,
+    // configure_interpolator @ port_channel_estimator_helpers.cpp:298.)
+    bounded_bitset<NRE> re_pattern(NRE);
+    if (c.dmrs_type == 1) {
+      for (unsigned k = 0; k < NRE; k += 2) re_pattern.set(k);
+    } else if (c.dmrs_type == 3) {
+      for (unsigned k : {1u, 4u, 7u, 10u}) re_pattern.set(k);
+    } else {
+      re_pattern.fill(0, NRE);
+    }
+    unsigned nof_dmrs_re_per_rb = re_pattern.count();
+
+    port_channel_estimator::configuration cfg;
+    cfg.scs = subcarrier_spacing::kHz30;
+    cfg.cp = cyclic_prefix::NORMAL;
+    cfg.first_symbol = 0;
+    cfg.nof_symbols = nof_symbols;
+    cfg.rx_ports = {0};
+    cfg.scaling = 1.0f;
+    for (unsigned l = 0; l != c.layers; ++l) {
+      port_channel_estimator::layer_dmrs_pattern pat;
+      pat.symbols = bounded_bitset<MAX_NSYMB_PER_SLOT>(nof_symbols);
+      for (unsigned s = 0; s != nof_symbols; ++s)
+        if (c.symbol_mask & (1u << s)) pat.symbols.set(s);
+      pat.rb_mask = crb_bitmap(c.nof_prb);
+      pat.rb_mask.fill(0, c.nof_prb);
+      pat.rb_mask2 = crb_bitmap(c.nof_prb);
+      pat.re_pattern = re_pattern;
+      cfg.dmrs_pattern.push_back(pat);
+    }
+
+    unsigned nof_dmrs_symbols = __builtin_popcount(c.symbol_mask);
+    unsigned nof_pilots_per_symbol = c.nof_prb * nof_dmrs_re_per_rb;
+
+    // Random QPSK pilots per layer/symbol.
+    dmrs_symbol_list pilots({nof_pilots_per_symbol, nof_dmrs_symbols, c.layers});
+    std::uniform_int_distribution<int> qpsk_d(0, 3);
+    std::vector<cf_t> pilot_dump;
+    for (unsigned l = 0; l != c.layers; ++l) {
+      for (unsigned s = 0; s != nof_dmrs_symbols; ++s) {
+        span<cf_t> dst = pilots.get_symbol(s, l);
+        for (auto& p : dst) {
+          int q = qpsk_d(rng);
+          p = cf_t((q & 1) ? -(float)M_SQRT1_2 : (float)M_SQRT1_2,
+                   (q & 2) ? -(float)M_SQRT1_2 : (float)M_SQRT1_2);
+          pilot_dump.push_back(p);
+        }
+      }
+    }
+
+    // Synthesize a frequency-selective channel per layer and fill the grid.
+    float sigma = std::pow(10.f, -c.snr_db / 20.f);
+    dense_grid grid(1, nof_symbols, nof_subc);
+    std::vector<std::vector<cf_t>> h_layer(c.layers, std::vector<cf_t>(nof_subc));
+    std::uniform_real_distribution<float> delay_d(0.f, 100.f);
+    for (unsigned l = 0; l != c.layers; ++l) {
+      std::vector<float> delays(c.nof_taps);
+      std::vector<cf_t> gains(c.nof_taps);
+      for (unsigned t = 0; t != c.nof_taps; ++t) {
+        delays[t] = delay_d(rng);  // in units of 1/4096 symbol
+        gains[t] = cf_t(noise_d(rng), noise_d(rng)) * (1.f / std::sqrt(2.f * c.nof_taps));
+      }
+      if (c.nof_taps == 1) gains[0] = cf_t(1.0f, 0.0f);
+      for (unsigned k = 0; k != nof_subc; ++k) {
+        cf_t h = 0;
+        for (unsigned t = 0; t != c.nof_taps; ++t) {
+          float ph = -2.f * (float)M_PI * (float)k * delays[t] / 4096.f;
+          h += gains[t] * cf_t(std::cos(ph), std::sin(ph));
+        }
+        h_layer[l][k] = h;
+      }
+    }
+
+    // Grid = sum_l pilot_l * h_l + noise on DM-RS REs (data REs left noisy).
+    for (unsigned sym = 0, s_idx = 0; sym != nof_symbols; ++sym) {
+      bool is_dmrs = (c.symbol_mask >> sym) & 1;
+      for (unsigned k = 0; k != nof_subc; ++k) {
+        cf_t v = sigma * (float)M_SQRT1_2 * cf_t(noise_d(rng), noise_d(rng));
+        if (is_dmrs) {
+          unsigned rb = k / NRE, re = k % NRE;
+          if (re_pattern.test(re)) {
+            // Pilot index within symbol.
+            unsigned nof_before = rb * nof_dmrs_re_per_rb;
+            for (unsigned r = 0; r != re; ++r)
+              if (re_pattern.test(r)) ++nof_before;
+            for (unsigned l = 0; l != c.layers; ++l) {
+              v += to_cf(pilots.get_symbol(s_idx, l)[nof_before]) * h_layer[l][k];
+            }
+          }
+        }
+        grid.at(0, sym, k) = to_cbf16(v);
+      }
+      if (is_dmrs) ++s_idx;
+    }
+
+    // Run the estimator.
+    channel_estimate::channel_estimate_dimensions dims;
+    dims.nof_prb = c.nof_prb;
+    dims.nof_symbols = nof_symbols;
+    dims.nof_rx_ports = 1;
+    dims.nof_tx_layers = c.layers;
+    channel_estimate estimate(dims);
+    est.compute(estimate, grid, 0, pilots, cfg);
+
+    // Dump inputs and outputs.
+    std::string base = std::to_string(idx);
+    std::vector<cf_t> grid_dump;
+    for (unsigned sym = 0; sym != nof_symbols; ++sym)
+      for (unsigned k = 0; k != nof_subc; ++k) grid_dump.push_back(to_cf(grid.at(0, sym, k)));
+    write_dat("grid" + base + ".dat", reinterpret_cast<const float*>(grid_dump.data()),
+              2 * grid_dump.size());
+    write_dat("pilots" + base + ".dat", reinterpret_cast<const float*>(pilot_dump.data()),
+              2 * pilot_dump.size());
+    std::vector<cf_t> ce_dump;
+    for (unsigned l = 0; l != c.layers; ++l)
+      for (unsigned sym = 0; sym != nof_symbols; ++sym) {
+        span<const cbf16_t> row = estimate.get_symbol_ch_estimate(sym, 0, l);
+        for (auto v : row) ce_dump.push_back(to_cf(v));
+      }
+    write_dat("ce" + base + ".dat", reinterpret_cast<const float*>(ce_dump.data()),
+              2 * ce_dump.size());
+
+    m.begin_case();
+    m.field("nof_prb", (long long)c.nof_prb);
+    m.field("layers", (long long)c.layers);
+    m.field("dmrs_type", (long long)c.dmrs_type);
+    m.field("symbol_mask", (long long)c.symbol_mask);
+    m.field("snr_db", (double)c.snr_db);
+    m.field("smoothing", std::string(c.smoothing));
+    m.field("td", std::string(c.td));
+    m.field("cfo_comp", (long long)(c.cfo ? 1 : 0));
+    m.field("noise_var", (double)estimate.get_noise_variance(0));
+    m.field("rsrp", (double)estimate.get_rsrp(0, 0));
+    m.field("epre", (double)estimate.get_epre(0));
+    m.field("snr_est", (double)estimate.get_snr(0));
+    m.field("ta_us", (double)estimate.get_time_alignment(0, 0).to_seconds() * 1e6);
+    {
+      auto cfo = estimate.get_cfo_Hz(0, 0);
+      m.field("cfo_hz", (double)(cfo.has_value() ? *cfo : 0.0));
+    }
+    m.field("idx", (long long)idx);
+    m.end_case();
+    ++idx;
+  }
+  m.flush();
+}
+
+} // namespace
+
+void gen_estimator_suite() { gen_estimator(); }

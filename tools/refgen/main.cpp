@@ -50,6 +50,7 @@ void gen_ofdm_modulator_suite();
 void gen_ofdm_demodulator_suite();
 void gen_equalizer_suite();
 void gen_prach_generator_suite();
+void gen_estimator_suite();
 
 namespace {
 
@@ -630,6 +631,7 @@ int main(int argc, char** argv) {
       {"ofdm_demodulator", gen_ofdm_demodulator_suite},
       {"equalizer", gen_equalizer_suite},
       {"prach_generator", gen_prach_generator_suite},
+      {"estimator", gen_estimator_suite},
   };
   if (argc == 2) {
     for (auto& [name, fn] : suites) fn();
