@@ -181,6 +181,98 @@ class SlotIndication:
 class ErrorIndication:
     slot: SlotPoint
     message: str
+    error_code: int = 0x4  # ErrorCode.MSG_SLOT_ERR default
+    message_id: int = 0
+
+
+class ErrorCode:
+    """FAPI error codes (reference include/srsran/fapi/messages/error_code.h:31)."""
+
+    MSG_OK = 0x0
+    MSG_INVALID_STATE = 0x1
+    MSG_INVALID_CONFIG = 0x2
+    OUT_OF_SYNC = 0x3
+    MSG_SLOT_ERR = 0x4
+    MSG_BCH_MISSING = 0x5
+    MSG_INVALID_SFN = 0x6
+    MSG_UL_DCI_ERR = 0x7
+    MSG_TX_ERR = 0x8
+    MSG_INVALID_PHY_ID = 0x9
+    MSG_UNINSTANTIATED_PHY = 0xA
+    MSG_INVALID_DFE_PROFILE = 0xB
+    PHY_PROFILE_INCOMPATIBLE_RUNNING_PHY = 0xC
+
+
+@dataclasses.dataclass
+class DlTtiResponsePdu:
+    """Per-PDU CW/TB acknowledgment (dl_tti_response.h:31)."""
+
+    handle: int
+    status: int  # ErrorCode
+
+
+@dataclasses.dataclass
+class DlTtiResponse:
+    slot: SlotPoint
+    pdus: Sequence[DlTtiResponsePdu] = ()
+
+
+# --------------------------------------------------------------------------
+# Configuration procedure messages (config_messages.h)
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class ParamRequest:
+    protocol_version: int = 222
+
+
+@dataclasses.dataclass
+class ParamResponse:
+    error_code: int = ErrorCode.MSG_OK
+    # Capability TLVs: practical subset (the reference carries SCF-222
+    # param TLV structs, param_request_tlvs.h).
+    max_nof_prb: int = 275
+    supported_scs_khz: tuple = (15, 30, 60, 120)
+    max_nof_tx_ports: int = 4
+    max_nof_rx_ports: int = 4
+    supports_tdd: bool = True
+
+
+@dataclasses.dataclass
+class ConfigRequest:
+    scs_khz: int
+    nof_prb: int
+    nof_tx_ports: int
+    nof_rx_ports: int
+    cp_normal: bool = True
+    pci: int = 1
+    prach_config_index: int = 0
+    tdd_pattern: Any = None
+
+
+@dataclasses.dataclass
+class ConfigResponse:
+    error_code: int = ErrorCode.MSG_OK
+
+
+@dataclasses.dataclass
+class StartRequest:
+    pass
+
+
+@dataclasses.dataclass
+class StartResponse:
+    pass
+
+
+@dataclasses.dataclass
+class StopRequest:
+    pass
+
+
+@dataclasses.dataclass
+class StopIndication:
+    pass
 
 
 @dataclasses.dataclass

@@ -77,3 +77,92 @@ def validate_ul_tti(req: fapi.UlTtiRequest, nof_grid_sc: int) -> None:
         occupied.append(span)
         if not 0 <= pdu.harq_id < 16:
             raise ValidationError("PUSCH: harq_id out of range")
+
+
+def _validate_pucch(pdu, nof_grid_sc: int) -> None:
+    cfg = pdu.config
+    name = type(cfg).__name__
+    if name in ("PucchFormat0Config", "PucchFormat1Config"):
+        if (cfg.prb + 1) * 12 > nof_grid_sc:
+            raise ValidationError(f"PUCCH {name}: PRB {cfg.prb} outside grid")
+        if not 0 <= cfg.initial_cyclic_shift < 12:
+            raise ValidationError(f"PUCCH {name}: initial cyclic shift out of range")
+        max_sym = 2 if name.endswith("0Config") else 14
+        min_sym = 1 if name.endswith("0Config") else 4
+        if not min_sym <= cfg.nof_symbols <= max_sym:
+            raise ValidationError(f"PUCCH {name}: nof_symbols {cfg.nof_symbols} invalid")
+        if cfg.start_symbol + cfg.nof_symbols > 14:
+            raise ValidationError(f"PUCCH {name}: symbols exceed slot")
+        if not 0 <= cfg.nof_harq_bits <= 2:
+            raise ValidationError(f"PUCCH {name}: HARQ bits must be 0-2")
+    elif name == "PucchFormat2Config":
+        if (cfg.rb_start + cfg.rb_count) * 12 > nof_grid_sc:
+            raise ValidationError("PUCCH F2: PRBs outside grid")
+        if not 1 <= cfg.nof_symbols <= 2:
+            raise ValidationError("PUCCH F2: nof_symbols must be 1-2")
+        if not 1 <= cfg.rb_count <= 16:
+            raise ValidationError("PUCCH F2: rb_count must be 1-16")
+        if not 1 <= cfg.nof_uci_bits:
+            raise ValidationError("PUCCH F2: needs at least 1 UCI bit")
+    elif name in ("PucchFormat3Config", "PucchFormat4Config"):
+        if (cfg.rb_start + getattr(cfg, "rb_count", 1)) * 12 > nof_grid_sc:
+            raise ValidationError(f"PUCCH {name}: PRBs outside grid")
+        if cfg.start_symbol + cfg.nof_symbols > 14:
+            raise ValidationError(f"PUCCH {name}: symbols exceed slot")
+    else:
+        raise ValidationError(f"PUCCH: unknown format config {name}")
+
+
+def _validate_prach(pdu) -> None:
+    cfg = pdu.config
+    if cfg.l_ra not in (839, 139):
+        raise ValidationError(f"PRACH: invalid L_RA {cfg.l_ra}")
+    if not 0 <= cfg.zero_correlation_zone < 16:
+        raise ValidationError("PRACH: zeroCorrelationZone out of range")
+    if not 0 <= cfg.root_sequence_index < (838 if cfg.l_ra == 839 else 138):
+        raise ValidationError("PRACH: root sequence index out of range")
+
+
+def _validate_srs(pdu, nof_grid_sc: int) -> None:
+    cfg = pdu.config
+    if getattr(cfg, "nof_symbols", 1) not in (1, 2, 4):
+        raise ValidationError("SRS: nof_symbols must be 1, 2 or 4")
+    if getattr(cfg, "comb_size", 2) not in (2, 4):
+        raise ValidationError("SRS: comb size must be 2 or 4")
+
+
+def validate_ul_tti_full(req: fapi.UlTtiRequest, nof_grid_sc: int) -> None:
+    """Validators for every UL_TTI PDU type (PUSCH bounds/overlap + PUCCH
+    per-format + PRACH + SRS), mirroring lib/fapi/validators breadth."""
+    validate_ul_tti(req, nof_grid_sc)
+    for pdu in req.pucch:
+        _validate_pucch(pdu, nof_grid_sc)
+    for pdu in req.prach:
+        _validate_prach(pdu)
+    for pdu in req.srs:
+        _validate_srs(pdu, nof_grid_sc)
+
+
+def validate_ul_dci(req: fapi.UlDciRequest) -> None:
+    """UL_DCI.request: same PDCCH checks as in the DL direction."""
+    for pdu in req.pdcch:
+        cfg = pdu.config
+        if (cfg.coreset_rb_start + cfg.coreset_rb_count) * 12 > cfg.nof_grid_sc:
+            raise ValidationError("UL_DCI: CORESET exceeds grid")
+        if len(pdu.payload) != cfg.payload_bits:
+            raise ValidationError("UL_DCI: payload size mismatch")
+        need = (cfg.cce_index + cfg.aggregation_level) * 6
+        if need > cfg.nof_regs:
+            raise ValidationError("UL_DCI: CCEs exceed CORESET REGs")
+
+
+def validate_config_request(req: fapi.ConfigRequest) -> None:
+    """CONFIG.request sanity (config_messages.h TLV bounds)."""
+    if req.scs_khz not in (15, 30, 60, 120):
+        raise ValidationError("CONFIG: invalid SCS")
+    if not 1 <= req.nof_prb <= 275:
+        raise ValidationError("CONFIG: nof_prb out of range")
+    if not 1 <= req.nof_tx_ports <= 8 or not 1 <= req.nof_rx_ports <= 8:
+        raise ValidationError("CONFIG: port counts out of range")
+    if not 0 <= req.pci < 1008:
+        raise ValidationError("CONFIG: PCI out of range")

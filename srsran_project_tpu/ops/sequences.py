@@ -78,7 +78,29 @@ def generate(u: int, v: int, length: int, alpha: jax.Array) -> jax.Array:
 def group_hopping_params(
     n_id: int, slot_in_frame: int, symbol: int, hopping: str = "neither"
 ) -> tuple[int, int]:
-    """(u, v) sequence group/number (TS 38.211 §6.3.2.2.1), v1: no hopping."""
-    if hopping != "neither":
-        raise NotImplementedError("group/sequence hopping")
-    return n_id % 30, 0
+    """(u, v) sequence group / number for PUCCH low-PAPR sequences
+    (TS 38.211 §6.3.2.2.1; reference low_papr_sequence usage in
+    lib/phy/upper/channel_processors/pucch/).
+
+    hopping:
+    - "neither": u = n_id mod 30, v = 0.
+    - "enable" (group hopping): f_gh from 8 Gold bits at position
+      8*(14*n_s + l), c_init = floor(n_id/30); v = 0.
+    - "disable" (sequence hopping): u = n_id mod 30; v = c(14*n_s + l)
+      with c_init = 32*floor(n_id/30) + n_id mod 30.
+    """
+    from . import scrambling
+
+    if hopping == "neither":
+        return n_id % 30, 0
+    if hopping == "enable":
+        pos = 8 * (14 * slot_in_frame + symbol)
+        bits = scrambling.gold_ref(n_id // 30, pos + 8)[pos : pos + 8]
+        f_gh = int(sum(int(b) << m for m, b in enumerate(bits))) % 30
+        return (f_gh + n_id) % 30, 0
+    if hopping == "disable":
+        pos = 14 * slot_in_frame + symbol
+        c_init = 32 * (n_id // 30) + (n_id % 30)
+        v = int(scrambling.gold_ref(c_init, pos + 1)[pos])
+        return n_id % 30, v
+    raise ValueError(f"unknown hopping mode {hopping!r}")

@@ -46,6 +46,12 @@ class ChannelConfig:
     nof_sc: int = 624
     scs: SubcarrierSpacing = SubcarrierSpacing.KHZ30
     cfo_hz: float = 0.0
+    # Maximum Doppler shift in Hz.  0 = block fading (one i.i.d. channel
+    # drop per slot, the reference emulator's model); > 0 = Jakes-spectrum
+    # time-selective fading via sum-of-sinusoids, continuous across symbols
+    # and slots (exceeds the reference; stresses CFO/time-interp paths).
+    doppler_hz: float = 0.0
+    nof_sinusoids: int = 8
 
 
 @functools.lru_cache(maxsize=None)
@@ -72,19 +78,64 @@ def draw_channel(key: jax.Array, cfg: ChannelConfig) -> jax.Array:
     return jnp.einsum("rtn,nk->rtk", g.astype(jnp.complex64), jnp.asarray(steer))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def apply_channel(grid: jax.Array, key: jax.Array, cfg: ChannelConfig):
+@functools.lru_cache(maxsize=None)
+def _symbol_times_s(scs: SubcarrierSpacing, nof_symbols: int = 14):
+    """Per-symbol start times in seconds (CP-cumulative, like the reference
+    emulator's CFO coefficients, pxsch_bler_test_channel_emulator.cpp:165-176)."""
+    mu = int(scs)
+    sym_s = 1e-3 / (14 * (1 << mu)) * 14 / 14  # useful symbol duration
+    sym_s = 1.0 / (scs_khz(scs) * 1e3)
+    t = np.zeros(nof_symbols)
+    acc = 0.0
+    for l in range(nof_symbols):
+        cp_frac = 144.0 / 2048.0 + (16.0 / 2048.0 * (1 << mu) if l % (7 << mu) == 0 else 0.0)
+        acc += cp_frac * sym_s
+        t[l] = acc
+        acc += sym_s
+    return t
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "slot_index"))
+def draw_channel_doppler(key: jax.Array, cfg: ChannelConfig, slot_index: int = 0) -> jax.Array:
+    """Time-selective frequency response (nrx, ntx, nsym, nsc).
+
+    Jakes sum-of-sinusoids per tap: g(t) = 1/sqrt(N) sum_n exp(j(2 pi f_d
+    cos(theta_n) t + phi_n)) with (theta, phi) drawn from `key` — the same
+    key yields a continuous fading trajectory across slots via slot_index.
+    """
+    amp, steer = _tap_params(cfg.profile, cfg.nof_sc, cfg.scs)
+    ntap = len(amp)
+    n_sin = cfg.nof_sinusoids
+    k1, k2 = jax.random.split(key)
+    shape = (cfg.nof_rx_ports, cfg.nof_tx_ports, ntap, n_sin)
+    theta = jax.random.uniform(k1, shape, jnp.float32, 0.0, 2 * np.pi)
+    phi = jax.random.uniform(k2, shape, jnp.float32, 0.0, 2 * np.pi)
+    slot_s = 1e-3 / (1 << int(cfg.scs))
+    t = jnp.asarray(_symbol_times_s(cfg.scs) + slot_index * slot_s, jnp.float32)  # (nsym,)
+    w = 2 * np.pi * cfg.doppler_hz * jnp.cos(theta)  # (..., ntap, N)
+    ph = w[..., None, :] * t[:, None] + phi[..., None, :]  # (..., ntap, nsym, N)
+    g = jnp.exp(1j * ph).sum(axis=-1) / np.sqrt(n_sin)  # (..., ntap, nsym)
+    g = g * jnp.asarray(amp)[:, None]
+    return jnp.einsum("rtns,nk->rtsk", g.astype(jnp.complex64), jnp.asarray(steer))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "slot_index"))
+def apply_channel(grid: jax.Array, key: jax.Array, cfg: ChannelConfig, slot_index: int = 0):
     """(ntx, nsym, nsc) grid -> (nrx, nsym, nsc) faded + AWGN grid.
 
-    Returns (rx_grid, h (nrx, ntx, nsc), noise_var scalar)."""
+    Returns (rx_grid, h, noise_var scalar); h is (nrx, ntx, nsc) for block
+    fading or (nrx, ntx, nsym, nsc) with Doppler enabled."""
     kh, kn = jax.random.split(key)
-    h = draw_channel(kh, cfg)
-    rx = jnp.einsum("rtk,tsk->rsk", h, grid.astype(jnp.complex64))
+    if cfg.doppler_hz:
+        h = draw_channel_doppler(kh, cfg, slot_index)
+        rx = jnp.einsum("rtsk,tsk->rsk", h, grid.astype(jnp.complex64))
+    else:
+        h = draw_channel(kh, cfg)
+        rx = jnp.einsum("rtk,tsk->rsk", h, grid.astype(jnp.complex64))
     if cfg.cfo_hz:
-        # Per-symbol phase progression approximation of a CFO.
-        nsym = grid.shape[-2]
-        t_sym = 1e-3 / (14 * (1 << int(cfg.scs)))
-        phase = jnp.exp(2j * np.pi * cfg.cfo_hz * t_sym * jnp.arange(nsym))
+        # Exact per-symbol CFO phase at CP-cumulative symbol start times.
+        t = jnp.asarray(_symbol_times_s(cfg.scs, grid.shape[-2]), jnp.float32)
+        phase = jnp.exp(2j * np.pi * cfg.cfo_hz * t)
         rx = rx * phase[None, :, None].astype(jnp.complex64)
     # Signal power per RE is E|grid|^2 * sum tap power ~ grid power; compute
     # noise from the configured SINR against the actual mean signal power.

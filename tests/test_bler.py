@@ -81,3 +81,65 @@ def test_bler_operating_points(profile, snr_db, max_bler):
     ch = chem.ChannelConfig(profile=profile, sinr_db=snr_db, nof_sc=tx.nof_grid_sc)
     bler = _run_bler(tx, rx, ch, nof_slots=12, seed=hash(profile) % 1000)
     assert bler <= max_bler, f"{profile}@{snr_db}dB: BLER {bler}"
+
+
+# ---------------------------------------------------------------------------
+# Reference-grade asserted operating points (pxsch_bler_test.cpp:375-388
+# model): >=512 slots per point, device-batched, bounds tight enough to
+# catch a ~1 dB shift.  Empirical BLER at each point is noted inline.
+# ---------------------------------------------------------------------------
+
+
+def _run_bler_batched(mod, rate, profile, sinr_db, nof_slots=512, batch=64,
+                      doppler_hz=0.0, cfo_hz=0.0, seed=0):
+    import jax.numpy as jnp
+
+    tx, rx = _cfgs(mod=mod, rate=rate)
+    ch = chem.ChannelConfig(profile=profile, sinr_db=sinr_db, nof_sc=tx.nof_grid_sc,
+                            doppler_hz=doppler_hz, cfo_hz=cfo_hz)
+    w = jnp.eye(tx.nof_layers, tx.nof_ports, dtype=jnp.complex64)
+    rnti = jnp.uint32(0x4601)
+    enc = jax.jit(jax.vmap(lambda t: pdsch.process(t, rnti, w, tx)))
+    chan = jax.jit(jax.vmap(lambda g, k: chem.apply_channel(g, k, ch)[0]))
+
+    def _dec(g):
+        out = pusch.process(g, rnti, rx)
+        return out["tb_crc_ok"], out["tb_bits"]
+
+    dec = jax.jit(jax.vmap(_dec))
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    errors = n = 0
+    for b0 in range(0, nof_slots, batch):
+        b = min(batch, nof_slots - b0)
+        tbs_b = jnp.asarray(rng.integers(0, 2, size=(b, tx.tbs), dtype=np.uint8))
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, b)
+        ok, bits = dec(chan(enc(tbs_b), keys))
+        good = np.asarray(ok) & (np.asarray(bits) == np.asarray(tbs_b)).all(axis=-1)
+        errors += int(b - good.sum())
+        n += b
+    return errors / n
+
+
+BLER_OPERATING_POINTS = [
+    # (mod, rate, profile, sinr_db, doppler_hz, cfo_hz, lo, hi, measured)
+    (Modulation.QPSK, 0.3, "tdla", 0.0, 0.0, 0.0, 0.05, 0.17, 0.104),
+    (Modulation.QPSK, 0.3, "tdla", 4.0, 0.0, 0.0, 0.00, 0.012, 0.002),
+    (Modulation.QAM16, 0.5, "tdlc", 10.0, 0.0, 0.0, 0.004, 0.05, 0.018),
+    (Modulation.QAM16, 0.5, "tdlc", 16.0, 0.0, 0.0, 0.00, 0.008, 0.000),
+    (Modulation.QPSK, 0.3, "tdla", 0.0, 300.0, 0.0, 0.15, 0.35, 0.248),
+    (Modulation.QPSK, 0.3, "tdla", 4.0, 300.0, 0.0, 0.00, 0.04, 0.010),
+    (Modulation.QPSK, 0.3, "tdla", 4.0, 0.0, 200.0, 0.00, 0.012, 0.002),
+]
+
+
+@pytest.mark.parametrize(
+    "point", BLER_OPERATING_POINTS,
+    ids=[f"{p[0].name}-r{p[1]}-{p[2]}-{p[3]}dB-dop{p[4]:.0f}-cfo{p[5]:.0f}"
+         for p in BLER_OPERATING_POINTS],
+)
+def test_bler_operating_point(point):
+    mod, rate, profile, sinr, dop, cfo, lo, hi, _meas = point
+    bler = _run_bler_batched(mod, rate, profile, sinr, doppler_hz=dop, cfo_hz=cfo)
+    assert lo <= bler <= hi, f"BLER {bler:.4f} outside [{lo}, {hi}]"

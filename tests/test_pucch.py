@@ -86,3 +86,26 @@ def test_format0_harq_with_sr(value, sr):
     assert int(best) % n_base == value
     assert bool(int(best) >= n_base) == sr
     assert float(metric) > 0.5
+
+
+def test_group_sequence_hopping_params():
+    """TS 38.211 §6.3.2.2.1 group/sequence hopping (the open-source
+    reference terminates on these modes, pucch_helper.h:61-64 — spec-model
+    properties only)."""
+    from srsran_project_tpu.ops.sequences import group_hopping_params
+
+    for n_id in (0, 29, 30, 123, 1007):
+        u0, v0 = group_hopping_params(n_id, 0, 0, "neither")
+        assert u0 == n_id % 30 and v0 == 0
+        seen_u = set()
+        for slot in range(10):
+            for sym in range(14):
+                u, v = group_hopping_params(n_id, slot, sym, "enable")
+                assert 0 <= u < 30 and v == 0
+                seen_u.add(u)
+                u2, v2 = group_hopping_params(n_id, slot, sym, "disable")
+                assert u2 == n_id % 30 and v2 in (0, 1)
+        # Group hopping must actually hop across symbols.
+        assert len(seen_u) > 3, (n_id, seen_u)
+    # Deterministic.
+    assert group_hopping_params(123, 3, 5, "enable") == group_hopping_params(123, 3, 5, "enable")
