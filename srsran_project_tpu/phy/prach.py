@@ -254,3 +254,133 @@ def generate_preamble_ref(
     if shift:
         x = np.roll(x, -shift)
     return np.fft.fft(x).astype(np.complex64)
+
+
+# CP length per format in units of kappa (= 64 Tc) and symbol counts
+# (reference lib/ran/prach/prach_preamble_information.cpp; TS 38.211
+# Table 6.3.3.1-1/2).  Short-format entries are >> numerology.
+_PREAMBLE_INFO = {
+    # fmt: (cp_kappa, nof_symbols, ra_scs_hz-or-None-for-short)
+    "0": (3168, 1, 1250.0),
+    "1": (21024, 2, 1250.0),
+    "2": (4688, 4, 1250.0),
+    "3": (3168, 4, 5000.0),
+    "A1": (288, 2, None),
+    "A2": (576, 4, None),
+    "A3": (864, 6, None),
+    "B1": (216, 2, None),
+    "B4": (936, 12, None),
+    "C0": (1240, 1, None),
+    "C2": (2048, 4, None),
+}
+_KAPPA_S = 64.0 / (480000.0 * 4096.0)
+_SCS_ENUM = {1250.0: 0, 5000.0: 1, 15000.0: 2, 30000.0: 3, 60000.0: 4, 120000.0: 5}
+_FMT_ENUM = {"0": 0, "1": 1, "2": 2, "3": 3, "A1": 10, "A2": 11, "A3": 12,
+             "B1": 13, "B4": 16, "C0": 30, "C2": 31}
+
+
+@functools.lru_cache(maxsize=1)
+def _threshold_table():
+    import os
+
+    d = np.load(os.path.join(os.path.dirname(__file__), "_prach_thresholds.npz"))
+    return d["table"]
+
+
+def detection_threshold_ref(
+    fmt: str, nof_rx_ports: int, zero_correlation_zone: int,
+    ra_scs_hz: float, combine_symbols: bool = True,
+) -> tuple[float, int]:
+    """(threshold, window margin) from the reference's validated table
+    (prach_detector_generic_thresholds.cpp), with its fallback defaults
+    for uncovered combinations."""
+    t = _threshold_table()
+    key = (nof_rx_ports, _SCS_ENUM[ra_scs_hz], _FMT_ENUM[fmt],
+           zero_correlation_zone, 1 if combine_symbols else 0)
+    for row in t:
+        if tuple(int(v) for v in row[:5]) == key:
+            return float(row[5]), int(row[6])
+    if fmt in _LONG_FORMATS:
+        return 2.0, 5
+    return 0.3, 12
+
+
+def detect_ref(
+    rx_fd: np.ndarray,
+    fmt: str,
+    root_sequence_index: int,
+    zero_correlation_zone: int,
+    nof_rx_ports: int | None = None,
+    dft_size: int = 1024,
+    ra_scs_hz: float | None = None,
+):
+    """Reference-parity PRACH detection
+    (prach_detector_generic_impl.cpp:80-360).
+
+    rx_fd: (ports, nof_symbols, L_RA) freq-domain preamble symbols.
+    Returns a list of dicts {preamble_index, metric, ta_s, power} for
+    detected preambles, using the validated threshold/margin table.
+    """
+    rx_fd = np.asarray(rx_fd)
+    ports, nof_symbols, l_ra = rx_fd.shape
+    if nof_rx_ports is None:
+        nof_rx_ports = ports
+    cp_kappa, _fmt_syms, scs_default = _PREAMBLE_INFO[fmt]
+    if ra_scs_hz is None:
+        ra_scs_hz = scs_default if scs_default else 15000.0
+    n_cs = prach_ncs(fmt, zero_correlation_zone)
+    nof_shifts = min(64, l_ra // n_cs) if n_cs else 1
+    nof_sequences = -(-64 // nof_shifts)
+
+    cp_s = cp_kappa * _KAPPA_S
+    cp_prach = int(np.floor(cp_s * l_ra * ra_scs_hz))
+    win_width = cp_prach if n_cs == 0 else min(n_cs, cp_prach)
+    win_width = (win_width * dft_size) // l_ra
+    max_delay = cp_prach if n_cs == 0 else min(max(n_cs, 1) - 1, cp_prach)
+    max_delay = (max_delay * dft_size) // l_ra
+    fs = dft_size * ra_scs_hz
+
+    threshold, margin = detection_threshold_ref(
+        fmt, nof_rx_ports, zero_correlation_zone, ra_scs_hz, True)
+
+    results = []
+    for i_seq in range(nof_sequences):
+        root = generate_preamble_ref(fmt, root_sequence_index, i_seq * nof_shifts,
+                                     zero_correlation_zone)
+        num = np.zeros((nof_shifts, win_width))
+        den = np.zeros((nof_shifts, win_width))
+        for p in range(ports):
+            combined = rx_fd[p].sum(axis=0)  # combine symbols
+            no_root = combined * np.conj(root)
+            # Half-spectrum swap into the IDFT (negative freqs low).
+            buf = np.zeros(dft_size, np.complex128)
+            half = l_ra // 2
+            buf[: half + 1] = no_root[half:]
+            buf[dft_size - half:] = no_root[:half]
+            t = np.fft.ifft(buf) * dft_size  # unnormalized INVERSE DFT
+            mod_sq = (np.abs(t) ** 2) / (dft_size * l_ra)
+            for i_w in range(nof_shifts):
+                start = (dft_size - (n_cs * i_w * dft_size) // l_ra) % dft_size
+                idx = (start + np.arange(win_width)) % dft_size
+                window = mod_sq[idx] * (dft_size / l_ra)
+                ref_idx = (start - margin + np.arange(2 * margin + win_width)) % dft_size
+                reference = float(mod_sq[ref_idx].sum())
+                num[i_w] += window
+                diff = reference - window
+                diff[~np.isfinite(diff) | (diff == 0)] = 1e-9
+                den[i_w] += diff
+        metric = num / np.abs(den)
+        for i_w in range(nof_shifts):
+            pi = i_seq * nof_shifts + i_w
+            if pi >= 64:
+                continue
+            d = int(np.argmax(metric[i_w]))
+            peak = float(metric[i_w, d])
+            if peak > threshold and d < 0.8 * max_delay:
+                results.append({
+                    "preamble_index": pi,
+                    "metric": peak / threshold,
+                    "ta_s": d / fs,
+                    "power": float(num[i_w, d] / (nof_rx_ports * l_ra * nof_symbols * nof_symbols)),
+                })
+    return results

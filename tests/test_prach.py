@@ -111,3 +111,38 @@ def test_gamma_sf_multi_port_thresholds_ordered():
     t2 = prach.threshold_for(prach.PrachConfig(nof_rx_ports=2))
     t4 = prach.threshold_for(prach.PrachConfig(nof_rx_ports=4))
     assert t1 > t2 > t4 > 1.0
+
+
+def test_prach_detect_ref_pfa_pd():
+    """False-alarm / detection statistics of the reference-parity detector
+    at a table operating point (format 0, zcz 1, 1 port)."""
+    import numpy as np
+
+    from srsran_project_tpu.phy import prach
+
+    rng = np.random.default_rng(42)
+    fmt, root, zcz = "0", 1, 1
+    L = 839
+    false_alarms = 0
+    trials = 50
+    for _ in range(trials):
+        rx = (rng.standard_normal((1, 1, L)) + 1j * rng.standard_normal((1, 1, L)))
+        false_alarms += len(prach.detect_ref(rx, fmt, root, zcz))
+    assert false_alarms <= 1, f"{false_alarms} false alarms in {trials} noise occasions"
+
+    detected = 0
+    amp = np.sqrt(L)
+    sigma = amp * 10 ** (-6 / 20) / np.sqrt(2)
+    k = np.arange(L)
+    ks = np.where(k < 420, k, k - 839)
+    for t in range(trials):
+        pi = int(rng.integers(0, 64))
+        delay = float(rng.uniform(1.0, 10.0))
+        y = prach.generate_preamble_ref(fmt, root, pi, zcz)
+        y = y * np.exp(-2j * np.pi * ks * delay / 1024)
+        rx = y[None, None, :] + sigma * (
+            rng.standard_normal((1, 1, L)) + 1j * rng.standard_normal((1, 1, L))
+        )
+        res = prach.detect_ref(rx, fmt, root, zcz)
+        detected += any(r["preamble_index"] == pi for r in res)
+    assert detected >= trials - 2, f"only {detected}/{trials} detected at 6 dB"

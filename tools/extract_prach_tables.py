@@ -73,5 +73,44 @@ def main() -> None:
     print(f"wrote {OUT}: " + ", ".join(f"{k}[{v.size}]" for k, v in tables.items()))
 
 
+
+
+
+def extract_thresholds() -> None:
+    """Parse the validated per-(ports, scs, format, zcz, combine) detection
+    threshold/margin table (prach_detector_generic_thresholds.cpp) into
+    srsran_project_tpu/phy/_prach_thresholds.npz."""
+    import numpy as np
+
+    src = open(
+        f"{REF}/lib/phy/upper/channel_processors/prach_detector_generic_thresholds.cpp"
+    ).read()
+    pat = re.compile(
+        r"\{\{\s*/\* nof_rx_ports \*/\s*(\d+),\s*prach_subcarrier_spacing::(\w+),\s*"
+        r"prach_format_type::(\w+),\s*/\* ZCZ \*/\s*(\d+),\s*/\* combine symbols \*/\s*(\w+)\},\s*"
+        r"\{([0-9.]+)F,\s*(\d+)\},\s*th_flag::(\w+)\}"
+    )
+    scs_map = {"kHz1_25": 0, "kHz5": 1, "kHz15": 2, "kHz30": 3, "kHz60": 4, "kHz120": 5}
+    fmt_map = {"zero": 0, "one": 1, "two": 2, "three": 3,
+               "A1": 10, "A2": 11, "A3": 12, "B1": 13, "B4": 16,
+               "A1_B1": 20, "A2_B2": 21, "A3_B3": 22, "C0": 30, "C2": 31}
+    flag_map = {"red": 0, "orange": 1, "green": 2}
+    rows = []
+    for m in pat.finditer(src):
+        ports, scs, fmt, zcz, combine, thr, margin, flag = m.groups()
+        if fmt not in fmt_map or scs not in scs_map:
+            raise ValueError(f"unmapped enum {fmt}/{scs}")
+        rows.append((int(ports), scs_map[scs], fmt_map[fmt], int(zcz),
+                     1 if combine == "true" else 0, float(thr), int(margin),
+                     flag_map[flag]))
+    assert len(rows) > 300, len(rows)
+    out = os.path.join(os.path.dirname(OUT), "_prach_thresholds.npz")
+    np.savez(out, table=np.array(rows, np.float64),
+             columns=np.array(["ports", "scs", "format", "zcz", "combine",
+                               "threshold", "margin", "flag"]))
+    print(f"wrote {out}: {len(rows)} threshold entries")
+
+
 if __name__ == "__main__":
     main()
+    extract_thresholds()

@@ -681,3 +681,154 @@ void gen_estimator() {
 } // namespace
 
 void gen_estimator_suite() { gen_estimator(); }
+
+// -------------------------------------------------------- prach detector ----
+
+#include "lib/phy/upper/channel_processors/prach_detector_generic_impl.h"
+#include "srsran/phy/support/prach_buffer.h"
+
+namespace {
+
+class dense_prach_buffer : public prach_buffer {
+public:
+  dense_prach_buffer(unsigned ports, unsigned symbols, unsigned l_ra)
+      : ports_(ports), symbols_(symbols), l_ra_(l_ra), data_(ports * symbols * l_ra) {}
+  cbf16_t& at(unsigned p, unsigned s, unsigned k) {
+    return data_[(p * symbols_ + s) * l_ra_ + k];
+  }
+  unsigned get_max_nof_ports() const override { return ports_; }
+  unsigned get_max_nof_td_occasions() const override { return 1; }
+  unsigned get_max_nof_fd_occasions() const override { return 1; }
+  unsigned get_max_nof_symbols() const override { return symbols_; }
+  unsigned get_sequence_length() const override { return l_ra_; }
+  span<cbf16_t> get_symbol(unsigned port, unsigned, unsigned, unsigned symbol) override {
+    return span<cbf16_t>(&at(port, symbol, 0), l_ra_);
+  }
+  span<const cbf16_t> get_symbol(unsigned port, unsigned, unsigned, unsigned symbol) const override {
+    return span<const cbf16_t>(&data_[(port * symbols_ + symbol) * l_ra_], l_ra_);
+  }
+
+private:
+  unsigned ports_, symbols_, l_ra_;
+  std::vector<cbf16_t> data_;
+};
+
+void gen_prach_detector() {
+  start("prach_detector");
+  manifest m("manifest.json");
+  auto rng = make_rng(0xDE7C);
+  std::normal_distribution<float> noise_d(0.f, 1.f);
+  prach_generator_impl ref_gen;
+
+  struct dcase {
+    prach_format_type fmt; const char* name;
+    unsigned root, zcz, ports, nof_symbols, preamble;
+    float snr_db, delay_samples;  // delay at the 1024 idft grid
+    bool noise_only;
+  };
+  std::vector<dcase> cases = {
+      {prach_format_type::zero, "0", 1, 1, 1, 1, 7, 10.f, 3.f, false},
+      {prach_format_type::zero, "0", 1, 1, 1, 1, 23, 6.f, 5.f, false},
+      {prach_format_type::zero, "0", 5, 0, 2, 1, 41, 4.f, 8.f, false},
+      {prach_format_type::zero, "0", 1, 11, 1, 1, 12, 8.f, 2.f, false},
+      {prach_format_type::one, "1", 3, 5, 1, 2, 9, 4.f, 4.f, false},
+      {prach_format_type::B4, "B4", 7, 11, 1, 12, 30, 0.f, 1.f, false},
+      {prach_format_type::A1, "A1", 2, 14, 2, 2, 50, 6.f, 0.5f, false},
+      {prach_format_type::zero, "0", 1, 1, 1, 1, 0, 0.f, 0.f, true},
+      {prach_format_type::B4, "B4", 7, 11, 1, 12, 0, 0.f, 0.f, true},
+  };
+  int idx = 0;
+  for (const auto& c : cases) {
+    unsigned l_ra = is_long_preamble(c.fmt) ? 839 : 139;
+    prach_detector_generic_impl det(
+        std::make_unique<dft_processor_generic_impl>(
+            dft_processor::configuration{1024, dft_processor::direction::INVERSE}),
+        std::make_unique<dft_processor_generic_impl>(
+            dft_processor::configuration{1024, dft_processor::direction::INVERSE}),
+        std::make_unique<prach_generator_impl>(),
+        /*combine_symbols=*/true);
+
+    // Build the received preamble: shifted root with a delay phase ramp + AWGN.
+    prach_generator::configuration gcfg;
+    gcfg.format = c.fmt;
+    gcfg.root_sequence_index = c.root;
+    gcfg.preamble_index = c.preamble;
+    gcfg.restricted_set = restricted_set_config::UNRESTRICTED;
+    gcfg.zero_correlation_zone = c.zcz;
+    std::vector<cf_t> y(l_ra);
+    if (!c.noise_only) {
+      span<const cf_t> gen_out = ref_gen.generate(gcfg);
+      std::copy(gen_out.begin(), gen_out.end(), y.begin());
+    }
+
+    dense_prach_buffer buf(c.ports, c.nof_symbols, l_ra);
+    float amp = std::sqrt(static_cast<float>(l_ra)); // per-bin signal amplitude
+    float sigma = amp * std::pow(10.f, -c.snr_db / 20.f) / std::sqrt(2.f);
+    std::vector<cf_t> dump;
+    for (unsigned p = 0; p != c.ports; ++p) {
+      for (unsigned s = 0; s != c.nof_symbols; ++s) {
+        for (unsigned k = 0; k != l_ra; ++k) {
+          int ks = (k < (l_ra + 1) / 2) ? (int)k : (int)k - (int)l_ra;
+          float ph = -2.f * (float)M_PI * (float)ks * c.delay_samples / 1024.f;
+          cf_t v = c.noise_only ? cf_t(noise_d(rng), noise_d(rng))
+                                : y[k] * cf_t(std::cos(ph), std::sin(ph)) +
+                                      sigma * cf_t(noise_d(rng), noise_d(rng));
+          buf.at(p, s, k) = to_cbf16(v);
+          dump.push_back(to_cf(buf.at(p, s, k)));
+        }
+      }
+    }
+    std::string frx = "rx" + std::to_string(idx) + ".dat";
+    write_dat(frx, reinterpret_cast<const float*>(dump.data()), 2 * dump.size());
+
+    prach_detector::configuration dcfg;
+    dcfg.root_sequence_index = c.root;
+    dcfg.format = c.fmt;
+    dcfg.restricted_set = restricted_set_config::UNRESTRICTED;
+    dcfg.zero_correlation_zone = c.zcz;
+    dcfg.start_preamble_index = 0;
+    dcfg.nof_preamble_indices = 64;
+    dcfg.ra_scs = is_long_preamble(c.fmt)
+                      ? (c.fmt == prach_format_type::three ? prach_subcarrier_spacing::kHz5
+                                                           : prach_subcarrier_spacing::kHz1_25)
+                      : prach_subcarrier_spacing::kHz15;
+    dcfg.nof_rx_ports = c.ports;
+    prach_detection_result res = det.detect(buf, dcfg);
+
+    std::string base = std::to_string(idx);
+    m.begin_case();
+    m.field("format", std::string(c.name));
+    m.field("root", (long long)c.root);
+    m.field("zcz", (long long)c.zcz);
+    m.field("ports", (long long)c.ports);
+    m.field("nof_symbols", (long long)c.nof_symbols);
+    m.field("preamble", (long long)c.preamble);
+    m.field("snr_db", (double)c.snr_db);
+    m.field("delay_samples", (double)c.delay_samples);
+    m.field("noise_only", (long long)(c.noise_only ? 1 : 0));
+    m.field("l_ra", (long long)l_ra);
+    m.field("rx", frx);
+    m.field("rssi_db", (double)res.rssi_dB);
+    m.field("nof_detected", (long long)res.preambles.size());
+    {
+      std::string pre, met, ta;
+      for (const auto& p : res.preambles) {
+        if (!pre.empty()) { pre += ","; met += ","; ta += ","; }
+        pre += std::to_string(p.preamble_index);
+        met += std::to_string(p.detection_metric);
+        ta += std::to_string(p.time_advance.to_seconds() * 1e6);
+      }
+      m.field("det_preambles", pre);
+      m.field("det_metrics", met);
+      m.field("det_ta_us", ta);
+    }
+    m.field("idx", (long long)idx);
+    m.end_case();
+    ++idx;
+  }
+  m.flush();
+}
+
+} // namespace
+
+void gen_prach_detector_suite() { gen_prach_detector(); }

@@ -51,6 +51,7 @@ void gen_ofdm_demodulator_suite();
 void gen_equalizer_suite();
 void gen_prach_generator_suite();
 void gen_estimator_suite();
+void gen_prach_detector_suite();
 
 namespace {
 
@@ -632,6 +633,7 @@ int main(int argc, char** argv) {
       {"equalizer", gen_equalizer_suite},
       {"prach_generator", gen_prach_generator_suite},
       {"estimator", gen_estimator_suite},
+      {"prach_detector", gen_prach_detector_suite},
   };
   if (argc == 2) {
     for (auto& [name, fn] : suites) fn();
