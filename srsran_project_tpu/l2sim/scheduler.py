@@ -77,6 +77,15 @@ class SchedulerConfig:
     # don't exercise the control channel.
     emit_dci: bool = False
     coreset_rb_count: int = 24
+    # Real CCE-level PDCCH allocation (l2sim/pdcch_alloc): every grant
+    # consumes a search-space candidate; UEs whose candidates all collide
+    # are skipped this slot (the reference pdcch_resource_allocator flow).
+    use_pdcch_alloc: bool = False
+    # Real PUCCH resource allocation + UCI multiplexing (l2sim/pucch_alloc
+    # + uci_alloc): DL grants book an HARQ-ACK resource k1 slots later;
+    # UCI rides PUSCH when the UE has one.
+    use_pucch_alloc: bool = False
+    k1: int = 4  # DL slot -> HARQ-ACK UL slot delay
 
 
 class RoundRobinScheduler:
@@ -89,6 +98,26 @@ class RoundRobinScheduler:
         self.cfg = cfg
         self.ues: dict[int, UeContext] = {}
         self._rr_offset = 0
+        if cfg.use_pdcch_alloc:
+            from . import pdcch_alloc as pa
+
+            nof_rbs = min((cfg.coreset_rb_count // 6) * 6, (cfg.nof_rb // 6) * 6) or 6
+            self.coresets = {1: pa.CoresetConfig(id=1, rb_start=0, nof_rbs=nof_rbs,
+                                                 duration=2)}
+            self.search_spaces = {
+                1: pa.SearchSpaceConfig(id=1, coreset_id=1, is_common=True,
+                                        nof_candidates=(0, 0, 2, 1, 0)),
+                2: pa.SearchSpaceConfig(id=2, coreset_id=1, is_common=False,
+                                        nof_candidates=(0, 2, 2, 1, 0)),
+            }
+        if cfg.use_pucch_alloc:
+            from . import pucch_alloc as pua
+
+            self.pucch_cell_cfg = pua.default_pucch_cell_config(cfg.nof_rb)
+            # ACKs booked by DL grants: ul_slot_count -> list of (rnti, pri).
+            self._pending_acks: dict[int, list] = {}
+        self.nof_pdcch_blocked = 0
+        self.nof_pucch_blocked = 0
         # Optional MAC hook: called as tb_source(rnti, tbs_bits) -> uint8 bit
         # array for new transmissions.  When None, TBs are random fill (the
         # reference's DU test-mode behavior).
@@ -160,6 +189,11 @@ class RoundRobinScheduler:
 
         pdsch_pdus, payloads, pusch_pdus, grants = [], [], [], []
         pdcch_pdus = []
+        pdcch_slot = None
+        if c.use_pdcch_alloc:
+            from . import pdcch_alloc as pa
+
+            pdcch_slot = pa.PdcchSlotAllocator(self.coresets, self.search_spaces)
         for i, ue in enumerate(sel):
             harq_id = slot.count % NOF_HARQ
             hp = ue.harqs[harq_id]
@@ -174,6 +208,19 @@ class RoundRobinScheduler:
                 tb = None
             dl_cfg, ul_cfg, tbs = self._grant_configs(ue, rb_each, rv,
                                                       first_rb=i * rb_each)
+            dl_pdcch = ul_pdcch = None
+            if pdcch_slot is not None and tdd_dir != SlotDirection.UPLINK:
+                # Aggregation level from link quality: poor MCS -> more CCEs.
+                al = 8 if ue.mcs < 5 else (4 if ue.mcs < 15 else 2)
+                dl_pdcch = pdcch_slot.alloc_dci(ue.rnti, 2, al,
+                                                slot_index=slot.count % 20)
+                if dl_pdcch is None:
+                    self.nof_pdcch_blocked += 1
+                    continue  # no PDCCH candidate free: skip the UE this slot
+                ul_pdcch = pdcch_slot.alloc_dci(ue.rnti, 2, al,
+                                                slot_index=slot.count % 20)
+                if ul_pdcch is None:
+                    self.nof_pdcch_blocked += 1
             if tb is None:
                 if self.tb_source is not None:
                     tb = np.asarray(self.tb_source(ue.rnti, tbs), dtype=np.uint8)
@@ -193,15 +240,24 @@ class RoundRobinScheduler:
                                   mcs=ue.mcs, new_data=new_data, rv=rv,
                                   harq_id=harq_id)
                 bits = dci_mod.pack_dci_1_0(d, c.nof_rb)
-                pc = PdcchConfig(payload_bits=len(bits), aggregation_level=4,
-                                 cce_index=4 * i, coreset_rb_start=0,
+                al = dl_pdcch.aggregation_level if dl_pdcch is not None else 4
+                cce = dl_pdcch.cce_index if dl_pdcch is not None else 4 * i
+                pc = PdcchConfig(payload_bits=len(bits), aggregation_level=al,
+                                 cce_index=cce, coreset_rb_start=0,
                                  coreset_rb_count=c.coreset_rb_count,
                                  n_id=1, n_rnti=ue.rnti,
                                  nof_grid_sc=c.nof_grid_sc)
                 pdcch_pdus.append(fapi.DlPdcchPdu(pc, ue.rnti, bits))
+            if c.use_pucch_alloc and tdd_dir != SlotDirection.UPLINK:
+                # Book the HARQ-ACK PUCCH k1 slots later; the PRI cycles
+                # over resource set 0 like the reference's DCI field.
+                ack_slot = slot.count + c.k1
+                self._pending_acks.setdefault(ack_slot, []).append(
+                    (ue.rnti, i % 8))
             ul_wanted = (not c.ul_demand_driven) or ue.sr_pending \
                 or ue.ul_buffer_bytes > 0 or hp.active and not new_data
-            if ul_wanted:
+            if ul_wanted and (pdcch_slot is None or ul_pdcch is not None
+                              or tdd_dir == SlotDirection.UPLINK):
                 pusch_pdus.append(fapi.UlPuschPdu(ul_cfg, ue.rnti, harq_id=harq_id,
                                                   new_data=new_data, first_rb=i * rb_each))
                 grants.append((ue.rnti, harq_id, tbs))
@@ -215,11 +271,55 @@ class RoundRobinScheduler:
             pdsch_pdus, payloads, pusch_pdus, grants = [], [], [], []
         if tdd_dir == SlotDirection.UPLINK or tdd_dir == SlotDirection.SPECIAL:
             pdcch_pdus = []
+        # PUCCH + UCI multiplexing for this UL slot: due HARQ-ACKs, periodic
+        # SR/CSI opportunities, PUSCH piggybacking.
+        pucch_pdus = []
+        if c.use_pucch_alloc and tdd_dir != SlotDirection.DOWNLINK:
+            from . import pucch_alloc as pua
+            from . import uci_alloc as ua
+            from ..phy.pucch import PucchFormat1Config
+            from ..phy.pucch_f2 import PucchFormat2Config
+
+            pucch_slot = pua.PucchSlotAllocator(self.pucch_cell_cfg)
+            pusch_rntis = {p.rnti for p in pusch_pdus}
+            uci = ua.UciSlotAllocator(pucch_slot, pusch_rntis)
+            for rnti, pri in self._pending_acks.pop(slot.count, []):
+                if not uci.alloc_harq_ack(rnti, pri):
+                    self.nof_pucch_blocked += 1
+            sr_due, csi_due = ua.periodic_uci_opportunities(
+                slot.count, ua.UciPeriodicConfig())
+            for rnti, ue in self.ues.items():
+                if sr_due and ue.sr_pending:
+                    uci.alloc_sr(rnti)
+                if csi_due:
+                    uci.alloc_csi(rnti, 4)
+            for rnti, g in pucch_slot.grants.items():
+                res = g.resource
+                if res.format == 1:
+                    cfgp = PucchFormat1Config(
+                        prb=res.prb, start_symbol=res.start_symbol,
+                        nof_symbols=res.nof_symbols,
+                        initial_cyclic_shift=res.initial_cyclic_shift,
+                        occ_index=res.occ_index, n_id=1,
+                        slot_in_frame=slot.count % 20,
+                        nof_harq_bits=max(1, g.nof_harq_bits),
+                        nof_grid_sc=c.nof_grid_sc)
+                else:
+                    cfgp = PucchFormat2Config(
+                        rb_start=res.prb, rb_count=res.rb_count,
+                        start_symbol=res.start_symbol,
+                        nof_symbols=res.nof_symbols,
+                        nof_uci_bits=max(1, g.uci_bits), rnti=rnti, n_id=1,
+                        slot_in_frame=slot.count % 20,
+                        nof_grid_sc=c.nof_grid_sc)
+                pucch_pdus.append(fapi.UlPucchPdu(config=cfgp, rnti=rnti))
+            self.last_uci_on_pusch = uci.on_pusch
         ul_slot = slot if not c.ntn_koffset else dataclasses.replace(
             slot, count=slot.count + c.ntn_koffset)
         return (fapi.DlTtiRequest(slot=slot, pdsch=pdsch_pdus, pdcch=pdcch_pdus),
                 fapi.TxDataRequest(slot=slot, payloads=payloads),
-                fapi.UlTtiRequest(slot=ul_slot, pusch=pusch_pdus), grants)
+                fapi.UlTtiRequest(slot=ul_slot, pusch=pusch_pdus,
+                                  pucch=pucch_pdus), grants)
 
     def handle_sr(self, rnti: int) -> None:
         """PUCCH SR detected (UCI indication) -> pend a UL grant."""

@@ -440,3 +440,66 @@ void gen_short_block() {
   }
   m.flush();
 }
+
+// ------------------------------------------------------ pdcch candidates ----
+
+#include "srsran/ran/pdcch/pdcch_candidates.h"
+
+void gen_pdcch_candidates() {
+  start("pdcch_candidates");
+  manifest m("manifest.json");
+  auto rng = make_rng(0xCCE5);
+  std::uniform_int_distribution<unsigned> rnti_d(1, 65519);
+  for (unsigned nof_cces : {12u, 24u, 48u, 135u}) {
+    for (unsigned al_idx = 0; al_idx != 5; ++al_idx) {
+      unsigned L = 1u << al_idx;
+      if (L > nof_cces) continue;
+      for (unsigned nof_cand : {1u, 2u, 4u, 6u}) {
+        // Common SS.
+        {
+          pdcch_candidates_common_ss_configuration cfg;
+          cfg.al = static_cast<aggregation_level>(al_idx);
+          cfg.nof_candidates = nof_cand;
+          cfg.nof_cce_coreset = nof_cces;
+          auto cands = pdcch_candidates_common_ss_get_lowest_cce(cfg);
+          std::string lst;
+          for (auto c : cands) { if (!lst.empty()) lst += ","; lst += std::to_string(c); }
+          m.begin_case();
+          m.field("kind", std::string("common"));
+          m.field("nof_cces", (long long)nof_cces);
+          m.field("al", (long long)L);
+          m.field("nof_candidates", (long long)nof_cand);
+          m.field("candidates", lst);
+          m.end_case();
+        }
+        // UE SS over a few (rnti, coreset, slot) combos.
+        for (int k = 0; k != 3; ++k) {
+          unsigned rnti = rnti_d(rng);
+          unsigned cs_id = k;
+          unsigned slot = (k * 7) % 20;
+          pdcch_candidates_ue_ss_configuration cfg;
+          cfg.al = static_cast<aggregation_level>(al_idx);
+          cfg.nof_candidates = nof_cand;
+          cfg.nof_cce_coreset = nof_cces;
+          cfg.cs_id = to_coreset_id(cs_id);
+          cfg.rnti = to_rnti(rnti);
+          cfg.slot_index = slot;
+          auto cands = pdcch_candidates_ue_ss_get_lowest_cce(cfg);
+          std::string lst;
+          for (auto c : cands) { if (!lst.empty()) lst += ","; lst += std::to_string(c); }
+          m.begin_case();
+          m.field("kind", std::string("ue"));
+          m.field("nof_cces", (long long)nof_cces);
+          m.field("al", (long long)L);
+          m.field("nof_candidates", (long long)nof_cand);
+          m.field("rnti", (long long)rnti);
+          m.field("coreset_id", (long long)cs_id);
+          m.field("slot_index", (long long)slot);
+          m.field("candidates", lst);
+          m.end_case();
+        }
+      }
+    }
+  }
+  m.flush();
+}

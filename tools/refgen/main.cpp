@@ -43,6 +43,7 @@ void gen_ulsch_info();
 void gen_dlsch_info();
 void gen_polar();
 void gen_short_block();
+void gen_pdcch_candidates();
 
 // Suites defined in gen_phy.cpp.
 void gen_dft_suite();
@@ -627,6 +628,7 @@ int main(int argc, char** argv) {
       {"dlsch_info", gen_dlsch_info},
       {"polar", gen_polar},
       {"short_block", gen_short_block},
+      {"pdcch_candidates", gen_pdcch_candidates},
       {"dft", gen_dft_suite},
       {"ofdm_modulator", gen_ofdm_modulator_suite},
       {"ofdm_demodulator", gen_ofdm_demodulator_suite},
