@@ -832,3 +832,135 @@ void gen_prach_detector() {
 } // namespace
 
 void gen_prach_detector_suite() { gen_prach_detector(); }
+
+// ---------------------------------------------------------- dmrs mapping ----
+
+#include "lib/phy/generic_functions/precoding/channel_precoder_generic.h"
+#include "lib/phy/support/resource_grid_mapper_impl.h"
+#include "lib/phy/upper/sequence_generators/pseudo_random_generator_impl.h"
+#include "lib/phy/upper/signal_processors/pdcch/dmrs_pdcch_processor_impl.h"
+#include "lib/phy/upper/signal_processors/pdsch/dmrs_pdsch_processor_impl.h"
+#include "srsran/ran/precoding/precoding_codebooks.h"
+
+namespace {
+
+void gen_dmrs_pdsch() {
+  start("dmrs_pdsch");
+  manifest m("manifest.json");
+  struct dcase {
+    unsigned nof_prb, scrambling_id, symbol_mask, nof_layers;
+    bool n_scid;
+    unsigned dmrs_type;  // 1 or 2
+    unsigned sfn, slot_in_frame;
+  };
+  std::vector<dcase> cases = {
+      {24, 1, (1u << 2), 1, false, 1, 0, 0},
+      {52, 500, (1u << 2) | (1u << 11), 1, true, 1, 12, 7},
+      {106, 1007, (1u << 2) | (1u << 7) | (1u << 11), 2, false, 1, 800, 19},
+      {52, 77, (1u << 2) | (1u << 11), 2, false, 2, 3, 4},
+      {273, 123, (1u << 2) | (1u << 11), 4, false, 1, 100, 10},
+  };
+  int idx = 0;
+  for (const auto& c : cases) {
+    dmrs_pdsch_processor_impl proc(
+        std::make_unique<pseudo_random_generator_impl>(),
+        std::make_unique<resource_grid_mapper_impl>(
+            std::make_unique<channel_precoder_generic>()));
+    unsigned nof_subc = c.nof_prb * NRE;
+    dense_grid grid(c.nof_layers, 14, nof_subc);
+    dmrs_pdsch_processor::config_t cfg;
+    cfg.slot = slot_point(to_numerology_value(subcarrier_spacing::kHz30), c.sfn,
+                          c.slot_in_frame);
+    cfg.reference_point_k_rb = 0;
+    cfg.type = (c.dmrs_type == 1) ? dmrs_type::TYPE1 : dmrs_type::TYPE2;
+    cfg.scrambling_id = c.scrambling_id;
+    cfg.n_scid = c.n_scid;
+    cfg.amplitude = 1.0f;
+    cfg.symbols_mask = symbol_slot_mask(14);
+    for (unsigned s = 0; s != 14; ++s)
+      if (c.symbol_mask & (1u << s)) cfg.symbols_mask.set(s);
+    cfg.rb_mask = crb_bitmap(c.nof_prb);
+    cfg.rb_mask.fill(0, c.nof_prb);
+    cfg.precoding = precoding_configuration::make_wideband(
+        make_identity(c.nof_layers));
+    proc.map(grid, cfg);
+
+    std::vector<cf_t> dump;
+    for (unsigned p = 0; p != c.nof_layers; ++p)
+      for (unsigned s = 0; s != 14; ++s)
+        for (unsigned k = 0; k != nof_subc; ++k) dump.push_back(to_cf(grid.at(p, s, k)));
+    std::string fo = "grid" + std::to_string(idx) + ".dat";
+    write_dat(fo, reinterpret_cast<const float*>(dump.data()), 2 * dump.size());
+    m.begin_case();
+    m.field("nof_prb", (long long)c.nof_prb);
+    m.field("scrambling_id", (long long)c.scrambling_id);
+    m.field("symbol_mask", (long long)c.symbol_mask);
+    m.field("nof_layers", (long long)c.nof_layers);
+    m.field("n_scid", (long long)(c.n_scid ? 1 : 0));
+    m.field("dmrs_type", (long long)c.dmrs_type);
+    m.field("sfn", (long long)c.sfn);
+    m.field("slot_in_frame", (long long)c.slot_in_frame);
+    m.field("grid", fo);
+    m.field("idx", (long long)idx);
+    m.end_case();
+    ++idx;
+  }
+  m.flush();
+}
+
+void gen_dmrs_pdcch() {
+  start("dmrs_pdcch");
+  manifest m("manifest.json");
+  struct pcase { unsigned nof_prb, coreset_prbs, start_symbol, duration, n_id, sfn, slot; };
+  std::vector<pcase> cases = {
+      {52, 24, 0, 1, 1, 0, 0},
+      {106, 48, 0, 2, 500, 20, 3},
+      {273, 48, 1, 3, 1007, 512, 17},
+  };
+  int idx = 0;
+  for (const auto& c : cases) {
+    dmrs_pdcch_processor_impl proc(
+        std::make_unique<pseudo_random_generator_impl>(),
+        std::make_unique<resource_grid_mapper_impl>(
+            std::make_unique<channel_precoder_generic>()));
+    unsigned nof_subc = c.nof_prb * NRE;
+    dense_grid grid(1, 14, nof_subc);
+    dmrs_pdcch_processor::config_t cfg;
+    cfg.slot = slot_point(to_numerology_value(subcarrier_spacing::kHz30), c.sfn, c.slot);
+    cfg.cp = cyclic_prefix::NORMAL;
+    cfg.reference_point_k_rb = 0;
+    cfg.rb_mask = crb_bitmap(c.nof_prb);
+    cfg.rb_mask.fill(0, c.coreset_prbs);
+    cfg.start_symbol_index = c.start_symbol;
+    cfg.duration = c.duration;
+    cfg.n_id = c.n_id;
+    cfg.amplitude = 1.0f;
+    cfg.precoding = precoding_configuration::make_wideband(make_identity(1));
+    proc.map(grid, cfg);
+    std::vector<cf_t> dump;
+    for (unsigned s = 0; s != 14; ++s)
+      for (unsigned k = 0; k != nof_subc; ++k) dump.push_back(to_cf(grid.at(0, s, k)));
+    std::string fo = "grid" + std::to_string(idx) + ".dat";
+    write_dat(fo, reinterpret_cast<const float*>(dump.data()), 2 * dump.size());
+    m.begin_case();
+    m.field("nof_prb", (long long)c.nof_prb);
+    m.field("coreset_prbs", (long long)c.coreset_prbs);
+    m.field("start_symbol", (long long)c.start_symbol);
+    m.field("duration", (long long)c.duration);
+    m.field("n_id", (long long)c.n_id);
+    m.field("sfn", (long long)c.sfn);
+    m.field("slot_in_frame", (long long)c.slot);
+    m.field("grid", fo);
+    m.field("idx", (long long)idx);
+    m.end_case();
+    ++idx;
+  }
+  m.flush();
+}
+
+} // namespace
+
+void gen_dmrs_suites() {
+  gen_dmrs_pdsch();
+  gen_dmrs_pdcch();
+}

@@ -53,6 +53,7 @@ void gen_equalizer_suite();
 void gen_prach_generator_suite();
 void gen_estimator_suite();
 void gen_prach_detector_suite();
+void gen_dmrs_suites();
 
 namespace {
 
@@ -636,6 +637,7 @@ int main(int argc, char** argv) {
       {"prach_generator", gen_prach_generator_suite},
       {"estimator", gen_estimator_suite},
       {"prach_detector", gen_prach_detector_suite},
+      {"dmrs", gen_dmrs_suites},
   };
   if (argc == 2) {
     for (auto& [name, fn] : suites) fn();
