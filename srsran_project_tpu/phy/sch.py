@@ -43,10 +43,24 @@ class SchConfig:
     nof_layers: int
     nof_total_bits: int  # G: total rate-matched bits for this codeword
     rv: int = 0
+    # TBS_LBRM for limited-buffer rate matching (TS 38.212 5.4.2.1);
+    # the reference default (sch_constants.h:44).  None = unlimited buffer.
+    tbs_lbrm_bytes: int | None = 159749
 
     @functools.cached_property
     def seg(self) -> segmenter.SegmentParams:
         return segmenter.compute_segment_params(self.tbs, self.target_code_rate)
+
+    @functools.cached_property
+    def n_cb(self) -> int | None:
+        """Circular-buffer length min(N, N_ref); None = full N (so the
+        rate matcher's default path stays untouched when unlimited)."""
+        if self.tbs_lbrm_bytes is None:
+            return None
+        n = self.seg.full_codeword_bits
+        n_ref = min(self.tbs_lbrm_bytes * 8 * 3 // (2 * self.seg.nof_codeblocks),
+                    25344)  # ldpc::MAX_CODEBLOCK_SIZE
+        return n_ref if n_ref < n else None
 
     @functools.cached_property
     def cb_e_bits(self) -> tuple[int, ...]:
@@ -97,6 +111,7 @@ def encode_transport_block(tb_bits: jax.Array, cfg: SchConfig) -> jax.Array:
             e,
             cfg.rv,
             cfg.qm,
+            cfg.n_cb,
         )  # (..., count, e)
         pieces.append(grp.reshape(grp.shape[:-2] + (count * e,)))
     return jnp.concatenate(pieces, axis=-1)
@@ -118,7 +133,8 @@ def _dematch_stage(llrs: jax.Array, harq_buffer, cfg: SchConfig):
         span = span.reshape(span.shape[:-1] + (count, e))
         dematched.append(
             rm.rate_dematch(
-                span, seg.base_graph, seg.lifting_size, k_prime, e, cfg.rv, cfg.qm
+                span, seg.base_graph, seg.lifting_size, k_prime, e, cfg.rv, cfg.qm,
+                cfg.n_cb,
             )
         )
         off += count * e

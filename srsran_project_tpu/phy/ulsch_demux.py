@@ -65,12 +65,25 @@ class UlschMuxConfig:
         return g
 
 
+def _select_every_d(avail: np.ndarray, d: int, count: int) -> np.ndarray:
+    """Every d-th element of the available set, `count` picks (reference
+    ulsch_demultiplex_impl re_set_select)."""
+    return avail[::d][:count]
+
+
 @functools.lru_cache(maxsize=None)
 def _layout(cfg: UlschMuxConfig):
-    """(ack_pos, csi_pos, data_idx) bit indices into the G stream.
+    """(ack_pos, csi_pos, csi2_pos, data_idx) bit indices into the G stream.
 
-    ack_pos carries the actual coded ACK bits; data_idx enumerates the data
-    stream's positions (including reserved-ACK REs in puncture mode)."""
+    Faithful host-side port of the reference's per-OFDM-symbol budgeting
+    (ulsch_demultiplex_impl.cpp configure_current_ofdm_symbol, steps 1-5):
+    per symbol, reserve ACK REs (<=2-bit payloads) or allocate ACK
+    (>2 bits), then CSI1 avoiding reserved, then CSI2, with every-d-th-RE
+    spreading and running bit remainders across symbols; <=2-bit ACK REs
+    stride within the per-symbol reserved set and puncture whatever maps
+    there.  ack_pos carries the actual coded ACK bit positions; data_idx
+    enumerates the SCH stream (including reserved/punctured REs in
+    puncture mode)."""
     a = cfg.alloc
     bpre = cfg.qm * cfg.nof_layers
     didx = alloc_mod.data_re_indices(a, cfg.nof_grid_symbols, cfg.nof_grid_sc)
@@ -78,65 +91,111 @@ def _layout(cfg: UlschMuxConfig):
     symbols = list(range(a.sym_start, a.sym_start + a.sym_count))
     re_by_sym = {s: np.nonzero(sym_of_re == s)[0] for s in symbols}
     data_syms = [s for s in symbols if len(re_by_sym[s])]
-    l0 = data_syms[0]
     dmrs = sorted(a.dmrs_symbols)
+    # l1: first symbol after the end of the first DM-RS run; l1_csi: first
+    # data symbol (reference get_ulsch_demultiplex_l1/_l1_csi).
     end_first_dmrs = dmrs[0]
     while end_first_dmrs + 1 in dmrs:
         end_first_dmrs += 1
     after = [s for s in data_syms if s > end_first_dmrs]
-    l1 = after[0] if after else l0
-
-    def spread(g_bits: int, start_sym: int, excluded: set) -> list:
-        chosen = []
-        rem = g_bits
-        for s in data_syms:
-            if s < start_sym or rem <= 0:
-                continue
-            phi = [int(r) for r in re_by_sym[s] if int(r) not in excluded]
-            m = len(phi)
-            if m == 0:
-                continue
-            if rem >= m * bpre:
-                take = phi
-            else:
-                n_re = -(-rem // bpre)
-                d = m // n_re
-                take = [phi[j * d] for j in range(n_re)]
-            chosen += take
-            rem -= len(take) * bpre
-        return chosen
+    l1 = after[0] if after else data_syms[0]
+    l1_csi = [s for s in data_syms if s not in dmrs][0]
 
     punct = cfg.ack_punctures
-    g_layout = (cfg.g_ack_rvd or cfg.g_ack) if punct else cfg.g_ack
-    ack_layout_re = spread(g_layout, l1, set()) if g_layout else []
-    csi_re = spread(cfg.g_csi1, l0, set(ack_layout_re)) if cfg.g_csi1 else []
-    # CSI part 2 maps from l0 around CSI1; unlike CSI1 it MAY occupy
-    # reserved-ACK REs in puncture mode (6.2.7) and is then punctured.
-    csi2_excl = set(csi_re) | (set() if punct else set(ack_layout_re))
-    csi2_re = spread(cfg.g_csi2, l0, csi2_excl) if cfg.g_csi2 else []
+    g_rvd = (cfg.g_ack_rvd or cfg.g_ack) if punct else 0
+    g_ack = cfg.g_ack
+    g_csi1 = cfg.g_csi1
+    g_csi2 = cfg.g_csi2
+
+    m_rvd = m_ack = m_csi1 = m_csi2 = 0
+    ack_res: list = []
+    csi1_res: list = []
+    csi2_res: list = []
+    nondata_res: set = set()
+
+    for s in data_syms:
+        res = re_by_sym[s]  # indices into the data-RE enumeration
+        is_dmrs_sym = s in dmrs
+        uci = res if not is_dmrs_sym else res[:0]
+        m_uci = len(uci)
+        rvd_set = np.zeros(0, np.int64)
+
+        # Step 1: reserve ACK REs (<=2-bit payloads).
+        rem_rvd = (g_rvd - m_rvd) // bpre
+        if punct and s >= l1 and m_uci > 0 and rem_rvd > 0:
+            d, m_cnt = 1, m_uci
+            if rem_rvd < m_uci:
+                d, m_cnt = m_uci // rem_rvd, rem_rvd
+            rvd_set = _select_every_d(uci, d, m_cnt)
+            m_rvd += m_cnt * bpre
+
+        # Step 2: allocate ACK (> 2-bit payloads).
+        rem_ack = (g_ack - m_ack) // bpre
+        if (not punct) and s >= l1 and m_uci > 0 and rem_ack > 0:
+            d, m_cnt = 1, m_uci
+            if rem_ack < m_uci:
+                d, m_cnt = m_uci // rem_ack, rem_ack
+            sel = _select_every_d(uci, d, m_cnt)
+            ack_res += list(sel)
+            nondata_res |= set(int(x) for x in sel)
+            uci = np.asarray([r for r in uci if r not in set(sel)])
+            m_uci = len(uci)
+            m_ack += m_cnt * bpre
+
+        # Step 3: CSI part 1 (avoids reserved REs).
+        rem_csi1 = (g_csi1 - m_csi1) // bpre
+        m_avail = m_uci - len(rvd_set)
+        if s >= l1_csi and m_avail > 0 and rem_csi1 > 0:
+            d, m_cnt = 1, m_avail
+            if rem_csi1 < m_avail:
+                d, m_cnt = m_avail // rem_csi1, rem_csi1
+            cand = np.asarray([r for r in uci if r not in set(rvd_set)])
+            sel = _select_every_d(cand, d, m_cnt)
+            csi1_res += list(sel)
+            nondata_res |= set(int(x) for x in sel)
+            uci = np.asarray([r for r in uci if r not in set(sel)])
+            m_uci = len(uci)
+            m_csi1 += m_cnt * bpre
+
+        # Step 3bis: CSI part 2 (may use reserved REs).
+        rem_csi2 = (g_csi2 - m_csi2) // bpre
+        if s >= l1_csi and m_uci > 0 and rem_csi2 > 0:
+            d, m_cnt = 1, m_uci
+            if rem_csi2 < m_uci:
+                d, m_cnt = m_uci // rem_csi2, rem_csi2
+            sel = _select_every_d(uci, d, m_cnt)
+            csi2_res += list(sel)
+            nondata_res |= set(int(x) for x in sel)
+            uci = np.asarray([r for r in uci if r not in set(sel)])
+            m_uci = len(uci)
+            m_csi2 += m_cnt * bpre
+
+        # Step 5: <=2-bit ACK strides within this symbol's reserved set.
+        rem_ack = (g_ack - m_ack) // bpre
+        m_rvd_sym = len(rvd_set)
+        if punct and m_rvd_sym > 0 and rem_ack > 0:
+            d, m_cnt = 1, m_rvd_sym
+            if rem_ack < m_rvd_sym:
+                d, m_cnt = m_rvd_sym // rem_ack, rem_ack
+            ack_res += list(_select_every_d(rvd_set, d, m_cnt))
+            m_ack += m_cnt * bpre
 
     def bits_of(res: list, limit: int) -> np.ndarray:
         if not res:
             return np.zeros(0, np.int32)
-        arr = (np.asarray(res, np.int64)[:, None] * bpre
+        arr = (np.asarray(sorted(res), np.int64)[:, None] * bpre
                + np.arange(bpre)[None, :]).reshape(-1)
         return arr[:limit].astype(np.int32)
 
-    # Actual ACK bits occupy the first G_ack bit positions of the layout.
-    ack_pos = bits_of(ack_layout_re, cfg.g_ack)
-
+    ack_pos = bits_of(ack_res, cfg.g_ack)
+    csi_pos = bits_of(csi1_res, cfg.g_csi1)
+    csi2_pos = bits_of(csi2_res, cfg.g_csi2)
     data_mask = np.ones(len(didx), dtype=bool)
-    if csi_re:
-        data_mask[np.asarray(csi_re)] = False
-    if csi2_re:
-        data_mask[np.asarray(csi2_re)] = False
-    if ack_layout_re and not punct:
-        data_mask[np.asarray(ack_layout_re)] = False
+    if nondata_res:
+        data_mask[np.asarray(sorted(nondata_res))] = False
     data_re = np.nonzero(data_mask)[0]
     data_idx = (data_re[:, None] * bpre + np.arange(bpre)[None, :]) \
         .reshape(-1).astype(np.int32)
-    csi_pos = bits_of(csi_re, cfg.g_csi1)
-    csi2_pos = bits_of(csi2_re, cfg.g_csi2)
     return ack_pos, csi_pos, csi2_pos, data_idx
 
 
@@ -199,3 +258,31 @@ def decode_uci_parts(ack_llrs, csi_llrs, nof_ack_bits: int, nof_csi1_bits: int,
         bits, ok = uci_mod.decode_uci(csi2_llrs.astype(jnp.float32), nof_csi2_bits)
         out["csi2"] = (bits, ok)
     return out
+
+
+def ack_placeholder_descramble(ack_llrs: jax.Array, scr_bits: jax.Array, qm: int,
+                               nof_ack_bits: int) -> jax.Array:
+    """Placeholder correction for 1-2 bit HARQ-ACK payloads on PUSCH.
+
+    The demodulator descrambles every position; the spec's x/y placeholders
+    (TS 38.211 scrambling special cases) must then be reverted on the ACK
+    REs (reference ulsch_demultiplex_impl.cpp on_uci_placeholder_1bit/2bit):
+
+    - 1 bit/RE group [b, y, x..]: out[1] flips iff c0 ^ c1; out[2:] flip
+      iff their own c (reverting the descramble on known-'1' x bits).
+    - 2 bits [b0, b1, x..]: out[0:2] copied; out[2:] flip iff own c.
+
+    ack_llrs, scr_bits: (..., G_ack) with G_ack a multiple of Qm.
+    """
+    if nof_ack_bits > 2 or qm == 1:
+        return ack_llrs
+    g = ack_llrs.shape[-1]
+    grp = ack_llrs.reshape(ack_llrs.shape[:-1] + (g // qm, qm))
+    c = scr_bits.reshape(scr_bits.shape[:-1] + (g // qm, qm)).astype(jnp.int32)
+    flip = jnp.zeros_like(c)
+    if nof_ack_bits == 1:
+        flip = flip.at[..., 1].set(c[..., 0] ^ c[..., 1])
+    if qm > 2:
+        flip = flip.at[..., 2:].set(c[..., 2:])
+    out = jnp.where(flip == 1, -grp, grp)
+    return out.reshape(ack_llrs.shape)

@@ -1,0 +1,361 @@
+// Processor-level golden generator: the full reference PDSCH processor
+// (segment -> LDPC encode -> rate match -> scramble -> modulate -> layer
+// map/precode -> grid + DM-RS), the acceptance surface of SURVEY App. A's
+// pdsch_processor_test_data suite.
+
+#include "common.h"
+
+#include "lib/phy/generic_functions/precoding/channel_precoder_generic.h"
+#include "lib/phy/support/resource_grid_mapper_impl.h"
+#include "lib/phy/upper/channel_coding/crc_calculator_lut_impl.h"
+#include "lib/phy/upper/channel_coding/ldpc/ldpc_encoder_generic.h"
+#include "lib/phy/upper/channel_coding/ldpc/ldpc_rate_matcher_impl.h"
+#include "lib/phy/upper/channel_coding/ldpc/ldpc_segmenter_tx_impl.h"
+#include "lib/phy/upper/channel_modulation/modulation_mapper_lut_impl.h"
+#include "lib/phy/upper/channel_processors/pdsch/pdsch_encoder_impl.h"
+#include "lib/phy/upper/channel_processors/pdsch/pdsch_modulator_impl.h"
+#include "lib/phy/upper/channel_processors/pdsch/pdsch_processor_impl.h"
+#include "lib/phy/upper/sequence_generators/pseudo_random_generator_impl.h"
+#include "lib/phy/upper/signal_processors/pdsch/dmrs_pdsch_processor_impl.h"
+#include "lib/phy/upper/signal_processors/ptrs/ptrs_pdsch_generator_impl.h"
+#include "srsran/phy/support/resource_grid_reader.h"
+#include "srsran/phy/support/resource_grid_writer.h"
+#include "srsran/support/shared_transport_block.h"
+#include "srsran/ran/precoding/precoding_codebooks.h"
+
+#include <cmath>
+
+using namespace srsran;
+using namespace refgen;
+
+extern std::string g_root_outdir;
+
+// dense_grid lives in gen_phy.cpp's anonymous namespace; a small local
+// duplicate keeps the translation units independent.
+namespace {
+
+void start(const std::string& name) { set_outdir(g_root_outdir + "/" + name); }
+
+class proc_grid : public resource_grid_writer {
+public:
+  proc_grid(unsigned nof_ports, unsigned nof_symbols, unsigned nof_subc)
+      : ports_(nof_ports), symbols_(nof_symbols), subc_(nof_subc),
+        data_(nof_ports * nof_symbols * nof_subc, cbf16_t()) {}
+  cbf16_t& at(unsigned p, unsigned l, unsigned k) {
+    return data_[(p * symbols_ + l) * subc_ + k];
+  }
+  unsigned get_nof_ports() const override { return ports_; }
+  unsigned get_nof_subc() const override { return subc_; }
+  unsigned get_nof_symbols() const override { return symbols_; }
+  span<const cf_t> put(unsigned port, unsigned l, unsigned k_init,
+                       const bounded_bitset<MAX_RB* NRE>& mask,
+                       span<const cf_t> symbols) override {
+    unsigned i = 0;
+    for (unsigned k = 0; k != mask.size(); ++k)
+      if (mask.test(k)) at(port, l, k_init + k) = to_cbf16(symbols[i++]);
+    return symbols.last(symbols.size() - i);
+  }
+  span<const cbf16_t> put(unsigned port, unsigned l, unsigned k_init,
+                          const bounded_bitset<MAX_RB* NRE>& mask,
+                          span<const cbf16_t> symbols) override {
+    unsigned i = 0;
+    for (unsigned k = 0; k != mask.size(); ++k)
+      if (mask.test(k)) at(port, l, k_init + k) = symbols[i++];
+    return symbols.last(symbols.size() - i);
+  }
+  void put(unsigned port, unsigned l, unsigned k_init, span<const cf_t> symbols) override {
+    for (unsigned i = 0; i != symbols.size(); ++i) at(port, l, k_init + i) = to_cbf16(symbols[i]);
+  }
+  void put(unsigned port, unsigned l, unsigned k_init, unsigned stride,
+           span<const cbf16_t> symbols) override {
+    for (unsigned i = 0; i != symbols.size(); ++i) at(port, l, k_init + i * stride) = symbols[i];
+  }
+  span<cbf16_t> get_view(unsigned port, unsigned l) override {
+    return span<cbf16_t>(&at(port, l, 0), subc_);
+  }
+
+private:
+  unsigned ports_, symbols_, subc_;
+  std::vector<cbf16_t> data_;
+};
+
+class null_notifier : public pdsch_processor_notifier {
+public:
+  void on_finish_processing() override {}
+};
+
+std::unique_ptr<pdsch_processor> make_pdsch_processor() {
+  ldpc_segmenter_tx_impl::sch_crc crcs{
+      std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC16),
+      std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC24A),
+      std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC24B)};
+  auto encoder = std::make_unique<pdsch_encoder_impl>(
+      std::make_unique<ldpc_segmenter_tx_impl>(crcs),
+      std::make_unique<ldpc_encoder_generic>(),
+      std::make_unique<ldpc_rate_matcher_impl>());
+  auto modulator = std::make_unique<pdsch_modulator_impl>(
+      std::make_unique<modulation_mapper_lut_impl>(),
+      std::make_unique<pseudo_random_generator_impl>(),
+      std::make_unique<resource_grid_mapper_impl>(
+          std::make_unique<channel_precoder_generic>()));
+  auto dmrs = std::make_unique<dmrs_pdsch_processor_impl>(
+      std::make_unique<pseudo_random_generator_impl>(),
+      std::make_unique<resource_grid_mapper_impl>(
+          std::make_unique<channel_precoder_generic>()));
+  auto ptrs = std::make_unique<ptrs_pdsch_generator_generic_impl>(
+      std::make_unique<pseudo_random_generator_impl>(),
+      std::make_unique<resource_grid_mapper_impl>(
+          std::make_unique<channel_precoder_generic>()));
+  return std::make_unique<pdsch_processor_impl>(
+      std::move(encoder), std::move(modulator), std::move(dmrs), std::move(ptrs));
+}
+
+void gen_pdsch_processor() {
+  start("pdsch_processor");
+  manifest m("manifest.json");
+  auto rng = make_rng(0x9D5C);
+
+  struct pcase {
+    unsigned bwp_rb, rb_start, rb_count, start_sym, nof_syms;
+    unsigned tbs_bytes, rv, rnti, n_id, scrambling_id, layers;
+    modulation_scheme mod;
+    unsigned dmrs_mask;  // symbol mask
+    unsigned cdm_groups;
+  };
+  std::vector<pcase> cases = {
+      {24, 0, 24, 1, 13, 96, 0, 0x4601, 1, 1, 1, modulation_scheme::QPSK,
+       (1u << 2), 2},
+      {52, 4, 32, 2, 12, 477, 0, 0x1234, 500, 7, 1, modulation_scheme::QAM16,
+       (1u << 2) | (1u << 11), 2},
+      {106, 0, 106, 1, 13, 3072, 1, 0x4601, 1007, 1007, 2, modulation_scheme::QAM64,
+       (1u << 2) | (1u << 11), 2},
+      {273, 0, 273, 1, 13, 36816, 0, 0x4601, 123, 123, 4, modulation_scheme::QAM256,
+       (1u << 2), 2},
+      {52, 10, 20, 0, 14, 640, 2, 0x777, 42, 42, 1, modulation_scheme::QAM64,
+       (1u << 2) | (1u << 7) | (1u << 11), 1},
+  };
+  int idx = 0;
+  for (const auto& c : cases) {
+    auto proc = make_pdsch_processor();
+    unsigned nof_subc = c.bwp_rb * NRE;
+    proc_grid grid(c.layers, 14, nof_subc);
+
+    auto tb_bytes = random_bytes(rng, c.tbs_bytes);
+    shared_transport_block tb(tb_bytes);
+
+    pdsch_processor::pdu_t pdu;
+    pdu.context = std::nullopt;
+    pdu.slot = slot_point(1, 3, 5);
+    pdu.rnti = c.rnti;
+    pdu.bwp_size_rb = c.bwp_rb;
+    pdu.bwp_start_rb = 0;
+    pdu.cp = cyclic_prefix::NORMAL;
+    pdu.codewords = {{c.mod, c.rv}};
+    pdu.n_id = c.n_id;
+    pdu.ref_point = pdsch_processor::pdu_t::CRB0;
+    pdu.dmrs_symbol_mask = symbol_slot_mask(14);
+    for (unsigned s = 0; s != 14; ++s)
+      if (c.dmrs_mask & (1u << s)) pdu.dmrs_symbol_mask.set(s);
+    pdu.dmrs = dmrs_type::TYPE1;
+    pdu.scrambling_id = c.scrambling_id;
+    pdu.n_scid = false;
+    pdu.nof_cdm_groups_without_data = c.cdm_groups;
+    pdu.freq_alloc = rb_allocation::make_type1(c.rb_start, c.rb_count);
+    pdu.start_symbol_index = c.start_sym;
+    pdu.nof_symbols = c.nof_syms;
+    pdu.ldpc_base_graph = get_ldpc_base_graph(
+        static_cast<float>(c.tbs_bytes * 8) /
+            static_cast<float>(c.rb_count * (c.nof_syms - __builtin_popcount(c.dmrs_mask)) *
+                               NRE * get_bits_per_symbol(c.mod) * c.layers),
+        units::bits(c.tbs_bytes * 8));
+    pdu.tbs_lbrm = tbs_lbrm_default;
+    pdu.reserved = re_pattern_list();
+    pdu.ptrs = std::nullopt;
+    pdu.ratio_pdsch_dmrs_to_sss_dB = 0.0f;
+    pdu.ratio_pdsch_data_to_sss_dB = 0.0f;
+    pdu.precoding = precoding_configuration::make_wideband(make_identity(c.layers));
+
+    null_notifier notifier;
+    proc->process(grid, notifier,
+                  static_vector<shared_transport_block, 2>{tb}, pdu);
+
+    std::vector<cf_t> dump;
+    for (unsigned p = 0; p != c.layers; ++p)
+      for (unsigned s = 0; s != 14; ++s)
+        for (unsigned k = 0; k != nof_subc; ++k) dump.push_back(to_cf(grid.at(p, s, k)));
+    std::string base = std::to_string(idx);
+    write_dat("tb" + base + ".dat", tb_bytes);
+    write_dat("grid" + base + ".dat", reinterpret_cast<const float*>(dump.data()),
+              2 * dump.size());
+    m.begin_case();
+    m.field("bwp_rb", (long long)c.bwp_rb);
+    m.field("rb_start", (long long)c.rb_start);
+    m.field("rb_count", (long long)c.rb_count);
+    m.field("start_sym", (long long)c.start_sym);
+    m.field("nof_syms", (long long)c.nof_syms);
+    m.field("tbs_bits", (long long)(c.tbs_bytes * 8));
+    m.field("rv", (long long)c.rv);
+    m.field("rnti", (long long)c.rnti);
+    m.field("n_id", (long long)c.n_id);
+    m.field("scrambling_id", (long long)c.scrambling_id);
+    m.field("layers", (long long)c.layers);
+    m.field("qm", (long long)get_bits_per_symbol(c.mod));
+    m.field("dmrs_mask", (long long)c.dmrs_mask);
+    m.field("cdm_groups", (long long)c.cdm_groups);
+    m.field("bg", (long long)(pdu.ldpc_base_graph == ldpc_base_graph_type::BG1 ? 1 : 2));
+    m.field("slot_numerology", (long long)1);
+    m.field("slot_sfn", (long long)3);
+    m.field("slot_in_frame", (long long)5);
+    m.field("idx", (long long)idx);
+    m.end_case();
+    ++idx;
+  }
+  m.flush();
+}
+
+} // namespace
+
+void gen_pdsch_processor_suite() { gen_pdsch_processor(); }
+
+// --------------------------------------------------------- ulsch demux ----
+
+#include "lib/phy/upper/channel_processors/pusch/ulsch_demultiplex_impl.h"
+#include "srsran/phy/upper/channel_processors/pusch/pusch_decoder_buffer.h"
+#include "srsran/ran/pusch/ulsch_info.h"
+
+namespace {
+
+class capture_buffer : public pusch_decoder_buffer {
+public:
+  std::vector<log_likelihood_ratio> data;
+  bool ended = false;
+  span<log_likelihood_ratio> get_next_block_view(unsigned block_size) override {
+    scratch_.resize(block_size);
+    return scratch_;
+  }
+  void on_new_softbits(span<const log_likelihood_ratio> softbits) override {
+    data.insert(data.end(), softbits.begin(), softbits.end());
+  }
+  void on_end_softbits() override { ended = true; }
+
+private:
+  std::vector<log_likelihood_ratio> scratch_;
+};
+
+void gen_ulsch_demux() {
+  start("ulsch_demux");
+  manifest m("manifest.json");
+  auto rng = make_rng(0xDE11);
+  std::uniform_int_distribution<int> llr_d(-100, 100);
+  std::uniform_int_distribution<int> bit_d(0, 1);
+
+  struct ucase {
+    unsigned nof_prb, nof_symbols, start_sym, layers;
+    modulation_scheme mod;
+    unsigned ack, csi1, csi2;
+    unsigned dmrs_mask, cdm_groups;
+  };
+  std::vector<ucase> cases = {
+      {24, 14, 0, 1, modulation_scheme::QAM16, 0, 0, 0, (1u << 2) | (1u << 11), 2},
+      {24, 14, 0, 1, modulation_scheme::QAM16, 1, 0, 0, (1u << 2) | (1u << 11), 2},
+      {24, 14, 0, 1, modulation_scheme::QAM16, 2, 0, 0, (1u << 2) | (1u << 11), 2},
+      {24, 14, 0, 1, modulation_scheme::QAM16, 5, 0, 0, (1u << 2) | (1u << 11), 2},
+      {24, 14, 0, 1, modulation_scheme::QAM16, 11, 4, 0, (1u << 2) | (1u << 11), 2},
+      {24, 14, 0, 1, modulation_scheme::QPSK, 2, 11, 7, (1u << 2) | (1u << 11), 2},
+      {52, 12, 2, 2, modulation_scheme::QAM64, 4, 7, 0, (1u << 3) | (1u << 10), 2},
+      {106, 14, 0, 4, modulation_scheme::QAM256, 1, 0, 0, (1u << 2) | (1u << 11), 2},
+  };
+  int idx = 0;
+  for (const auto& c : cases) {
+    // Derive the G splits exactly like the caller would.
+    ulsch_configuration ucfg = {};
+    ucfg.tbs = units::bits(2024);
+    ucfg.mcs_descr = {c.mod, 500.0F};
+    ucfg.nof_harq_ack_bits = units::bits(c.ack);
+    ucfg.nof_csi_part1_bits = units::bits(c.csi1);
+    ucfg.nof_csi_part2_bits = units::bits(c.csi2);
+    ucfg.alpha_scaling = 1.0F;
+    ucfg.beta_offset_harq_ack = 2.0F;
+    ucfg.beta_offset_csi_part1 = 2.0F;
+    ucfg.beta_offset_csi_part2 = 2.0F;
+    ucfg.nof_rb = c.nof_prb;
+    ucfg.start_symbol_index = c.start_sym;
+    ucfg.nof_symbols = c.nof_symbols;
+    ucfg.dmrs_type = dmrs_config_type::type1;
+    ucfg.dmrs_symbol_mask = bounded_bitset<MAX_NSYMB_PER_SLOT>(14);
+    for (unsigned s = 0; s != 14; ++s)
+      if (c.dmrs_mask & (1u << s)) ucfg.dmrs_symbol_mask.set(s);
+    ucfg.nof_cdm_groups_without_data = c.cdm_groups;
+    ucfg.nof_layers = c.layers;
+    ulsch_information info = get_ulsch_information(ucfg);
+
+    ulsch_demultiplex::configuration cfg;
+    cfg.modulation = c.mod;
+    cfg.nof_layers = c.layers;
+    cfg.nof_prb = c.nof_prb;
+    cfg.start_symbol_index = c.start_sym;
+    cfg.nof_symbols = c.nof_symbols;
+    cfg.nof_harq_ack_rvd = info.nof_harq_ack_rvd.value();
+    cfg.dmrs = dmrs_type::TYPE1;
+    cfg.dmrs_symbol_mask = ucfg.dmrs_symbol_mask;
+    cfg.nof_cdm_groups_without_data = c.cdm_groups;
+    cfg.nof_harq_ack_bits = c.ack;
+    cfg.nof_enc_harq_ack_bits = info.nof_harq_ack_bits.value();
+    cfg.nof_csi_part1_bits = c.csi1;
+    cfg.nof_enc_csi_part1_bits = info.nof_csi_part1_bits.value();
+
+    unsigned qm = get_bits_per_symbol(c.mod);
+    unsigned nof_dmrs = ucfg.dmrs_symbol_mask.count();
+    unsigned nof_re = c.nof_prb * NRE * (c.nof_symbols - nof_dmrs);
+    unsigned g_total = nof_re * qm * c.layers;
+
+    std::vector<log_likelihood_ratio> cw(g_total);
+    for (auto& v : cw) v = llr_d(rng);
+    std::vector<uint8_t> scr_bits(g_total);
+    for (auto& b : scr_bits) b = bit_d(rng);
+    dynamic_bit_buffer scr(g_total);
+    srsvec::bit_pack(scr, scr_bits);
+
+    ulsch_demultiplex_impl demux;
+    capture_buffer sch, ack, csi1, csi2;
+    if (c.csi2) {
+      demux.set_csi_part2(csi2, c.csi2, info.nof_csi_part2_bits.value());
+    }
+    pusch_codeword_buffer& in = demux.demultiplex(sch, ack, csi1, cfg);
+    in.on_new_block(cw, scr);
+    in.on_end_codeword();
+
+    std::string base = std::to_string(idx);
+    write_dat("cw" + base + ".dat", reinterpret_cast<const int8_t*>(cw.data()), cw.size());
+    write_dat("scr" + base + ".dat", scr_bits);
+    write_dat("sch" + base + ".dat", reinterpret_cast<const int8_t*>(sch.data.data()), sch.data.size());
+    write_dat("ack" + base + ".dat", reinterpret_cast<const int8_t*>(ack.data.data()), ack.data.size());
+    write_dat("csi1_" + base + ".dat", reinterpret_cast<const int8_t*>(csi1.data.data()), csi1.data.size());
+    write_dat("csi2_" + base + ".dat", reinterpret_cast<const int8_t*>(csi2.data.data()), csi2.data.size());
+    m.begin_case();
+    m.field("nof_prb", (long long)c.nof_prb);
+    m.field("nof_symbols", (long long)c.nof_symbols);
+    m.field("start_sym", (long long)c.start_sym);
+    m.field("layers", (long long)c.layers);
+    m.field("qm", (long long)qm);
+    m.field("ack", (long long)c.ack);
+    m.field("csi1", (long long)c.csi1);
+    m.field("csi2", (long long)c.csi2);
+    m.field("dmrs_mask", (long long)c.dmrs_mask);
+    m.field("cdm_groups", (long long)c.cdm_groups);
+    m.field("g_total", (long long)g_total);
+    m.field("g_ack", (long long)info.nof_harq_ack_bits.value());
+    m.field("g_ack_rvd", (long long)info.nof_harq_ack_rvd.value());
+    m.field("g_csi1", (long long)info.nof_csi_part1_bits.value());
+    m.field("g_csi2", (long long)info.nof_csi_part2_bits.value());
+    m.field("nof_sch", (long long)sch.data.size());
+    m.field("idx", (long long)idx);
+    m.end_case();
+    ++idx;
+  }
+  m.flush();
+}
+
+} // namespace
+
+void gen_ulsch_demux_suite() { gen_ulsch_demux(); }

@@ -54,6 +54,8 @@ void gen_prach_generator_suite();
 void gen_estimator_suite();
 void gen_prach_detector_suite();
 void gen_dmrs_suites();
+void gen_pdsch_processor_suite();
+void gen_ulsch_demux_suite();
 
 namespace {
 
@@ -638,6 +640,8 @@ int main(int argc, char** argv) {
       {"estimator", gen_estimator_suite},
       {"prach_detector", gen_prach_detector_suite},
       {"dmrs", gen_dmrs_suites},
+      {"pdsch_processor", gen_pdsch_processor_suite},
+      {"ulsch_demux", gen_ulsch_demux_suite},
   };
   if (argc == 2) {
     for (auto& [name, fn] : suites) fn();
