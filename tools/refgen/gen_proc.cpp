@@ -359,3 +359,227 @@ void gen_ulsch_demux() {
 } // namespace
 
 void gen_ulsch_demux_suite() { gen_ulsch_demux(); }
+
+// ----------------------------------------------------- pusch demodulator ----
+
+#include "lib/phy/generic_functions/dft_processor_generic_impl.h"
+#include "lib/phy/generic_functions/transform_precoding/transform_precoder_dft_impl.h"
+#include "lib/phy/upper/channel_modulation/demodulation_mapper_impl.h"
+#include "lib/phy/upper/channel_processors/pusch/pusch_demodulator_impl.h"
+#include "srsran/phy/upper/channel_processors/pusch/pusch_demodulator_notifier.h"
+#include "lib/phy/upper/equalization/channel_equalizer_generic_impl.h"
+#include "srsran/phy/upper/channel_estimation.h"
+
+namespace {
+
+class demod_grid : public resource_grid_reader {
+public:
+  demod_grid(unsigned ports, unsigned symbols, unsigned subc)
+      : ports_(ports), symbols_(symbols), subc_(subc), data_(ports * symbols * subc) {}
+  cbf16_t& at(unsigned p, unsigned l, unsigned k) {
+    return data_[(p * symbols_ + l) * subc_ + k];
+  }
+  const cbf16_t& at(unsigned p, unsigned l, unsigned k) const {
+    return data_[(p * symbols_ + l) * subc_ + k];
+  }
+  unsigned get_nof_ports() const override { return ports_; }
+  unsigned get_nof_subc() const override { return subc_; }
+  unsigned get_nof_symbols() const override { return symbols_; }
+  bool is_empty(unsigned) const override { return false; }
+  bool is_empty() const override { return false; }
+  span<cf_t> get(span<cf_t> symbols, unsigned port, unsigned l, unsigned k_init,
+                 const bounded_bitset<MAX_RB * NRE>& mask) const override {
+    unsigned i = 0;
+    for (unsigned k = 0; k != mask.size(); ++k)
+      if (mask.test(k)) symbols[i++] = to_cf(at(port, l, k_init + k));
+    return symbols.last(symbols.size() - i);
+  }
+  span<cbf16_t> get(span<cbf16_t> symbols, unsigned port, unsigned l, unsigned k_init,
+                    const bounded_bitset<MAX_RB * NRE>& mask) const override {
+    unsigned i = 0;
+    for (unsigned k = 0; k != mask.size(); ++k)
+      if (mask.test(k)) symbols[i++] = at(port, l, k_init + k);
+    return symbols.last(symbols.size() - i);
+  }
+  void get(span<cf_t> symbols, unsigned port, unsigned l, unsigned k_init,
+           unsigned stride) const override {
+    for (unsigned i = 0; i != symbols.size(); ++i)
+      symbols[i] = to_cf(at(port, l, k_init + i * stride));
+  }
+  void get(span<cbf16_t> symbols, unsigned port, unsigned l, unsigned k_init) const override {
+    for (unsigned i = 0; i != symbols.size(); ++i) symbols[i] = at(port, l, k_init + i);
+  }
+  span<const cbf16_t> get_view(unsigned port, unsigned l) const override {
+    return span<const cbf16_t>(&at(port, l, 0), subc_);
+  }
+
+private:
+  unsigned ports_, symbols_, subc_;
+  std::vector<cbf16_t> data_;
+};
+
+class capture_cw_buffer : public pusch_codeword_buffer {
+public:
+  std::vector<log_likelihood_ratio> llrs;
+  std::vector<uint8_t> scr;
+  span<log_likelihood_ratio> get_next_block_view(unsigned block_size) override {
+    scratch_.resize(block_size);
+    return scratch_;
+  }
+  void on_new_block(span<const log_likelihood_ratio> data, const bit_buffer& scrambling_seq) override {
+    llrs.insert(llrs.end(), data.begin(), data.end());
+    for (unsigned i = 0; i != data.size(); ++i) scr.push_back(scrambling_seq.extract(i, 1));
+  }
+  void on_end_codeword() override {}
+
+private:
+  std::vector<log_likelihood_ratio> scratch_;
+};
+
+class null_demod_notifier : public pusch_demodulator_notifier {
+public:
+  void on_provisional_stats(unsigned, const demodulation_stats&) override {}
+  void on_end_stats(const demodulation_stats&) override {}
+};
+
+void gen_pusch_demodulator() {
+  start("pusch_demodulator");
+  manifest m("manifest.json");
+  auto rng = make_rng(0x905D);
+  std::normal_distribution<float> noise_d(0.f, 1.f);
+
+  struct dcase {
+    unsigned nof_prb, start_sym, nof_syms, layers, ports, rnti, n_id;
+    modulation_scheme mod;
+    unsigned dmrs_mask, cdm_groups;
+    float snr_db;
+  };
+  std::vector<dcase> cases = {
+      {24, 0, 14, 1, 1, 0x4601, 1, modulation_scheme::QPSK, (1u << 2) | (1u << 11), 2, 20.f},
+      {24, 0, 14, 1, 2, 0x1234, 500, modulation_scheme::QAM16, (1u << 2) | (1u << 11), 2, 15.f},
+      {52, 2, 12, 2, 2, 0x4601, 42, modulation_scheme::QAM64, (1u << 3) | (1u << 10), 2, 25.f},
+      {52, 0, 14, 1, 4, 0x4601, 1007, modulation_scheme::QAM256, (1u << 2) | (1u << 11), 2, 28.f},
+  };
+  int idx = 0;
+  for (const auto& c : cases) {
+    transform_precoder_dft_impl::collection_dft_processors tp_dfts;
+    for (unsigned rb : {1u, 2u, 4u}) {
+      tp_dfts.emplace(rb, std::make_unique<dft_processor_generic_impl>(
+          dft_processor::configuration{rb * NRE, dft_processor::direction::INVERSE}));
+    }
+    // Open-source reference: MMSE only for 1 layer (2x2+ MMSE is an
+    // enterprise stub); multi-layer uses ZF.
+    auto eq_type = (c.layers == 1) ? channel_equalizer_algorithm_type::mmse
+                                   : channel_equalizer_algorithm_type::zf;
+    pusch_demodulator_impl demod(
+        std::make_unique<channel_equalizer_generic_impl>(eq_type),
+        std::make_unique<transform_precoder_dft_impl>(std::move(tp_dfts)),
+        std::make_unique<demodulation_mapper_impl>(),
+        nullptr,  // EVM calculator optional
+        std::make_unique<pseudo_random_generator_impl>(),
+        MAX_RB, /*compute_post_eq_sinr=*/false);
+
+    unsigned nof_subc = c.nof_prb * NRE;
+    demod_grid grid(c.ports, 14, nof_subc);
+    channel_estimate::channel_estimate_dimensions dims;
+    dims.nof_prb = c.nof_prb;
+    dims.nof_symbols = 14;
+    dims.nof_rx_ports = c.ports;
+    dims.nof_tx_layers = c.layers;
+    channel_estimate estimates(dims);
+
+    // Synthetic channel + noisy observations; estimates carry the true
+    // channel; per-port noise vars set from the configured SNR.
+    float nvar = std::pow(10.f, -c.snr_db / 10.f);
+    std::vector<cf_t> grid_dump, est_dump;
+    for (unsigned p = 0; p != c.ports; ++p) {
+      estimates.set_noise_variance(nvar, p);
+      for (unsigned l = 0; l != c.layers; ++l) {
+        for (unsigned s = 0; s != 14; ++s) {
+          span<cbf16_t> ce = estimates.get_symbol_ch_estimate(s, p, l);
+          for (unsigned k = 0; k != nof_subc; ++k) {
+            float ph = 2.f * (float)M_PI * ((float)k / nof_subc * (0.3f + 0.2f * p + 0.1f * l));
+            cf_t h = cf_t(std::cos(ph), std::sin(ph)) * (1.0f / std::sqrt((float)c.layers));
+            ce[k] = to_cbf16(h);
+          }
+        }
+      }
+      for (unsigned s = 0; s != 14; ++s)
+        for (unsigned k = 0; k != nof_subc; ++k) {
+          cf_t v = 0;
+          for (unsigned l = 0; l != c.layers; ++l) {
+            cf_t x = cf_t(noise_d(rng), noise_d(rng)) * (float)M_SQRT1_2;
+            // independent per (l, s, k): generate from rng stream; note TX
+            // content does not need to be constellation points for a
+            // demodulator parity check.
+            v += to_cf(estimates.get_symbol_ch_estimate(s, p, l)[k]) * x;
+          }
+          v += std::sqrt(nvar) * (float)M_SQRT1_2 * cf_t(noise_d(rng), noise_d(rng));
+          grid.at(p, s, k) = to_cbf16(v);
+        }
+    }
+    // Dump grid + estimates (bf16-rounded views).
+    for (unsigned p = 0; p != c.ports; ++p)
+      for (unsigned s = 0; s != 14; ++s)
+        for (unsigned k = 0; k != nof_subc; ++k) grid_dump.push_back(to_cf(grid.at(p, s, k)));
+    for (unsigned p = 0; p != c.ports; ++p)
+      for (unsigned l = 0; l != c.layers; ++l)
+        for (unsigned s = 0; s != 14; ++s) {
+          span<const cbf16_t> ce =
+              const_cast<const channel_estimate&>(estimates).get_symbol_ch_estimate(s, p, l);
+          for (unsigned k = 0; k != nof_subc; ++k) est_dump.push_back(to_cf(ce[k]));
+        }
+
+    pusch_demodulator::configuration cfg;
+    cfg.rnti = c.rnti;
+    cfg.rb_mask = crb_bitmap(c.nof_prb);
+    cfg.rb_mask.fill(0, c.nof_prb);
+    cfg.modulation = c.mod;
+    cfg.start_symbol_index = c.start_sym;
+    cfg.nof_symbols = c.nof_syms;
+    cfg.dmrs_symb_pos = symbol_slot_mask(14);
+    for (unsigned s = 0; s != 14; ++s)
+      if (c.dmrs_mask & (1u << s)) cfg.dmrs_symb_pos.set(s);
+    cfg.dmrs_config_type = dmrs_type::TYPE1;
+    cfg.nof_cdm_groups_without_data = c.cdm_groups;
+    cfg.n_id = c.n_id;
+    cfg.nof_tx_layers = c.layers;
+    cfg.enable_transform_precoding = false;
+    for (unsigned p = 0; p != c.ports; ++p) cfg.rx_ports.push_back(p);
+
+    capture_cw_buffer cw;
+    null_demod_notifier notifier;
+    demod.demodulate(cw, notifier, grid, estimates, cfg);
+
+    std::string base = std::to_string(idx);
+    write_dat("grid" + base + ".dat", reinterpret_cast<const float*>(grid_dump.data()),
+              2 * grid_dump.size());
+    write_dat("est" + base + ".dat", reinterpret_cast<const float*>(est_dump.data()),
+              2 * est_dump.size());
+    write_dat("llrs" + base + ".dat", reinterpret_cast<const int8_t*>(cw.llrs.data()),
+              cw.llrs.size());
+    write_dat("scr" + base + ".dat", cw.scr);
+    m.begin_case();
+    m.field("nof_prb", (long long)c.nof_prb);
+    m.field("start_sym", (long long)c.start_sym);
+    m.field("nof_syms", (long long)c.nof_syms);
+    m.field("layers", (long long)c.layers);
+    m.field("ports", (long long)c.ports);
+    m.field("rnti", (long long)c.rnti);
+    m.field("n_id", (long long)c.n_id);
+    m.field("qm", (long long)get_bits_per_symbol(c.mod));
+    m.field("dmrs_mask", (long long)c.dmrs_mask);
+    m.field("cdm_groups", (long long)c.cdm_groups);
+    m.field("snr_db", (double)c.snr_db);
+    m.field("noise_var", (double)nvar);
+    m.field("nof_llrs", (long long)cw.llrs.size());
+    m.field("idx", (long long)idx);
+    m.end_case();
+    ++idx;
+  }
+  m.flush();
+}
+
+} // namespace
+
+void gen_pusch_demodulator_suite() { gen_pusch_demodulator(); }

@@ -56,6 +56,7 @@ void gen_prach_detector_suite();
 void gen_dmrs_suites();
 void gen_pdsch_processor_suite();
 void gen_ulsch_demux_suite();
+void gen_pusch_demodulator_suite();
 
 namespace {
 
@@ -642,6 +643,7 @@ int main(int argc, char** argv) {
       {"dmrs", gen_dmrs_suites},
       {"pdsch_processor", gen_pdsch_processor_suite},
       {"ulsch_demux", gen_ulsch_demux_suite},
+      {"pusch_demodulator", gen_pusch_demodulator_suite},
   };
   if (argc == 2) {
     for (auto& [name, fn] : suites) fn();
