@@ -147,11 +147,32 @@ def sharded_front_end(grid: jax.Array, cfg: PuschConfig, mesh: Mesh,
             + sm[..., jnp.asarray(li) + 1] * jnp.asarray(frac)  # (nl, npr, local_sc)
 
         # Noise variance / SNR accumulators (global psum mean).
-        h_rep = jnp.repeat(h_pair_sym, 2, axis=-1)
-        resid = ls - h_rep
-        nv_loc = (jnp.abs(resid) ** 2).mean() * 2.0
+        if cfg.noise_method == "second_difference":
+            # Same estimator as the unsharded path (pusch.py
+            # noise_by_second_difference): the OCC despread in h_pair has
+            # removed the co-CDM layer exactly, and the (1, -2, 1) stencil
+            # over neighbouring pairs cancels channel level + slope, so
+            # |d2|^2 reads 3 sigma^2 / nsym_d — unbiased for multi-layer
+            # CDM-shared configs where the raw pair residual reads
+            # |h_other|^2 + sigma^2.  Cross-shard neighbours come from the
+            # halo already exchanged for the RC filter; the two global-edge
+            # pairs have no physical neighbour and are masked out.
+            d2 = (ext[..., halo - 1: halo - 1 + n_pairs]
+                  - 2.0 * ext[..., halo: halo + n_pairs]
+                  + ext[..., halo + 1: halo + 1 + n_pairs])
+            jj = jnp.arange(n_pairs)
+            edge = ((jj == 0) & (idx == 0)) | ((jj == n_pairs - 1) & (idx == size - 1))
+            w_valid = jnp.where(edge, 0.0, 1.0)
+            nv_num = jax.lax.psum(((jnp.abs(d2) ** 2) * w_valid).sum(), axis)
+            nv_den = jax.lax.psum((w_valid.sum() * nl * npr), axis)
+            nv_loc = nv_num / jnp.maximum(nv_den, 1.0) * nsym_d / 3.0
+            nv = jnp.maximum(nv_loc, 1e-10)
+        else:
+            h_rep = jnp.repeat(h_pair_sym, 2, axis=-1)
+            resid = ls - h_rep
+            nv_loc = (jnp.abs(resid) ** 2).mean() * 2.0
+            nv = jnp.maximum(jax.lax.pmean(nv_loc, axis), 1e-10)
         rsrp_loc = (jnp.abs(h_pair_sym) ** 2).mean()
-        nv = jnp.maximum(jax.lax.pmean(nv_loc, axis), 1e-10)
         rsrp = jax.lax.pmean(rsrp_loc, axis)
         snr = rsrp / nv
 

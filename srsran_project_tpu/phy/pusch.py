@@ -69,6 +69,16 @@ class PuschConfig:
     # group -- the co-layer appears as interference in the estimate).
     noise_method: str = "second_difference"
     llr_range_limit: float = 20.0
+    # Soft demapper: "float" = fused float max-log + quantize (throughput
+    # path); "reference" = bit-exact int8 interval demapper
+    # (demodulation_mapper_impl semantics, ops/modulation/demapper_i8.py).
+    demapper: str = "float"
+    # "mmse"/"zf" = batched TPU solves; "mmse_ref"/"zf_ref" = the
+    # reference-parity kernels (equalize_zf_1xn / zf_2xn semantics,
+    # 1-2 layers — the reference's own open-source coverage).
+    # equalizer field above accepts all four.
+    # LDPC decoder kernel selection, forwarded to SchConfig.decoder.
+    ldpc_decoder: str = "auto"
     cfo_compensation: bool = False  # reference knob: du_low_config.h CFO comp
     ldpc_early_stop: bool = True  # kernel syndrome early stop / CRC two-phase (see sch.py)
     uci: UciOnPuschConfig | None = None
@@ -131,6 +141,7 @@ class PuschConfig:
             nof_layers=self.nof_layers,
             nof_total_bits=g,
             rv=self.rv,
+            decoder=self.ldpc_decoder,
         )
 
 
@@ -306,6 +317,18 @@ def _equalize_stage(gflat: jax.Array, h: jax.Array, noise_var: jax.Array, cfg: P
     y = gflat[:, jnp.asarray(didx_np)]  # (npr, ndata)
     sc_of_data = jnp.asarray((didx_np % cfg.nof_grid_sc) - a.sc_start)
     h_data = h[:, sc_of_data, :]  # (npr, ndata, nl)
+    if cfg.equalizer.endswith("_ref"):
+        from ..ops.equalizer import equalize_ref
+
+        nv_port = jnp.broadcast_to(
+            jnp.asarray(noise_var, jnp.float32), (cfg.nof_rx_ports,)
+        )
+        return equalize_ref(
+            jnp.moveaxis(y, 0, -1),
+            jnp.moveaxis(h_data, 0, 1),
+            nv_port,
+            method=cfg.equalizer[: -len("_ref")],
+        )
     return equalize(
         jnp.moveaxis(y, 0, -1),
         jnp.moveaxis(h_data, 0, 1),
@@ -319,11 +342,19 @@ def _demap_stage(x_hat: jax.Array, eq_nvar: jax.Array, rnti: jax.Array, cfg: Pus
     """Soft demap + de-layer-map + quantize + descramble, one program."""
     nl = cfg.nof_layers
     qm = cfg.sch.qm
-    llr_layers = demap_soft(x_hat.T, eq_nvar.T, cfg.modulation)  # (nl, ndata*Qm)
-    ndata = llr_layers.shape[-1] // qm
-    llr = llr_layers.reshape(nl, ndata, qm)
-    llr = jnp.moveaxis(llr, 0, 1).reshape(-1)  # (G,)
-    llr_i8 = quantize_llr(llr, cfg.llr_range_limit)
+    if cfg.demapper == "reference":
+        from ..ops.modulation.demapper_i8 import demap_llr_i8
+
+        # RE-major layer interleave = codeword order (layer demapping).
+        llr_i8 = demap_llr_i8(
+            x_hat.reshape(-1), eq_nvar.reshape(-1), cfg.modulation
+        )
+    else:
+        llr_layers = demap_soft(x_hat.T, eq_nvar.T, cfg.modulation)  # (nl, ndata*Qm)
+        ndata = llr_layers.shape[-1] // qm
+        llr = llr_layers.reshape(nl, ndata, qm)
+        llr = jnp.moveaxis(llr, 0, 1).reshape(-1)  # (G,)
+        llr_i8 = quantize_llr(llr, cfg.llr_range_limit)
     llr_i8 = scrambling.descramble_llrs(llr_i8, _pusch_c_init(rnti, cfg.n_id))
     if cfg.ptrs_enabled:
         # Erase LLRs of the punctured PT-RS positions.

@@ -46,6 +46,11 @@ class SchConfig:
     # TBS_LBRM for limited-buffer rate matching (TS 38.212 5.4.2.1);
     # the reference default (sch_constants.h:44).  None = unlimited buffer.
     tbs_lbrm_bytes: int | None = 159749
+    # LDPC decoder kernel: "auto" = Pallas min-sum on TPU / XLA float
+    # min-sum on CPU (throughput path); "reference_i8" = bit-exact int8
+    # layered min-sum with the reference's saturation semantics
+    # (ldpc_decoder_generic.cpp — conformance / parity-debug path).
+    decoder: str = "auto"
 
     @functools.cached_property
     def seg(self) -> segmenter.SegmentParams:
@@ -171,6 +176,10 @@ def decode_transport_block(
     buf = new_harq
 
     def run_decode(llr_in, iters, kernel_early_stop=False):
+        if cfg.decoder == "reference_i8":
+            return ldpc_decoder.decode_i8(
+                llr_in, seg.base_graph, seg.lifting_size, iters
+            )[0]
         if _use_pallas_decoder():
             return ldpc_decoder_pallas.decode_pallas(
                 llr_in, seg.base_graph, seg.lifting_size, iters,
@@ -179,6 +188,10 @@ def decode_transport_block(
         return ldpc_decoder.decode(llr_in, seg.base_graph, seg.lifting_size, iters)[0]
 
     llr_f = flat
+    if cfg.decoder == "reference_i8":
+        # Keep the integer lanes: decode_i8 applies the reference's own
+        # +-64 input clamp (ldpc_decoder_impl.h:205).
+        llr_f = buf.reshape((-1,) + buf.shape[-1:]).astype(jnp.int32)
     if early_stop and _use_pallas_decoder():
         # On-device syndrome early stop inside the Pallas kernel: exits the
         # iteration while_loop per batch tile once all checks pass.  Unlike

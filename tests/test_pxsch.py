@@ -5,6 +5,8 @@ Mirrors the reference's pxsch_chain/bler integration tests
 encode a TB to a grid, pass it through an emulated channel, decode it back.
 """
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -177,3 +179,28 @@ def test_post_eq_sinr_tracks_true_snr():
                            pusch.PuschConfig(**base, noise_method="pair_residual"))
     nv_pr = float(np.asarray(out_pr["noise_var"]))
     assert nv_pr > 10 * nv_rec, (nv_pr, nv_rec)  # the documented bias
+
+
+def test_loopback_reference_parity_kernels():
+    """The reference-parity kernel selections (int8 interval demapper,
+    zf_1xn/zf_2xn equalizers, int8 layered min-sum decoder) run end-to-end
+    and decode: conformance mode is a usable production configuration, not
+    just a test harness."""
+    tx, rx = _mk_cfgs(tbs=2048, rate=0.4, mod=Modulation.QAM16)
+    rx = dataclasses.replace(
+        rx, equalizer="mmse_ref", demapper="reference", ldpc_decoder="reference_i8"
+    )
+    tb, out = _run(tx, rx, noise=0.02, seed=3)
+    assert bool(np.asarray(out["tb_crc_ok"]))
+    np.testing.assert_array_equal(np.asarray(out["tb_bits"]), tb)
+
+
+def test_loopback_reference_parity_2layer():
+    tx, rx = _mk_cfgs(tbs=1504, rate=0.35, mod=Modulation.QPSK, layers=2, ports=2)
+    rx = dataclasses.replace(
+        rx, equalizer="zf_ref", demapper="reference", ldpc_decoder="reference_i8"
+    )
+    h = np.array([[1.0, 0.35 + 0.2j], [-0.3 + 0.1j, 0.9]], np.complex64)
+    tb, out = _run(tx, rx, h=h, noise=0.005, seed=4)
+    assert bool(np.asarray(out["tb_crc_ok"]))
+    np.testing.assert_array_equal(np.asarray(out["tb_bits"]), tb)
