@@ -503,3 +503,174 @@ void gen_pdcch_candidates() {
   }
   m.flush();
 }
+
+// ---------------------------------------------------------------------------
+// CSI report sizing + unpacking (lib/ran/csi_report): PUSCH two-part and
+// PUCCH single-part reports across codebooks / quantities / RI restrictions.
+#include "lib/ran/csi_report/csi_report_on_puxch_helpers.h"
+#include "srsran/ran/csi_report/csi_report_on_pusch_helpers.h"
+#include "srsran/ran/csi_report/csi_report_on_pucch_helpers.h"
+#include "srsran/ran/csi_report/csi_report_on_puxch_utils.h"
+
+namespace {
+
+void dump_csi_data(manifest& m, const csi_report_data& data) {
+  m.field("cri", data.cri.has_value() ? (long long)*data.cri : -1LL);
+  m.field("ri", data.ri.has_value() ? (long long)data.ri->to_uint() : -1LL);
+  m.field("li", data.li.has_value() ? (long long)data.li->to_uint() : -1LL);
+  long long pmi2 = -1, i11 = -1, i13 = -1, i2 = -1;
+  if (data.pmi.has_value()) {
+    if (const auto* two = std::get_if<csi_report_pmi::two_antenna_port>(&data.pmi->type)) {
+      pmi2 = two->pmi;
+    } else if (const auto* four =
+                   std::get_if<csi_report_pmi::typeI_single_panel_4ports_mode1>(&data.pmi->type)) {
+      i11 = four->i_1_1;
+      i13 = four->i_1_3.has_value() ? (long long)*four->i_1_3 : -1LL;
+      i2 = four->i_2;
+    }
+  }
+  m.field("pmi2p", pmi2);
+  m.field("i11", i11);
+  m.field("i13", i13);
+  m.field("i2", i2);
+  m.field("cqi1", data.first_tb_wideband_cqi.has_value()
+                      ? (long long)data.first_tb_wideband_cqi->to_uint() : -1LL);
+  m.field("cqi2", data.second_tb_wideband_cqi.has_value()
+                      ? (long long)data.second_tb_wideband_cqi->to_uint() : -1LL);
+}
+
+void write_packed_bits(const std::string& name, const csi_report_packed& p) {
+  std::vector<uint8_t> bits(p.size());
+  for (unsigned i = 0; i != p.size(); ++i) bits[i] = p.test(i) ? 1 : 0;
+  write_dat(name, bits);
+}
+
+} // namespace
+
+void gen_csi_report() {
+  start("csi_report");
+  manifest m("manifest.json");
+  auto rng = make_rng(0xC51);
+
+  struct ccase { pmi_codebook_type cb; csi_report_quantities q; unsigned nres, mask; };
+  std::vector<ccase> cases;
+  for (pmi_codebook_type cb : {pmi_codebook_type::one, pmi_codebook_type::two,
+                               pmi_codebook_type::typeI_single_panel_4ports_mode1}) {
+    unsigned nports = csi_report_get_nof_csi_rs_antenna_ports(cb);
+    std::vector<unsigned> masks = {(1u << nports) - 1u};
+    // A restriction whose only allowed rank != 1 is internally inconsistent
+    // in the reference (empty RI field unpacks to rank 1 while the part-2
+    // map is keyed by the allowed rank) -- never configured; skip those.
+    if (nports == 2) { masks.push_back(0b01); }
+    if (nports == 4) { masks.push_back(0b0011); masks.push_back(0b1010); masks.push_back(0b0001); }
+    for (csi_report_quantities q : {csi_report_quantities::cri_ri_pmi_cqi,
+                                    csi_report_quantities::cri_ri_cqi,
+                                    csi_report_quantities::cri_ri_li_pmi_cqi})
+      for (unsigned nres : {1u, 3u, 4u})
+        for (unsigned mask : masks) cases.push_back({cb, q, nres, mask});
+  }
+
+  int idx = 0;
+  for (const auto& c : cases) {
+    unsigned nports = csi_report_get_nof_csi_rs_antenna_ports(c.cb);
+    csi_report_configuration cfg;
+    cfg.nof_csi_rs_resources = c.nres;
+    cfg.pmi_codebook = c.cb;
+    cfg.ri_restriction = ri_restriction_type(nports);
+    for (unsigned i = 0; i != nports; ++i)
+      if (c.mask & (1u << i)) cfg.ri_restriction.set(i);
+    cfg.quantities = c.q;
+
+    csi_report_size psz = get_csi_report_pusch_size(cfg);
+    csi_report_size usz = get_csi_report_pucch_size(cfg);
+    ri_li_cqi_cri_sizes f1 =
+        get_ri_li_cqi_cri_sizes(c.cb, cfg.ri_restriction, 1U, c.nres);
+    unsigned nof_allowed = cfg.ri_restriction.count();
+
+    // Flatten part-2 correspondence (at most 1 entry / 1 parameter here).
+    long long corr_off = -1, corr_w = -1;
+    std::string corr_map;
+    if (!psz.part2_correspondence.entries.empty()) {
+      const auto& e = psz.part2_correspondence.entries.front();
+      corr_off = e.parameters.front().offset;
+      corr_w = e.parameters.front().width;
+      for (unsigned v : e.map) {
+        if (!corr_map.empty()) corr_map += ",";
+        corr_map += std::to_string(v);
+      }
+    }
+
+    for (int draw = 0; draw != 3; ++draw) {
+      // PUSCH two-part payload: random part 1 with a valid RI field value.
+      csi_report_packed p1(psz.part1_size.value());
+      do {
+        for (unsigned i = 0; i != p1.size(); ++i) p1.set(i, (rng() & 1) != 0);
+      } while (f1.ri != 0 && p1.extract(f1.cri, f1.ri) >= nof_allowed);
+      unsigned p2_bits = 0;
+      if (corr_off >= 0) {
+        unsigned v = (corr_w > 0) ? p1.extract((unsigned)corr_off, (unsigned)corr_w) : 0;
+        p2_bits = psz.part2_correspondence.entries.front().map[v];
+      }
+      csi_report_packed p2(p2_bits);
+      for (unsigned i = 0; i != p2.size(); ++i) p2.set(i, (rng() & 1) != 0);
+      if (!validate_pusch_csi_payload(p1, p2, cfg)) {
+        fprintf(stderr, "csi_report reject: idx=%d cb=%d q=%d nres=%u mask=%u p1=%u p2=%u\n", idx, (int)c.cb, (int)c.q, c.nres, c.mask, (unsigned)p1.size(), (unsigned)p2.size());
+        std::abort();
+      }
+      csi_report_data data = csi_report_unpack_pusch(p1, p2, cfg);
+
+      // PUCCH single-part payload (same config).
+      csi_report_packed up(usz.part1_size.value());
+      do {
+        for (unsigned i = 0; i != up.size(); ++i) up.set(i, (rng() & 1) != 0);
+      } while (f1.ri != 0 && up.extract(f1.cri, f1.ri) >= nof_allowed);
+      csi_report_data udata = csi_report_unpack_pucch(up, cfg);
+
+      std::string base = std::to_string(idx);
+      write_packed_bits("p1_" + base + ".dat", p1);
+      write_packed_bits("p2_" + base + ".dat", p2);
+      write_packed_bits("pu_" + base + ".dat", up);
+      m.begin_case();
+      m.field("codebook", (long long)c.cb);
+      m.field("quantities", (long long)c.q);
+      m.field("nof_resources", (long long)c.nres);
+      m.field("ri_mask", (long long)c.mask);
+      m.field("nof_ports", (long long)nports);
+      m.field("part1_size", (long long)psz.part1_size.value());
+      m.field("part2_min", (long long)psz.part2_min_size.value());
+      m.field("part2_max", (long long)psz.part2_max_size.value());
+      m.field("pucch_size", (long long)usz.part1_size.value());
+      m.field("corr_offset", corr_off);
+      m.field("corr_width", corr_w);
+      m.field("corr_map", corr_map);
+      m.field("part2_size", (long long)p2_bits);
+      dump_csi_data(m, data);
+      m.field("u_cri", udata.cri.has_value() ? (long long)*udata.cri : -1LL);
+      m.field("u_ri", udata.ri.has_value() ? (long long)udata.ri->to_uint() : -1LL);
+      m.field("u_li", udata.li.has_value() ? (long long)udata.li->to_uint() : -1LL);
+      long long u_pmi2 = -1, u_i11 = -1, u_i13 = -1, u_i2 = -1;
+      if (udata.pmi.has_value()) {
+        if (const auto* two = std::get_if<csi_report_pmi::two_antenna_port>(&udata.pmi->type)) {
+          u_pmi2 = two->pmi;
+        } else if (const auto* four =
+                       std::get_if<csi_report_pmi::typeI_single_panel_4ports_mode1>(&udata.pmi->type)) {
+          u_i11 = four->i_1_1;
+          u_i13 = four->i_1_3.has_value() ? (long long)*four->i_1_3 : -1LL;
+          u_i2 = four->i_2;
+        }
+      }
+      m.field("u_pmi2p", u_pmi2);
+      m.field("u_i11", u_i11);
+      m.field("u_i13", u_i13);
+      m.field("u_i2", u_i2);
+      m.field("u_cqi1", udata.first_tb_wideband_cqi.has_value()
+                            ? (long long)udata.first_tb_wideband_cqi->to_uint() : -1LL);
+      m.field("u_cqi2", udata.second_tb_wideband_cqi.has_value()
+                            ? (long long)udata.second_tb_wideband_cqi->to_uint() : -1LL);
+      m.field("idx", (long long)idx);
+      m.end_case();
+      ++idx;
+    }
+  }
+  m.flush();
+}

@@ -44,6 +44,7 @@ void gen_dlsch_info();
 void gen_polar();
 void gen_short_block();
 void gen_pdcch_candidates();
+void gen_csi_report();
 
 // Suites defined in gen_phy.cpp.
 void gen_dft_suite();
@@ -633,6 +634,7 @@ int main(int argc, char** argv) {
       {"polar", gen_polar},
       {"short_block", gen_short_block},
       {"pdcch_candidates", gen_pdcch_candidates},
+      {"csi_report", gen_csi_report},
       {"dft", gen_dft_suite},
       {"ofdm_modulator", gen_ofdm_modulator_suite},
       {"ofdm_demodulator", gen_ofdm_demodulator_suite},
