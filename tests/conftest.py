@@ -24,3 +24,22 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jit_executable_memory():
+    """Drop compiled executables between test modules.
+
+    A full-suite run accumulates ~500 tests' worth of jitted CPU
+    executables; past ~90% of the suite the XLA CPU client has segfaulted
+    inside compilation under that load.  The persistent /tmp/jax_cache
+    makes re-tracing cheap, so per-module clearing costs seconds and keeps
+    the process footprint flat.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
