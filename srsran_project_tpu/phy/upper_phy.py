@@ -225,13 +225,16 @@ class UpperPhy:
                 if c.sr_opportunity:
                     bits.append(1 if int(val) >= n_base else 0)
                 res.uci.append(
-                    fapi.UciIndicationPdu(pdu.rnti, np.asarray(bits, np.uint8),
-                                          bool(metric > 0.2), float(metric))
+                    fapi.UciIndicationPdu(
+                        pdu.rnti, np.asarray(bits, np.uint8),
+                        bool(metric > pucch_mod.F0_DTX_THRESHOLD), float(metric))
                 )
             elif isinstance(c, pucch_mod.PucchFormat1Config):
                 bits, _, metric = pucch_mod.format1_detect(rx_grid, c)
                 res.uci.append(
-                    fapi.UciIndicationPdu(pdu.rnti, np.asarray(bits), True, float(metric))
+                    fapi.UciIndicationPdu(
+                        pdu.rnti, np.asarray(bits),
+                        bool(metric > pucch_mod.F1_DTX_THRESHOLD), float(metric))
                 )
             elif isinstance(c, pucch_f2_mod.PucchFormat2Config):
                 bits, ok, snr = pucch_f2_mod.process(rx_grid, c)
