@@ -81,6 +81,12 @@ def _local_geometry(cfg: PuschConfig, local_sc: int):
             frac.astype(np.float32), tuple(data_syms), nsym_d)
 
 
+def _beta2(cfg: PuschConfig) -> float:
+    """Square of the SCH-to-DMRS amplitude offset: pilot-domain noise ->
+    data-RE-domain noise (pilots in _global_pilots are descaled by beta)."""
+    return float(dmrs_mod.sch_to_dmrs_beta(cfg.alloc.nof_cdm_groups_without_data) ** 2)
+
+
 @functools.lru_cache(maxsize=None)
 def _global_pilots(cfg: PuschConfig) -> np.ndarray:
     """(nsym_d, Np_global) DM-RS values r(m) (host LFSR; type-1 full band)."""
@@ -91,7 +97,10 @@ def _global_pilots(cfg: PuschConfig) -> np.ndarray:
                                       cfg.dmrs_scrambling_id, cfg.n_scid)
         c = scrambling.gold_ref(int(c_init), 2 * n_total).astype(np.float32)
         out.append(((1.0 - 2.0 * c[0::2]) + 1j * (1.0 - 2.0 * c[1::2])) / np.sqrt(2))
-    return np.stack(out).astype(np.complex64)
+    # Divide out the TX-side SCH-to-DMRS boost so the conj-multiply LS is
+    # referenced to data-RE amplitude (see pusch._estimate_constants).
+    beta = dmrs_mod.sch_to_dmrs_beta(cfg.alloc.nof_cdm_groups_without_data)
+    return (np.stack(out) / np.float32(beta)).astype(np.complex64)
 
 
 def sharded_front_end(grid: jax.Array, cfg: PuschConfig, mesh: Mesh,
@@ -166,11 +175,11 @@ def sharded_front_end(grid: jax.Array, cfg: PuschConfig, mesh: Mesh,
             nv_num = jax.lax.psum(((jnp.abs(d2) ** 2) * w_valid).sum(), axis)
             nv_den = jax.lax.psum((w_valid.sum() * nl * npr), axis)
             nv_loc = nv_num / jnp.maximum(nv_den, 1.0) * nsym_d / 3.0
-            nv = jnp.maximum(nv_loc, 1e-10)
+            nv = jnp.maximum(nv_loc * _beta2(cfg), 1e-10)
         else:
             h_rep = jnp.repeat(h_pair_sym, 2, axis=-1)
             resid = ls - h_rep
-            nv_loc = (jnp.abs(resid) ** 2).mean() * 2.0
+            nv_loc = (jnp.abs(resid) ** 2).mean() * 2.0 * _beta2(cfg)
             nv = jnp.maximum(jax.lax.pmean(nv_loc, axis), 1e-10)
         rsrp_loc = (jnp.abs(h_pair_sym) ** 2).mean()
         rsrp = jax.lax.pmean(rsrp_loc, axis)

@@ -108,11 +108,14 @@ def _grid_chain(cw: jax.Array, precoding: jax.Array, cfg: PdschConfig) -> jax.Ar
     grid_l = grid_l.at[:, didx].set(layered)
 
     # DM-RS: each layer maps to DM-RS port = layer index (v1 convention).
+    # Pilots carry the SCH-to-DMRS power offset (+3 dB at 2 CDM groups,
+    # TS 38.214; reference sch_dmrs_power.h) relative to data REs.
+    beta = dmrs_mod.sch_to_dmrs_beta(a.nof_cdm_groups_without_data)
     for layer in range(nl):
         idx, wf, _, seq_idx = alloc_mod.pilot_re_indices(a, layer, cfg.nof_grid_sc)
         nof_pilots_total = int(seq_idx[-1]) + 1
         r = dmrs_pilots(cfg, nof_pilots_total)[:, jnp.asarray(seq_idx)]
-        vals = r * jnp.asarray(wf, dtype=jnp.complex64)
+        vals = np.float32(beta) * r * jnp.asarray(wf, dtype=jnp.complex64)
         grid_l = grid_l.at[layer, jnp.asarray(idx)].set(vals)
 
     if cfg.ptrs_enabled:

@@ -170,7 +170,15 @@ def _estimate_constants(cfg: PuschConfig):
         c_init = dmrs_mod.dmrs_c_init(cfg.slot_in_frame, sym, cfg.dmrs_scrambling_id, cfg.n_scid)
         c = scrambling.gold_ref(int(c_init), 2 * n_total).astype(np.float32)
         pil.append(((1.0 - 2.0 * c[0::2]) + 1j * (1.0 - 2.0 * c[1::2])) / np.sqrt(2))
-    pilots = np.stack(pil).astype(np.complex64)  # (nsym_d, n_total)
+    # The transmitter boosts DM-RS by the SCH-to-DMRS power offset beta
+    # (+3 dB for 2 CDM groups, TS 38.214); the LS step multiplies the
+    # received pilots by conj(r)/beta so the estimate h is referenced to
+    # DATA-RE amplitude (the reference configures the same scaling,
+    # pusch_processor_impl.cpp ch_est_config.scaling).  Noise measured on
+    # these descaled pilots reads sigma^2/beta^2; _estimate_stage scales it
+    # back.
+    beta = dmrs_mod.sch_to_dmrs_beta(a.nof_cdm_groups_without_data)
+    pilots = (np.stack(pil) / np.float32(beta)).astype(np.complex64)
     r_all = np.stack([pilots[:, s] for s in seq_l]).astype(np.complex64)  # (nl, nsym_d, Np)
     return idx_all, wf_all, r_all, pair_pos
 
@@ -198,8 +206,11 @@ def _estimate_stage(grid: jax.Array, cfg: PuschConfig):
             compute_cfo=cfg.cfo_compensation,
         )  # h_l: (nl, npr, nof_sc), nv_l: (nl, npr)
         h = jnp.moveaxis(h_l, 0, -1)  # (npr, nof_sc, nl)
-        nvar_acc = nv_l.mean()
-        snr_acc = metrics["snr"].mean()
+        # Pilot descaling (see _estimate_constants) divides the pilot-domain
+        # noise by beta^2; refer it back to data-RE level.
+        beta2 = dmrs_mod.sch_to_dmrs_beta(a.nof_cdm_groups_without_data) ** 2
+        nvar_acc = nv_l.mean() * beta2
+        snr_acc = metrics["snr"].mean() / beta2
         cfo_acc = metrics["cfo_phase_per_dmrs_symbol"].mean() if cfg.cfo_compensation else 0.0
         return h, nvar_acc, snr_acc, cfo_acc
 
@@ -217,7 +228,8 @@ def _estimate_stage(grid: jax.Array, cfg: PuschConfig):
         pair = ls.reshape(ls.shape[:-1] + (ls.shape[-1] // 2, 2))
         h_pair = pair.mean(axis=-1).mean(axis=-2)  # (nl, npr, NpPairs)
         d2 = h_pair[..., 2:] - 2.0 * h_pair[..., 1:-1] + h_pair[..., :-2]
-        nv = (jnp.abs(d2) ** 2).mean() * nsym_d / 3.0
+        beta2 = dmrs_mod.sch_to_dmrs_beta(a.nof_cdm_groups_without_data) ** 2
+        nv = (jnp.abs(d2) ** 2).mean() * nsym_d / 3.0 * beta2
         return jnp.maximum(nv, 1e-10)
 
     h, nvar_acc, snr_acc, cfo_acc = estimate_all(gflat)

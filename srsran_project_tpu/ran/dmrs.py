@@ -99,3 +99,12 @@ def data_subcarrier_mask(config_type: int, nof_cdm_groups_without_data: int) -> 
                 for kp in (0, 1):
                     mask[6 * n + kp + 2 * g] = False
     return mask
+
+
+def sch_to_dmrs_beta(nof_cdm_groups_without_data: int) -> float:
+    """DM-RS amplitude relative to SCH data REs (TS 38.214 Tables 4.1-1 /
+    6.2.2-1 via the SCH-to-DMRS EPRE ratio: 0 / -3 / -4.77 dB for 1 / 2 / 3
+    CDM groups without data; reference sch_dmrs_power.h)."""
+    import math
+
+    return math.sqrt(float(nof_cdm_groups_without_data))

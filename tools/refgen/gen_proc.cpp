@@ -583,3 +583,373 @@ void gen_pusch_demodulator() {
 } // namespace
 
 void gen_pusch_demodulator_suite() { gen_pusch_demodulator(); }
+
+// ---------------------------------------------------------------------------
+// Full PUSCH processor: grid -> (channel estimation -> demod -> demux ->
+// LDPC decode -> TB CRC) through the reference pusch_processor_impl.
+#include "lib/phy/upper/channel_processors/pusch/pusch_processor_impl.h"
+#include "lib/phy/upper/channel_processors/pusch/pusch_decoder_impl.h"
+#include "lib/phy/upper/channel_processors/pusch/pusch_codeblock_decoder.h"
+#include "lib/phy/upper/channel_coding/ldpc/ldpc_segmenter_rx_impl.h"
+#include "lib/phy/upper/channel_coding/ldpc/ldpc_decoder_generic.h"
+#include "lib/phy/upper/channel_coding/ldpc/ldpc_rate_dematcher_impl.h"
+#include "lib/phy/upper/channel_processors/uci/uci_decoder_impl.h"
+#include "lib/phy/upper/channel_coding/polar/polar_code_impl.h"
+#include "lib/phy/upper/channel_coding/polar/polar_rate_dematcher_impl.h"
+#include "lib/phy/upper/channel_coding/polar/polar_decoder_impl.h"
+#include "lib/phy/upper/channel_coding/polar/polar_encoder_impl.h"
+#include "lib/phy/upper/channel_coding/polar/polar_deallocator_impl.h"
+#include "lib/phy/upper/channel_coding/short/short_block_detector_impl.h"
+#include "lib/phy/upper/channel_coding/crc_calculator_generic_impl.h"
+#include "lib/phy/upper/sequence_generators/low_papr_sequence_generator_impl.h"
+#include "lib/phy/upper/signal_processors/pusch/dmrs_pusch_estimator_impl.h"
+#include "lib/phy/upper/signal_processors/dmrs_helper.h"
+#include "lib/phy/support/interpolator/interpolator_linear_impl.h"
+#include "lib/phy/support/time_alignment_estimator/time_alignment_estimator_dft_impl.h"
+#include "lib/phy/upper/signal_processors/channel_estimator/port_channel_estimator_average_impl.h"
+#include "srsran/phy/upper/unique_rx_buffer.h"
+#include "srsran/ran/sch/ldpc_base_graph.h"
+#include "srsran/ran/sch/sch_dmrs_power.h"
+#include "srsran/srsvec/bit.h"
+
+namespace {
+
+std::unique_ptr<time_alignment_estimator> make_ta_estimator_proc() {
+  time_alignment_estimator_dft_impl::collection_dft_processors dfts;
+  for (unsigned size = 128; size <= 8192; size *= 2) {
+    dfts.emplace(size, std::make_unique<dft_processor_generic_impl>(
+                           dft_processor::configuration{size, dft_processor::direction::INVERSE}));
+  }
+  return std::make_unique<time_alignment_estimator_dft_impl>(std::move(dfts));
+}
+
+std::unique_ptr<transform_precoder> make_tp_precoder_proc() {
+  transform_precoder_dft_impl::collection_dft_processors tp_dfts;
+  for (unsigned rb : {1u, 2u, 4u}) {
+    tp_dfts.emplace(rb, std::make_unique<dft_processor_generic_impl>(
+                            dft_processor::configuration{rb * NRE, dft_processor::direction::INVERSE}));
+  }
+  return std::make_unique<transform_precoder_dft_impl>(std::move(tp_dfts));
+}
+
+class inline_executor : public task_executor {
+public:
+  bool execute(unique_task task) override { task(); return true; }
+  bool defer(unique_task task) override { task(); return true; }
+};
+
+class test_rx_buffer : public unique_rx_buffer::callback {
+public:
+  explicit test_rx_buffer(unsigned nof_cbs)
+      : nof_cbs_(nof_cbs), crc_(new bool[nof_cbs]()), soft_(nof_cbs) {
+    for (auto& s : soft_) s.resize(ldpc::MAX_CODEBLOCK_SIZE);
+    for (unsigned i = 0; i != nof_cbs; ++i)
+      data_.emplace_back(ldpc::MAX_CODEBLOCK_SIZE);
+  }
+  unsigned get_nof_codeblocks() const override { return nof_cbs_; }
+  void reset_codeblocks_crc() override { std::fill_n(crc_.get(), nof_cbs_, false); }
+  span<bool> get_codeblocks_crc() override { return span<bool>(crc_.get(), nof_cbs_); }
+  unsigned get_absolute_codeblock_id(unsigned id) const override { return id; }
+  span<log_likelihood_ratio> get_codeblock_soft_bits(unsigned id, unsigned sz) override {
+    return span<log_likelihood_ratio>(soft_[id].data(), sz);
+  }
+  bit_buffer get_codeblock_data_bits(unsigned id, unsigned sz) override {
+    return data_[id].first(sz);
+  }
+  bool try_lock() override { return true; }
+  void unlock() override {}
+  void release() override {}
+
+private:
+  unsigned nof_cbs_;
+  std::unique_ptr<bool[]> crc_;
+  std::vector<std::vector<log_likelihood_ratio>> soft_;
+  std::vector<dynamic_bit_buffer> data_;
+};
+
+class capture_result_notifier : public pusch_processor_result_notifier {
+public:
+  bool got_sch = false;
+  bool tb_crc_ok = false;
+  float sinr_db = -999.f;
+  unsigned ldpc_iters = 0;
+  void on_uci(const pusch_processor_result_control&) override {}
+  void on_sch(const pusch_processor_result_data& r) override {
+    got_sch = true;
+    tb_crc_ok = r.data.tb_crc_ok;
+    ldpc_iters = (unsigned)r.data.ldpc_decoder_stats.get_max();
+    if (r.csi.get_sinr_dB().has_value()) sinr_db = *r.csi.get_sinr_dB();
+  }
+};
+
+std::unique_ptr<uci_decoder> make_uci_decoder() {
+  return std::make_unique<uci_decoder_impl>(
+      std::make_unique<short_block_detector_impl>(),
+      std::make_unique<polar_code_impl>(),
+      std::make_unique<polar_rate_dematcher_impl>(),
+      std::make_unique<polar_decoder_impl>(std::make_unique<polar_encoder_impl>(),
+                                           polar_code::NMAX_LOG),
+      std::make_unique<polar_deallocator_impl>(),
+      std::make_unique<crc_calculator_generic_impl>(crc_generator_poly::CRC6),
+      std::make_unique<crc_calculator_generic_impl>(crc_generator_poly::CRC11));
+}
+
+void gen_pusch_processor() {
+  start("pusch_processor_rx");
+  manifest m("manifest.json");
+  auto rng = make_rng(0x9A5C);
+  std::normal_distribution<float> noise_d(0.f, 1.f);
+
+  struct pcase {
+    unsigned nof_prb, ports, rnti, n_id, scrambling_id, tbs_bytes;
+    float rate;  // target code rate
+    modulation_scheme mod;
+    unsigned dmrs_mask, slot_idx;
+    float snr_db;
+  };
+  std::vector<pcase> cases = {
+      {24, 1, 0x4601, 1, 17, 320, 0.40f, modulation_scheme::QPSK,
+       (1u << 2) | (1u << 11), 3, 22.f},
+      {52, 2, 0x1234, 500, 42, 1600, 0.50f, modulation_scheme::QAM16,
+       (1u << 2) | (1u << 11), 7, 24.f},
+      {106, 2, 0x4601, 7, 901, 6400, 0.60f, modulation_scheme::QAM64,
+       (1u << 2) | (1u << 7) | (1u << 11), 8, 28.f},
+      {24, 4, 0x17a1, 1007, 3, 480, 0.45f, modulation_scheme::QAM16,
+       (1u << 2) | (1u << 11), 5, 24.f},
+  };
+
+  int idx = 0;
+  for (const auto& c : cases) {
+    unsigned nof_subc = c.nof_prb * NRE;
+    unsigned tbs = c.tbs_bytes * 8;
+    unsigned nof_dmrs_syms = __builtin_popcount(c.dmrs_mask);
+    unsigned nof_data_syms = 14 - nof_dmrs_syms;
+    unsigned nof_data_re = nof_data_syms * nof_subc;  // cdm2: no data on DM-RS syms
+    unsigned qm = get_bits_per_symbol(c.mod);
+    unsigned g_bits = nof_data_re * qm;
+    ldpc_base_graph_type bg = get_ldpc_base_graph(c.rate, units::bits(tbs));
+
+    // --- TX side (reference blocks): encode + scramble + modulate + DM-RS.
+    ldpc_segmenter_tx_impl::sch_crc tx_crcs{
+        std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC16),
+        std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC24A),
+        std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC24B)};
+    pdsch_encoder_impl tx_encoder(std::make_unique<ldpc_segmenter_tx_impl>(tx_crcs),
+                                  std::make_unique<ldpc_encoder_generic>(),
+                                  std::make_unique<ldpc_rate_matcher_impl>());
+    std::vector<uint8_t> tb = random_bytes(rng, c.tbs_bytes);
+    pdsch_encoder::configuration enc_cfg;
+    enc_cfg.base_graph = bg;
+    enc_cfg.rv = 0;
+    enc_cfg.mod = c.mod;
+    enc_cfg.Nref = 0;  // tbs_lbrm_default exceeds every case here: unlimited
+    enc_cfg.nof_layers = 1;
+    enc_cfg.nof_ch_symbols = nof_data_re;
+    std::vector<uint8_t> cw(g_bits);
+    tx_encoder.encode(cw, tb, enc_cfg);
+
+    pseudo_random_generator_impl scr;
+    scr.init((unsigned)c.rnti * 32768 + c.n_id);
+    scr.apply_xor(cw, cw);
+
+    dynamic_bit_buffer cw_packed(g_bits);
+    srsvec::bit_pack(cw_packed, cw);
+    modulation_mapper_lut_impl mapper;
+    std::vector<cf_t> x(g_bits / qm);
+    mapper.modulate(x, cw_packed, c.mod);
+
+    // DM-RS pilots: same sequence the estimator expects
+    // (dmrs_pusch_estimator_impl.cpp sequence_generation), at +3 dB
+    // (cdm2 SCH-to-DMRS ratio).
+    float beta_dmrs = convert_dB_to_amplitude(-get_sch_to_dmrs_ratio_dB(2));
+    crb_bitmap rb_mask(MAX_RB);
+    rb_mask.fill(0, c.nof_prb);
+    pseudo_random_generator_impl dmrs_prg;
+
+    demod_grid grid(c.ports, 14, nof_subc);
+    std::vector<cf_t> grid_dump;
+    for (unsigned p = 0; p != c.ports; ++p) {
+      // Per-port single-tap frequency-selective channel (phase ramp).
+      std::vector<cf_t> h(nof_subc);
+      for (unsigned k = 0; k != nof_subc; ++k) {
+        float ph = 2.f * (float)M_PI * ((float)k / nof_subc) * (0.25f + 0.15f * p);
+        h[k] = cf_t(std::cos(ph), std::sin(ph));
+      }
+      unsigned data_i = 0;
+      float nstd = std::sqrt(std::pow(10.f, -c.snr_db / 10.f) / 2.f);
+      for (unsigned s = 0; s != 14; ++s) {
+        if (c.dmrs_mask & (1u << s)) {
+          unsigned nslot = c.slot_idx;
+          unsigned c_init =
+              ((14 * nslot + s + 1) * (2 * c.scrambling_id + 1) * 131072u +
+               (2 * c.scrambling_id + 0)) % 2147483648u;
+          dmrs_prg.init(c_init);
+          std::vector<cf_t> pil(c.nof_prb * 6);
+          dmrs_sequence_generate(pil, dmrs_prg, (float)M_SQRT1_2, 0, 6, rb_mask);
+          for (unsigned j = 0; j != pil.size(); ++j) {
+            unsigned k = 2 * j;  // type-1, layer 0, delta 0
+            cf_t v = beta_dmrs * pil[j] * h[k] +
+                     nstd * cf_t(noise_d(rng), noise_d(rng));
+            grid.at(p, s, k) = to_cbf16(v);
+            grid.at(p, s, k + 1) =
+                to_cbf16(nstd * cf_t(noise_d(rng), noise_d(rng)));
+          }
+        } else {
+          for (unsigned k = 0; k != nof_subc; ++k) {
+            cf_t v = x[data_i + k] * h[k] + nstd * cf_t(noise_d(rng), noise_d(rng));
+            grid.at(p, s, k) = to_cbf16(v);
+          }
+          data_i += nof_subc;
+        }
+      }
+    }
+    for (unsigned p = 0; p != c.ports; ++p)
+      for (unsigned s = 0; s != 14; ++s)
+        for (unsigned k = 0; k != nof_subc; ++k)
+          grid_dump.push_back(to_cf(grid.at(p, s, k)));
+
+    // --- RX: assemble the reference PUSCH processor.
+    static inline_executor exec;
+    channel_estimate::channel_estimate_dimensions ce_dims;
+    ce_dims.nof_prb = c.nof_prb;
+    ce_dims.nof_symbols = 14;
+    ce_dims.nof_rx_ports = c.ports;
+    ce_dims.nof_tx_layers = 1;
+
+    auto estimator = std::make_unique<dmrs_pusch_estimator_impl>(
+        std::make_unique<pseudo_random_generator_impl>(),
+        std::make_unique<low_papr_sequence_generator_impl>(),
+        std::make_unique<port_channel_estimator_average_impl>(
+            std::make_unique<interpolator_linear_impl>(), make_ta_estimator_proc(),
+            port_channel_estimator_fd_smoothing_strategy::filter,
+            port_channel_estimator_td_interpolation_strategy::average,
+            /*compensate_cfo=*/true),
+        exec);
+    auto demodulator = std::make_unique<pusch_demodulator_impl>(
+        std::make_unique<channel_equalizer_generic_impl>(
+            channel_equalizer_algorithm_type::mmse),
+        make_tp_precoder_proc(), std::make_unique<demodulation_mapper_impl>(),
+        nullptr, std::make_unique<pseudo_random_generator_impl>(), MAX_RB,
+        /*compute_post_eq_sinr=*/true);
+    auto demux = std::make_unique<ulsch_demultiplex_impl>();
+
+    auto deps = std::make_unique<pusch_processor_impl::concurrent_dependencies>(
+        std::move(estimator), std::move(demodulator), std::move(demux),
+        make_uci_decoder(), ce_dims);
+    std::vector<std::unique_ptr<pusch_processor_impl::concurrent_dependencies>>
+        deps_vec;
+    deps_vec.push_back(std::move(deps));
+    auto pool =
+        std::make_shared<pusch_processor_impl::concurrent_dependencies_pool_type>(
+            deps_vec);
+
+    pusch_decoder_impl::sch_crc rx_crcs{
+        std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC16),
+        std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC24A),
+        std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC24B)};
+    std::vector<std::unique_ptr<pusch_codeblock_decoder>> cb_decoders;
+    pusch_codeblock_decoder::sch_crc cb_crcs{
+        std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC16),
+        std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC24A),
+        std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC24B)};
+    cb_decoders.push_back(std::make_unique<pusch_codeblock_decoder>(
+        std::make_unique<ldpc_rate_dematcher_impl>(),
+        std::make_unique<ldpc_decoder_generic>(/*force_decoding=*/false), cb_crcs));
+    auto cb_pool =
+        std::make_shared<pusch_decoder_impl::codeblock_decoder_pool>(cb_decoders);
+
+    auto decoder = std::make_unique<pusch_decoder_impl>(
+        std::make_unique<ldpc_segmenter_rx_impl>(), cb_pool, std::move(rx_crcs),
+        nullptr, c.nof_prb, 1);
+
+    pusch_processor_impl::configuration proc_cfg;
+    proc_cfg.dependencies_pool = pool;
+    proc_cfg.decoder = std::move(decoder);
+    proc_cfg.dec_nof_iterations = 6;
+    proc_cfg.dec_enable_early_stop = true;
+    proc_cfg.dec_force_decoding = false;
+    proc_cfg.csi_sinr_calc_method =
+        channel_state_information::sinr_type::post_equalization;
+    pusch_processor_impl processor(proc_cfg);
+
+    // PDU.
+    pusch_processor::pdu_t pdu;
+    pdu.slot = slot_point(0, c.slot_idx);
+    pdu.rnti = c.rnti;
+    pdu.bwp_size_rb = c.nof_prb;
+    pdu.bwp_start_rb = 0;
+    pdu.cp = cyclic_prefix::NORMAL;
+    pdu.mcs_descr.modulation = c.mod;
+    pdu.mcs_descr.target_code_rate = c.rate * 1024.f;
+    pdu.codeword.emplace();
+    pdu.codeword->rv = 0;
+    pdu.codeword->ldpc_base_graph = bg;
+    pdu.codeword->new_data = true;
+    pdu.uci.nof_harq_ack = 0;
+    pdu.uci.nof_csi_part1 = 0;
+    pdu.uci.alpha_scaling = 1.0f;
+    pdu.uci.beta_offset_harq_ack = 9.0f;
+    pdu.uci.beta_offset_csi_part1 = 9.0f;
+    pdu.uci.beta_offset_csi_part2 = 9.0f;
+    pdu.n_id = c.n_id;
+    pdu.nof_tx_layers = 1;
+    for (unsigned p = 0; p != c.ports; ++p) pdu.rx_ports.push_back(p);
+    pdu.dmrs_symbol_mask = symbol_slot_mask(14);
+    for (unsigned s = 0; s != 14; ++s)
+      if (c.dmrs_mask & (1u << s)) pdu.dmrs_symbol_mask.set(s);
+    pusch_processor::dmrs_configuration dmrs_cfg;
+    dmrs_cfg.dmrs = dmrs_type::TYPE1;
+    dmrs_cfg.scrambling_id = c.scrambling_id;
+    dmrs_cfg.n_scid = false;
+    dmrs_cfg.nof_cdm_groups_without_data = 2;
+    pdu.dmrs = dmrs_cfg;
+    pdu.freq_alloc = rb_allocation::make_type1(0, c.nof_prb);
+    pdu.start_symbol_index = 0;
+    pdu.nof_symbols = 14;
+    pdu.tbs_lbrm = tbs_lbrm_default;
+
+    unsigned nof_cbs = ldpc::compute_nof_codeblocks(units::bits(tbs), bg);
+    test_rx_buffer buffer(nof_cbs);
+    capture_result_notifier notifier;
+    std::vector<uint8_t> rx_tb(c.tbs_bytes);
+    processor.process(rx_tb, unique_rx_buffer(buffer), notifier, grid, pdu);
+
+    if (!notifier.got_sch || !notifier.tb_crc_ok) {
+      fprintf(stderr, "pusch_processor case %d: crc_ok=%d got=%d sinr=%.1f iters=%u\n", idx,
+              (int)notifier.tb_crc_ok, (int)notifier.got_sch, notifier.sinr_db, notifier.ldpc_iters);
+      std::abort();
+    }
+    if (std::memcmp(rx_tb.data(), tb.data(), tb.size()) != 0) {
+      fprintf(stderr, "pusch_processor case %d: TB mismatch\n", idx);
+      std::abort();
+    }
+
+    std::string base = std::to_string(idx);
+    write_dat("grid" + base + ".dat", reinterpret_cast<const float*>(grid_dump.data()),
+              2 * grid_dump.size());
+    write_dat("tb" + base + ".dat", tb);
+    m.begin_case();
+    m.field("nof_prb", (long long)c.nof_prb);
+    m.field("ports", (long long)c.ports);
+    m.field("rnti", (long long)c.rnti);
+    m.field("n_id", (long long)c.n_id);
+    m.field("scrambling_id", (long long)c.scrambling_id);
+    m.field("tbs_bytes", (long long)c.tbs_bytes);
+    m.field("rate", (double)c.rate);
+    m.field("qm", (long long)qm);
+    m.field("dmrs_mask", (long long)c.dmrs_mask);
+    m.field("slot_idx", (long long)c.slot_idx);
+    m.field("snr_db", (double)c.snr_db);
+    m.field("ref_crc_ok", (long long)(notifier.tb_crc_ok ? 1 : 0));
+    m.field("ref_sinr_db", (double)notifier.sinr_db);
+    m.field("ref_ldpc_iters", (long long)notifier.ldpc_iters);
+    m.field("idx", (long long)idx);
+    m.end_case();
+    ++idx;
+  }
+  m.flush();
+}
+
+} // namespace
+
+void gen_pusch_processor_suite() { gen_pusch_processor(); }

@@ -58,6 +58,7 @@ void gen_dmrs_suites();
 void gen_pdsch_processor_suite();
 void gen_ulsch_demux_suite();
 void gen_pusch_demodulator_suite();
+void gen_pusch_processor_suite();
 
 namespace {
 
@@ -646,6 +647,7 @@ int main(int argc, char** argv) {
       {"pdsch_processor", gen_pdsch_processor_suite},
       {"ulsch_demux", gen_ulsch_demux_suite},
       {"pusch_demodulator", gen_pusch_demodulator_suite},
+      {"pusch_processor_rx", gen_pusch_processor_suite},
   };
   if (argc == 2) {
     for (auto& [name, fn] : suites) fn();
