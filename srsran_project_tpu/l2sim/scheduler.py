@@ -86,6 +86,9 @@ class SchedulerConfig:
     # UCI rides PUSCH when the UE has one.
     use_pucch_alloc: bool = False
     k1: int = 4  # DL slot -> HARQ-ACK UL slot delay
+    # Periodic SRS scheduling (l2sim/srs_alloc slot wheel, the reference
+    # srs_scheduler_impl role): each UE sounds every period at its offset.
+    use_srs: bool = False
 
 
 class RoundRobinScheduler:
@@ -98,6 +101,9 @@ class RoundRobinScheduler:
         self.cfg = cfg
         self.ues: dict[int, UeContext] = {}
         self._rr_offset = 0
+        from . import srs_alloc as _srs
+
+        self.srs_sched = _srs.SrsScheduler()
         if cfg.use_pdcch_alloc:
             from . import pdcch_alloc as pa
 
@@ -126,6 +132,8 @@ class RoundRobinScheduler:
     def add_ue(self, rnti: int, mcs: int = 10, qos_weight: float = 1.0) -> UeContext:
         ue = UeContext(rnti=rnti, mcs=mcs, qos_weight=qos_weight)
         self.ues[rnti] = ue
+        if self.cfg.use_srs:
+            self.srs_sched.add_ue(rnti)
         return ue
 
     def _select_ues(self, active, n):
@@ -314,12 +322,24 @@ class RoundRobinScheduler:
                         nof_grid_sc=c.nof_grid_sc)
                 pucch_pdus.append(fapi.UlPucchPdu(config=cfgp, rnti=rnti))
             self.last_uci_on_pusch = uci.on_pusch
+        srs_pdus = []
+        if c.use_srs and tdd_dir != SlotDirection.DOWNLINK:
+            from ..phy.srs import SrsConfig
+
+            for rnti, sc in self.srs_sched.due(slot.count):
+                srs_pdus.append(fapi.UlSrsPdu(config=SrsConfig(
+                    rb_start=0, rb_count=min(c.nof_rb, 48),
+                    start_symbol=14 - sc.nof_symbols,
+                    nof_symbols=sc.nof_symbols, comb=sc.comb,
+                    comb_offset=sc.comb_offset, sequence_id=sc.sequence_id,
+                    cyclic_shift=sc.cyclic_shift,
+                    nof_grid_sc=c.nof_grid_sc), rnti=rnti))
         ul_slot = slot if not c.ntn_koffset else dataclasses.replace(
             slot, count=slot.count + c.ntn_koffset)
         return (fapi.DlTtiRequest(slot=slot, pdsch=pdsch_pdus, pdcch=pdcch_pdus),
                 fapi.TxDataRequest(slot=slot, payloads=payloads),
                 fapi.UlTtiRequest(slot=ul_slot, pusch=pusch_pdus,
-                                  pucch=pucch_pdus), grants)
+                                  pucch=pucch_pdus, srs=srs_pdus), grants)
 
     def handle_sr(self, rnti: int) -> None:
         """PUCCH SR detected (UCI indication) -> pend a UL grant."""

@@ -182,3 +182,34 @@ def test_scheduler_with_engines_end_to_end():
     # ACKs booked at slot n appear as PUCCH at slot n+k1.
     assert total_pucch > 0
     assert sched.nof_pucch_blocked == 0
+
+
+def test_periodic_srs_scheduling():
+    """Periodic SRS slot wheel: each UE sounds once per period at its own
+    offset; PDUs land on UL slots only (reference srs_scheduler_impl)."""
+    import numpy as np
+
+    from srsran_project_tpu.l2sim import scheduler as sched_mod
+    from srsran_project_tpu.ran.constants import SubcarrierSpacing
+    from srsran_project_tpu.ran.slot_point import SlotPoint
+
+    cfg = sched_mod.SchedulerConfig(use_srs=True)
+    s = sched_mod.RoundRobinScheduler(cfg)
+    for i in range(3):
+        ue = s.add_ue(0x4601 + i)
+        ue.dl_backlog = 10_000
+    rng = np.random.default_rng(0)
+    seen = {}
+    for count in range(40):
+        slot = SlotPoint(scs=SubcarrierSpacing.KHZ30, count=count)
+        _, _, ul, _ = s.run_slot(slot, rng)
+        for pdu in ul.srs:
+            seen.setdefault(pdu.rnti, []).append(count)
+            assert pdu.config.nof_symbols in (1, 2, 4)
+    # 3 UEs, period 20, offsets 0/1/2: two soundings each over 40 slots.
+    assert sorted(seen) == [0x4601, 0x4602, 0x4603]
+    for i, rnti in enumerate(sorted(seen)):
+        assert seen[rnti] == [i, 20 + i], (rnti, seen[rnti])
+    # Distinct comb offsets / cyclic shifts avoid intra-slot collisions.
+    cfgs = [s.srs_sched._ues[r] for r in sorted(seen)]
+    assert len({(c.comb_offset, c.cyclic_shift) for c in cfgs}) == 3
