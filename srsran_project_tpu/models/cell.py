@@ -47,6 +47,10 @@ class CellConfig:
     sinr_method: str = "post_equalization"
     cfo_compensation: bool = False
     llr_range_limit: float = 20.0
+    # Kernel selection (parity modes; see phy/pusch.py PuschConfig).
+    demapper: str = "float"
+    ldpc_decoder: str = "auto"
+    noise_method: str = "second_difference"
     # Program granularity: fused = 2 programs per direction (UL: demod+
     # estimate+equalize+demap | LDPC; DL: bit chain | gridmap+OFDM).  The
     # TPU tunnel charges ~0.5 ms dispatch per program per batch, which
@@ -113,6 +117,9 @@ class CellConfig:
             sinr_method=self.sinr_method,
             cfo_compensation=self.cfo_compensation,
             llr_range_limit=self.llr_range_limit,
+            demapper=self.demapper,
+            ldpc_decoder=self.ldpc_decoder,
+            noise_method=self.noise_method,
         )
 
 

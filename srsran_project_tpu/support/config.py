@@ -33,6 +33,14 @@ class ExpertPhyConfig:
     pdsch_processor_type: str = "flexible"
     pdsch_cb_batch_length: int = 0  # 0 = whole codeword batch
     llr_range_limit: float = 20.0
+    # Kernel parity selections (conformance mode): reference-exact int8
+    # demapper / int8 layered min-sum decoder instead of the TPU float path.
+    pusch_demapper: str = "float"  # float | reference
+    pusch_decoder_kernel: str = "auto"  # auto | reference_i8
+    pusch_noise_estimator: str = "second_difference"  # | pair_residual
+    # Dump received resource-grid symbols to this file-prefix per slot
+    # (reference phy_rx_symbols_filename knob); empty = off.
+    phy_rx_symbols_filename: str = ""
 
 
 @dataclasses.dataclass
@@ -46,6 +54,25 @@ class CellYamlConfig:
     target_code_rate: float = 948.0 / 1024.0
     f_center_hz: float = 3.5e9
     pci: int = 1
+
+
+@dataclasses.dataclass
+class SchedulerYamlConfig:
+    """MAC scheduler knobs (reference: du_high cell/scheduler expert args;
+    mapped onto l2sim.scheduler.SchedulerConfig)."""
+
+    policy: str = "rr"  # rr | qos
+    max_ues_per_slot: int = 4
+    max_nof_ues: int = 32
+    use_pdcch_alloc: bool = False
+    use_pucch_alloc: bool = False
+    use_srs: bool = False
+    k1: int = 4
+    ul_demand_driven: bool = False
+    # TDD pattern (None entries = FDD): e.g. 7 DL / 2 UL in a 10-slot period.
+    tdd_period_slots: int = 0  # 0 = FDD
+    tdd_dl_slots: int = 0
+    tdd_ul_slots: int = 0
 
 
 @dataclasses.dataclass
@@ -68,6 +95,7 @@ class NtnConfig:
 class DuLowConfig:
     cell: CellYamlConfig = dataclasses.field(default_factory=CellYamlConfig)
     expert_phy: ExpertPhyConfig = dataclasses.field(default_factory=ExpertPhyConfig)
+    scheduler: SchedulerYamlConfig = dataclasses.field(default_factory=SchedulerYamlConfig)
     ntn: NtnConfig = dataclasses.field(default_factory=NtnConfig)
     log_level: str = "info"
 
@@ -132,8 +160,17 @@ def validate(cfg: DuLowConfig) -> None:
     if not 0.0 < c.target_code_rate < 1.0:
         raise ValueError("target_code_rate out of range")
     e = cfg.expert_phy
-    if e.pusch_channel_equalizer_algorithm not in ("zf", "mmse"):
+    if e.pusch_channel_equalizer_algorithm not in ("zf", "mmse", "zf_ref", "mmse_ref"):
         raise ValueError(e.pusch_channel_equalizer_algorithm)
+    if e.pusch_demapper not in ("float", "reference"):
+        raise ValueError(e.pusch_demapper)
+    if e.pusch_decoder_kernel not in ("auto", "reference_i8"):
+        raise ValueError(e.pusch_decoder_kernel)
+    s = cfg.scheduler
+    if s.policy not in ("rr", "qos"):
+        raise ValueError(s.policy)
+    if s.tdd_period_slots and s.tdd_dl_slots + s.tdd_ul_slots > s.tdd_period_slots:
+        raise ValueError("TDD pattern exceeds period")
 
 
 def dump_config(cfg: DuLowConfig) -> str:
@@ -164,4 +201,34 @@ def to_cell_config(cfg: DuLowConfig):
                      else "channel_estimator"),
         cfo_compensation=e.pusch_channel_estimator_cfo_compensation,
         llr_range_limit=e.llr_range_limit,
+        demapper=e.pusch_demapper,
+        ldpc_decoder=e.pusch_decoder_kernel,
+        noise_method=e.pusch_noise_estimator,
+    )
+
+
+def to_scheduler_config(cfg: DuLowConfig, nof_grid_sc: int | None = None):
+    """Build the l2sim SchedulerConfig from the YAML schema."""
+    from ..l2sim.scheduler import SchedulerConfig
+    from ..ran.tdd import TddPattern
+
+    s = cfg.scheduler
+    tdd = None
+    if s.tdd_period_slots:
+        tdd = TddPattern(period_slots=s.tdd_period_slots,
+                         nof_dl_slots=s.tdd_dl_slots, nof_ul_slots=s.tdd_ul_slots)
+    return SchedulerConfig(
+        nof_grid_sc=nof_grid_sc or cfg.cell.nof_rb * 12,
+        nof_rb=cfg.cell.nof_rb,
+        max_ues_per_slot=s.max_ues_per_slot,
+        nof_layers=cfg.cell.nof_layers,
+        nof_ports=cfg.cell.nof_ports,
+        tdd_pattern=tdd,
+        policy=s.policy,
+        ul_demand_driven=s.ul_demand_driven,
+        ntn_koffset=cfg.ntn.cell_specific_koffset,
+        use_pdcch_alloc=s.use_pdcch_alloc,
+        use_pucch_alloc=s.use_pucch_alloc,
+        use_srs=s.use_srs,
+        k1=s.k1,
     )

@@ -127,3 +127,37 @@ def test_ntn_config_and_koffset():
     dl, tx, ul, grants = sched.run_slot(slot, np.random.default_rng(0))
     assert dl.slot.count == 0
     assert ul.slot.count == 478  # PUSCH arrives koffset slots later
+
+
+def test_all_config_profiles_load():
+    """Every YAML profile in configs/ loads, validates, and maps to runtime
+    cell + scheduler configs."""
+    import glob
+    import os
+
+    from srsran_project_tpu.support import config as cfg_mod
+
+    profiles = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..",
+                                             "configs", "*.yml")))
+    assert len(profiles) >= 10
+    for path in profiles:
+        cfg = cfg_mod.load_config(path)
+        cell = cfg_mod.to_cell_config(cfg)
+        sched = cfg_mod.to_scheduler_config(cfg)
+        assert cell.nof_rb == cfg.cell.nof_rb
+        assert sched.nof_rb == cfg.cell.nof_rb
+
+
+def test_parity_profile_selects_reference_kernels():
+    import os
+
+    from srsran_project_tpu.support import config as cfg_mod
+
+    path = os.path.join(os.path.dirname(__file__), "..", "configs",
+                        "conformance_parity.yml")
+    cfg = cfg_mod.load_config(path)
+    cell = cfg_mod.to_cell_config(cfg)
+    pc = cell.pusch_cfg
+    assert pc.demapper == "reference"
+    assert pc.ldpc_decoder == "reference_i8"
+    assert pc.equalizer == "mmse_ref"
