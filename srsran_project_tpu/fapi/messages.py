@@ -164,12 +164,27 @@ class RachIndicationPdu:
     ta_samples: float
 
 
+class SrsReportType:
+    """SRS report types (reference srs_pdu_report_type.h:31)."""
+
+    PER_PRG_AND_SYMBOL_SNR = 0
+    NORMALIZED_CHANNEL_IQ_MATRIX = 1
+    CHANNEL_SVD = 2
+    POSITIONING = 3
+    SU_MIMO_CODEBOOK = 4
+    CHANNEL_2D_DFT = 5
+    SU_MIMO_CODEBOOK_V2 = 6
+    PER_PRG_NI_AND_RSRP = 7
+    NO_REPORT = 255
+
+
 @dataclasses.dataclass
 class SrsIndicationPdu:
     rnti: int
     snr_db: float
     phase_slope: float  # wideband delay indicator (radians per comb step)
     h: np.ndarray  # (ports, seq_length) channel estimate
+    report_type: int = SrsReportType.NORMALIZED_CHANNEL_IQ_MATRIX
 
 
 @dataclasses.dataclass

@@ -94,15 +94,20 @@ def test_harq_retransmission_combining():
                        ).astype(np.complex64) * s
     req = fapi.UlTtiRequest(slot=_slot(), pusch=[fapi.UlPuschPdu(rx_cfg, 0x21, 0, new_data=True)])
     res1 = phy.process_ul_tti(req, clean + noise(0.9))
-    # Retransmission at the same noise level: combining should help.
-    req2 = fapi.UlTtiRequest(slot=_slot(), pusch=[fapi.UlPuschPdu(rx_cfg, 0x21, 0, new_data=False)])
-    res2 = phy.process_ul_tti(req2, clean + noise(0.9))
-    req3 = fapi.UlTtiRequest(slot=_slot(), pusch=[fapi.UlPuschPdu(rx_cfg, 0x21, 0, new_data=False)])
-    res3 = phy.process_ul_tti(req3, clean + noise(0.9))
-    oks = [res1.crc[0].tb_crc_ok, res2.crc[0].tb_crc_ok, res3.crc[0].tb_crc_ok]
-    # Combining is monotone: once decoded, stays decodable; and by the third
-    # combined copy the effective SNR has risen ~4.8 dB.
-    assert oks[-1], oks
+    oks = [res1.crc[0].tb_crc_ok]
+    # Retransmissions at the same noise level until ACK (the UE stops at the
+    # first successful CRC; the buffer pool releases on success, so blindly
+    # sending more retransmissions after an ACK would start a fresh buffer).
+    # Each combined copy raises the effective SNR ~3 dB; by the third the
+    # budget is ~4.8 dB over a single copy.
+    for _ in range(2):
+        if oks[-1]:
+            break
+        r = fapi.UlTtiRequest(slot=_slot(),
+                              pusch=[fapi.UlPuschPdu(rx_cfg, 0x21, 0, new_data=False)])
+        oks.append(phy.process_ul_tti(r, clean + noise(0.9)).crc[0].tb_crc_ok)
+    assert not oks[0], oks  # first copy alone must NOT decode at this SNR
+    assert oks[-1], oks  # combining decodes within three copies
 
 
 def test_prach_dispatch():
