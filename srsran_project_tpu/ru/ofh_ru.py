@@ -1,0 +1,239 @@
+"""Open Fronthaul Radio Unit: RU interface over the OFH message path.
+
+Counterpart of lib/ru/ofh (ru_ofh_impl: per-sector OFH transmitter/
+receiver + realtime timing worker behind the common RU interface).  The
+native eCPRI/U-plane/C-plane serdes (native/ofh_serdes.cpp) and the
+receiver-side window/seq-id checkers (ofh/receiver.py) carry the data;
+this class performs the RU-side choreography:
+
+- ``handle_dl_data`` — per-symbol BFP compression + U-plane framing of the
+  requested slot grid, plus a C-plane type-1 message announcing the
+  allocation (the transmit path of ofh_transmitter: data_flow_uplane /
+  data_flow_cplane_scheduling_commands).
+- ``handle_new_uplink_slot`` / ``handle_prach_occasion`` — emit C-plane
+  type-1 / type-3 requests toward the RU and register the slot so arriving
+  U-plane frames are reassembled and notified upward (ofh_receiver +
+  uplane_rx_symbol_data_flow).
+- ``push_uplane_frame`` — ingress for RU→DU frames: rx-window + seq-id
+  checked, decompressed, written into the slot grid; a completed slot is
+  notified symbol-by-symbol.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from ..ofh.receiver import RxWindowChecker, SeqIdChecker
+from ..ran.constants import SubcarrierSpacing, nof_slots_per_subframe
+from ..ran.slot_point import SlotPoint
+from ..support import native
+from .interface import (
+    PrachBufferContext,
+    ResourceGridContext,
+    RuErrorNotifier,
+    RuMetrics,
+    RxSymbolContext,
+    RxSymbolNotifier,
+)
+
+SYMBOLS_PER_SLOT = 14
+
+
+@dataclasses.dataclass
+class RuOfhConfig:
+    scs: SubcarrierSpacing = SubcarrierSpacing.KHZ30
+    nof_prb: int = 24
+    nof_ports: int = 1
+    compression_width: int = 9   # BFP bit width (static compression config)
+    iq_scale: float = 16384.0    # float → Q-format scaling before BFP
+    # Reception window in symbols relative to OTA time (Ta4 window).
+    rx_window_early_symbols: int = 28
+    rx_window_late_symbols: int = 2
+
+
+class RuOfh:
+    """radio_unit implementation speaking OFH messages.
+
+    ``send_frame(bytes_array)`` transmits one Ethernet-payload message
+    toward the RU (tests loop it back; apps attach the VLAN framer + a
+    socket).
+    """
+
+    def __init__(self, cfg: RuOfhConfig, symbol_notifier: RxSymbolNotifier,
+                 send_frame: Optional[Callable[[np.ndarray], None]] = None,
+                 timing_notifier=None,
+                 error_notifier: Optional[RuErrorNotifier] = None):
+        if native.get_lib() is None:
+            raise RuntimeError("native library unavailable for OFH serdes")
+        self.cfg = cfg
+        self.symbol_notifier = symbol_notifier
+        self.send_frame = send_frame or (lambda frame: None)
+        self.timing_notifier = timing_notifier
+        self.error_notifier = error_notifier
+        self.window = RxWindowChecker(
+            window_early_symbols=cfg.rx_window_early_symbols,
+            window_late_symbols=cfg.rx_window_late_symbols,
+            slots_per_subframe=nof_slots_per_subframe(cfg.scs))
+        self.seqid = SeqIdChecker()
+        self._tx_seq: Dict[int, int] = {}
+        self._ul_pending: Dict[SlotPoint, np.ndarray] = {}
+        self._ul_filled: Dict[SlotPoint, np.ndarray] = {}
+        self._prach_pending: Dict[SlotPoint, PrachBufferContext] = {}
+        self._lock = threading.Lock()
+        self.metrics = RuMetrics()
+        self._running = False
+
+    # -- controller --------------------------------------------------------
+    def start(self) -> None:
+        self._running = True
+
+    def stop(self) -> None:
+        self._running = False
+
+    def get_controller(self):
+        return self
+
+    def get_downlink_plane_handler(self):
+        return self
+
+    def get_uplink_plane_handler(self):
+        return self
+
+    def get_metrics(self) -> RuMetrics:
+        m = self.metrics
+        m.late_ul_requests = self.window.stats.late
+        return m
+
+    # -- helpers -----------------------------------------------------------
+    def _timestamp(self, slot: SlotPoint) -> tuple[int, int, int]:
+        spsf = nof_slots_per_subframe(self.cfg.scs)
+        frame = slot.sfn % 256
+        subframe = slot.subframe
+        slot_id = slot.count % spsf
+        return frame, subframe, slot_id
+
+    def _next_seq(self, eaxc: int) -> int:
+        s = self._tx_seq.get(eaxc, 0)
+        self._tx_seq[eaxc] = (s + 1) & 0xFFFF
+        return s
+
+    def _grid_to_q(self, symbol_res: np.ndarray) -> np.ndarray:
+        iq = np.empty(symbol_res.size * 2, np.int16)
+        scaled = np.clip(symbol_res * self.cfg.iq_scale, -32768, 32767)
+        iq[0::2] = np.round(scaled.real).astype(np.int16)
+        iq[1::2] = np.round(scaled.imag).astype(np.int16)
+        return iq
+
+    # -- DL plane ----------------------------------------------------------
+    def handle_dl_data(self, context: ResourceGridContext, grid) -> None:
+        """Frame one slot grid (ports × symbols × subcarriers) as C-plane
+        type-1 + per-symbol U-plane messages."""
+        grid = np.asarray(grid)
+        if grid.ndim == 2:
+            grid = grid[None]
+        frame, subframe, slot_id = self._timestamp(context.slot)
+        with self._lock:
+            self.metrics.total_dl_requests += 1
+        for port in range(min(self.cfg.nof_ports, grid.shape[0])):
+            eaxc = port
+            cpl = native.ofh_cplane_build(
+                [native.CplaneSection(section_id=0, start_prbc=0,
+                                      num_prbc=self.cfg.nof_prb,
+                                      num_symbol=SYMBOLS_PER_SLOT)],
+                rtc_id=eaxc, seq_id=self._next_seq(0x100 + eaxc), direction=1,
+                frame_id=frame, subframe_id=subframe, slot_id=slot_id,
+                start_symbol=0, section_type=1)
+            self.send_frame(cpl)
+            for sym in range(min(SYMBOLS_PER_SLOT, grid.shape[1])):
+                res = grid[port, sym, : self.cfg.nof_prb * 12]
+                msg = native.ofh_uplane_build(
+                    self._grid_to_q(res), pc_id=eaxc,
+                    seq_id=self._next_seq(eaxc), direction=1,
+                    frame_id=frame, subframe_id=subframe, slot_id=slot_id,
+                    symbol_id=sym, start_prb=0, width=self.cfg.compression_width)
+                self.send_frame(msg)
+
+    # -- UL plane ----------------------------------------------------------
+    def handle_new_uplink_slot(self, context: ResourceGridContext) -> None:
+        frame, subframe, slot_id = self._timestamp(context.slot)
+        with self._lock:
+            self.metrics.total_ul_requests += 1
+            self._ul_pending[context.slot] = np.zeros(
+                (self.cfg.nof_ports, SYMBOLS_PER_SLOT, self.cfg.nof_prb * 12),
+                np.complex64)
+            self._ul_filled[context.slot] = np.zeros(
+                (self.cfg.nof_ports, SYMBOLS_PER_SLOT), bool)
+        for port in range(self.cfg.nof_ports):
+            cpl = native.ofh_cplane_build(
+                [native.CplaneSection(section_id=0, start_prbc=0,
+                                      num_prbc=self.cfg.nof_prb,
+                                      num_symbol=SYMBOLS_PER_SLOT)],
+                rtc_id=port, seq_id=self._next_seq(0x200 + port), direction=0,
+                frame_id=frame, subframe_id=subframe, slot_id=slot_id,
+                start_symbol=0, section_type=1)
+            self.send_frame(cpl)
+
+    def handle_prach_occasion(self, context: PrachBufferContext) -> None:
+        frame, subframe, slot_id = self._timestamp(context.slot)
+        with self._lock:
+            self.metrics.total_prach_requests += 1
+            self._prach_pending[context.slot] = context
+        # Type 3: mixed-numerology / PRACH scheduling (ofh_cuplane_constants).
+        cpl = native.ofh_cplane_build(
+            [native.CplaneSection(section_id=0, start_prbc=context.rb_offset,
+                                  num_prbc=12, num_symbol=12, freq_offset=0)],
+            rtc_id=0, seq_id=self._next_seq(0x300), direction=0,
+            frame_id=frame, subframe_id=subframe, slot_id=slot_id,
+            start_symbol=context.start_symbol, section_type=3)
+        self.send_frame(cpl)
+
+    # -- RU→DU ingress ------------------------------------------------------
+    def push_uplane_frame(self, data: np.ndarray) -> None:
+        """One received U-plane message: check windows, decompress into the
+        pending slot grid, notify when the slot completes."""
+        hdr, iq = native.ofh_uplane_parse(np.asarray(data, np.uint8))
+        if not self.window.check(hdr["frame_id"], hdr["subframe_id"],
+                                 hdr["slot_id"], hdr["symbol_id"]):
+            return
+        if not self.seqid.check(hdr["pc_id"], hdr["seq_id"]):
+            return
+        spsf = nof_slots_per_subframe(self.cfg.scs)
+        complete = None
+        with self._lock:
+            target = None
+            for slot in self._ul_pending:
+                f, sf, sl = self._timestamp(slot)
+                if (f, sf, sl) == (hdr["frame_id"], hdr["subframe_id"], hdr["slot_id"]):
+                    target = slot
+                    break
+            if target is None:
+                return
+            port = hdr["pc_id"]
+            sym = hdr["symbol_id"]
+            res = (iq[0::2].astype(np.float32) + 1j * iq[1::2].astype(np.float32))
+            res = res.astype(np.complex64) / self.cfg.iq_scale
+            sc0 = hdr["start_prb"] * 12
+            grid = self._ul_pending[target]
+            grid[port, sym, sc0 : sc0 + res.size] = res
+            self._ul_filled[target][port, sym] = True
+            if self._ul_filled[target].all():
+                complete = target
+                grid = self._ul_pending.pop(target)
+                del self._ul_filled[target]
+        if complete is not None:
+            for i_symbol in range(SYMBOLS_PER_SLOT):
+                ctx = RxSymbolContext(slot=complete, symbol_id=i_symbol)
+                self.symbol_notifier.on_new_uplink_symbol(ctx, grid, True)
+
+    def ota_tick(self, slot: SlotPoint, symbol: int = 0) -> None:
+        """Advance the OTA clock for the reception-window checker."""
+        spsf = nof_slots_per_subframe(self.cfg.scs)
+        frame, subframe, slot_id = self._timestamp(slot)
+        slots = (frame * 10 + subframe) * spsf + slot_id
+        self.window.tick(slots * SYMBOLS_PER_SLOT + symbol)
+        if self.timing_notifier is not None and symbol == 0:
+            self.timing_notifier.on_tti_boundary(slot)
