@@ -118,6 +118,70 @@ int ofh_uplane_parse(const uint8_t* in, int in_len, uint16_t* pc_id, uint16_t* s
   return nof_prb;
 }
 
+// Static-compression U-plane variant: the IQ width/method are fixed by
+// M-plane-style configuration, so sections carry NO udCompHdr on the wire
+// (reference ofh_uplane_message_builder_static_compression_impl.cpp — the
+// serializer writes nothing where the dynamic builder writes width|method).
+int ofh_uplane_size_static(int nof_prb, int width) {
+  return kEcpriHdr + kRadioHdr + kSectionHdr +
+         nof_prb * bfp_compressed_prb_bytes(width);
+}
+
+int ofh_uplane_build_static(uint8_t* out, int out_cap, uint16_t pc_id,
+                            uint16_t seq_id, int direction, int frame_id,
+                            int subframe_id, int slot_id, int symbol_id,
+                            int start_prb, int nof_prb, int width,
+                            const int16_t* iq) {
+  const int total = ofh_uplane_size_static(nof_prb, width);
+  if (out_cap < total || nof_prb > 255 || width < 1 || width > 16) return -1;
+  uint8_t* p = out;
+  p[0] = 0x10;
+  p[1] = 0x00;
+  put16(p + 2, static_cast<uint16_t>(total - 4));
+  put16(p + 4, pc_id);
+  put16(p + 6, seq_id);
+  p += kEcpriHdr;
+  p[0] = static_cast<uint8_t>(((direction & 1) << 7) | (1 << 4));
+  p[1] = static_cast<uint8_t>(frame_id & 0xFF);
+  p[2] = static_cast<uint8_t>(((subframe_id & 0xF) << 4) | ((slot_id >> 2) & 0xF));
+  p[3] = static_cast<uint8_t>(((slot_id & 0x3) << 6) | (symbol_id & 0x3F));
+  p += kRadioHdr;
+  p[0] = 0;
+  p[1] = static_cast<uint8_t>((start_prb >> 8) & 0x3);
+  p[2] = static_cast<uint8_t>(start_prb & 0xFF);
+  p[3] = static_cast<uint8_t>(nof_prb & 0xFF);
+  p += kSectionHdr;
+  bfp_compress(iq, nof_prb, width, p);
+  return total;
+}
+
+// `width` comes from configuration, not the wire.
+int ofh_uplane_parse_static(const uint8_t* in, int in_len, int width,
+                            uint16_t* pc_id, uint16_t* seq_id, int* direction,
+                            int* frame_id, int* subframe_id, int* slot_id,
+                            int* symbol_id, int* start_prb, int16_t* iq) {
+  if (in_len < kEcpriHdr + kRadioHdr + kSectionHdr) return -1;
+  if ((in[0] & 0xF0) != 0x10 || in[1] != 0x00) return -1;
+  const int payload = get16(in + 2);
+  if (payload + 4 > in_len) return -1;
+  *pc_id = get16(in + 4);
+  *seq_id = get16(in + 6);
+  const uint8_t* p = in + kEcpriHdr;
+  *direction = (p[0] >> 7) & 1;
+  *frame_id = p[1];
+  *subframe_id = (p[2] >> 4) & 0xF;
+  *slot_id = ((p[2] & 0xF) << 2) | ((p[3] >> 6) & 0x3);
+  *symbol_id = p[3] & 0x3F;
+  p += kRadioHdr;
+  *start_prb = ((p[1] & 0x3) << 8) | p[2];
+  const int nof_prb = p[3];
+  p += kSectionHdr;
+  const int need = nof_prb * bfp_compressed_prb_bytes(width);
+  if (p + need > in + in_len) return -1;
+  if (iq != nullptr) bfp_decompress(p, nof_prb, width, iq);
+  return nof_prb;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
@@ -178,7 +242,7 @@ int ofh_cplane_build(uint8_t* out, int out_cap, uint16_t rtc_id, uint16_t seq_id
   p[3] = static_cast<uint8_t>(((slot_id & 0x3) << 6) | (start_symbol & 0x3F));
   p[4] = static_cast<uint8_t>(nof_sections);
   p[5] = static_cast<uint8_t>(section_type);
-  put16(p + 6, static_cast<uint16_t>(time_offset));  // type 3; 0 for type 1
+  put16(p + 6, static_cast<uint16_t>(time_offset));  // type 3; see _comp below
   p += kCpRadioHdr;
   for (int i = 0; i < nof_sections; ++i) {
     const ofh_cplane_section& s = sections[i];
@@ -201,6 +265,112 @@ int ofh_cplane_build(uint8_t* out, int out_cap, uint16_t rtc_id, uint16_t seq_id
     }
   }
   return total;
+}
+
+// Type-1 builder with an explicit udCompHdr byte in the radio-app header
+// (reference radio-app layout: ..., numberOfSections, sectionType,
+// udCompHdr, reserved).  The static-compression C-plane builder always
+// writes 0 there; the dynamic one encodes iqWidth<<4|compMeth for uplink
+// (ofh_cplane_message_builder_{static,dynamic}_compression_impl.cpp).
+int ofh_cplane_build_comp(uint8_t* out, int out_cap, uint16_t rtc_id,
+                          uint16_t seq_id, int direction, int frame_id,
+                          int subframe_id, int slot_id, int start_symbol,
+                          int ud_comp_hdr, const ofh_cplane_section* sections,
+                          int nof_sections) {
+  const int n = ofh_cplane_build(out, out_cap, rtc_id, seq_id, direction,
+                                 frame_id, subframe_id, slot_id, start_symbol,
+                                 /*section_type=*/1, /*time_offset=*/0,
+                                 sections, nof_sections);
+  if (n < 0) return n;
+  out[kEcpriHdr + 6] = static_cast<uint8_t>(ud_comp_hdr);
+  return n;
+}
+
+// Returns the udCompHdr byte of a type-1 message (-1 if not type 1).
+int ofh_cplane_comp_hdr(const uint8_t* in, int in_len) {
+  if (in_len < kEcpriHdr + kCpRadioHdr) return -1;
+  if (in[kEcpriHdr + 5] != 1) return -1;
+  return in[kEcpriHdr + 6];
+}
+
+// ---------------------------------------------------------------------------
+// C-plane section type 0: idle/guard-period indication (O-RAN CUS 7.5.2;
+// reference build_idle_guard_period_message,
+// ofh_cplane_message_builder_impl.cpp:222-263).  Exactly one section;
+// radio-app header carries timeOffset, frameStructure and cpLength.
+// ---------------------------------------------------------------------------
+
+constexpr int kCpType0Hdr = 12;   // 4B common + numSections/type + TO/FS/CP/res
+constexpr int kCpSection0 = 8;    // 6B common fields + ef/reserved + reserved
+
+int ofh_cplane_size_type0() { return kEcpriHdr + kCpType0Hdr + kCpSection0; }
+
+int ofh_cplane_build_type0(uint8_t* out, int out_cap, uint16_t rtc_id,
+                           uint16_t seq_id, int direction, int frame_id,
+                           int subframe_id, int slot_id, int start_symbol,
+                           int time_offset, int frame_structure, int cp_length,
+                           const ofh_cplane_section* section) {
+  const int total = ofh_cplane_size_type0();
+  if (out_cap < total) return -1;
+  uint8_t* p = out;
+  p[0] = 0x10;
+  p[1] = 0x02;  // real-time control data
+  put16(p + 2, static_cast<uint16_t>(total - 4));
+  put16(p + 4, rtc_id);
+  put16(p + 6, seq_id);
+  p += kEcpriHdr;
+  p[0] = static_cast<uint8_t>(((direction & 1) << 7) | (1 << 4));
+  p[1] = static_cast<uint8_t>(frame_id & 0xFF);
+  p[2] = static_cast<uint8_t>(((subframe_id & 0xF) << 4) | ((slot_id >> 2) & 0xF));
+  p[3] = static_cast<uint8_t>(((slot_id & 0x3) << 6) | (start_symbol & 0x3F));
+  p[4] = 1;  // exactly one section
+  p[5] = 0;  // sectionType = 0
+  put16(p + 6, static_cast<uint16_t>(time_offset));
+  p[8] = static_cast<uint8_t>(frame_structure);
+  put16(p + 9, static_cast<uint16_t>(cp_length));
+  p[11] = 0;  // reserved
+  p += kCpType0Hdr;
+  const ofh_cplane_section& s = *section;
+  p[0] = static_cast<uint8_t>((s.section_id >> 4) & 0xFF);
+  p[1] = static_cast<uint8_t>(((s.section_id & 0xF) << 4) |
+                              ((s.start_prbc >> 8) & 0x3));
+  p[2] = static_cast<uint8_t>(s.start_prbc & 0xFF);
+  p[3] = s.num_prbc;
+  p[4] = static_cast<uint8_t>((s.re_mask >> 4) & 0xFF);
+  p[5] = static_cast<uint8_t>(((s.re_mask & 0xF) << 4) | (s.num_symbol & 0xF));
+  p[6] = 0;  // EF + reserved (no extensions)
+  p[7] = 0;  // reserved
+  return total;
+}
+
+int ofh_cplane_parse_type0(const uint8_t* in, int in_len, uint16_t* rtc_id,
+                           uint16_t* seq_id, int* direction, int* frame_id,
+                           int* subframe_id, int* slot_id, int* start_symbol,
+                           int* time_offset, int* frame_structure,
+                           int* cp_length, ofh_cplane_section* section) {
+  if (in_len < ofh_cplane_size_type0()) return -1;
+  if ((in[0] & 0xF0) != 0x10 || in[1] != 0x02) return -1;
+  *rtc_id = get16(in + 4);
+  *seq_id = get16(in + 6);
+  const uint8_t* p = in + kEcpriHdr;
+  if (p[5] != 0) return -1;  // not a type-0 message
+  *direction = (p[0] >> 7) & 1;
+  *frame_id = p[1];
+  *subframe_id = (p[2] >> 4) & 0xF;
+  *slot_id = ((p[2] & 0xF) << 2) | ((p[3] >> 6) & 0x3);
+  *start_symbol = p[3] & 0x3F;
+  *time_offset = get16(p + 6);
+  *frame_structure = p[8];
+  *cp_length = get16(p + 9);
+  p += kCpType0Hdr;
+  section->section_id = static_cast<uint16_t>((p[0] << 4) | (p[1] >> 4));
+  section->start_prbc = static_cast<uint16_t>(((p[1] & 0x3) << 8) | p[2]);
+  section->num_prbc = p[3];
+  section->re_mask = static_cast<uint16_t>((p[4] << 4) | (p[5] >> 4));
+  section->num_symbol = p[5] & 0xF;
+  section->beam_id = 0;
+  section->freq_offset = 0;
+  return 1;
 }
 
 int ofh_cplane_parse(const uint8_t* in, int in_len, uint16_t* rtc_id,

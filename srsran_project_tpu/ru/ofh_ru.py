@@ -48,7 +48,11 @@ class RuOfhConfig:
     scs: SubcarrierSpacing = SubcarrierSpacing.KHZ30
     nof_prb: int = 24
     nof_ports: int = 1
-    compression_width: int = 9   # BFP bit width (static compression config)
+    compression_width: int = 9   # BFP bit width
+    # "dynamic": every U-plane section carries udCompHdr; "static": the
+    # width is fixed M-plane-style and omitted from the wire (reference
+    # ofh_uplane_message_builder_{dynamic,static}_compression_impl).
+    compression_mode: str = "dynamic"
     iq_scale: float = 16384.0    # float → Q-format scaling before BFP
     # Reception window in symbols relative to OTA time (Ta4 window).
     rx_window_early_symbols: int = 28
@@ -148,9 +152,12 @@ class RuOfh:
                 frame_id=frame, subframe_id=subframe, slot_id=slot_id,
                 start_symbol=0, section_type=1)
             self.send_frame(cpl)
+            build = (native.ofh_uplane_build_static
+                     if self.cfg.compression_mode == "static"
+                     else native.ofh_uplane_build)
             for sym in range(min(SYMBOLS_PER_SLOT, grid.shape[1])):
                 res = grid[port, sym, : self.cfg.nof_prb * 12]
-                msg = native.ofh_uplane_build(
+                msg = build(
                     self._grid_to_q(res), pc_id=eaxc,
                     seq_id=self._next_seq(eaxc), direction=1,
                     frame_id=frame, subframe_id=subframe, slot_id=slot_id,
@@ -192,10 +199,29 @@ class RuOfh:
         self.send_frame(cpl)
 
     # -- RU→DU ingress ------------------------------------------------------
+    def send_idle_guard(self, slot: SlotPoint, start_symbol: int = 0,
+                        nof_symbols: int = SYMBOLS_PER_SLOT,
+                        time_offset: int = 0) -> None:
+        """Emit a C-plane type-0 idle/guard-period indication for the TDD
+        guard (reference build_idle_guard_period_message)."""
+        frame, subframe, slot_id = self._timestamp(slot)
+        msg = native.ofh_cplane_build_type0(
+            native.CplaneSection(section_id=0, start_prbc=0,
+                                 num_prbc=self.cfg.nof_prb, re_mask=0xFFF,
+                                 num_symbol=nof_symbols),
+            rtc_id=0, seq_id=self._next_seq(0x400), direction=1,
+            frame_id=frame, subframe_id=subframe, slot_id=slot_id,
+            start_symbol=start_symbol, time_offset=time_offset)
+        self.send_frame(msg)
+
     def push_uplane_frame(self, data: np.ndarray) -> None:
         """One received U-plane message: check windows, decompress into the
         pending slot grid, notify when the slot completes."""
-        hdr, iq = native.ofh_uplane_parse(np.asarray(data, np.uint8))
+        if self.cfg.compression_mode == "static":
+            hdr, iq = native.ofh_uplane_parse_static(
+                np.asarray(data, np.uint8), self.cfg.compression_width)
+        else:
+            hdr, iq = native.ofh_uplane_parse(np.asarray(data, np.uint8))
         if not self.window.check(hdr["frame_id"], hdr["subframe_id"],
                                  hdr["slot_id"], hdr["symbol_id"]):
             return

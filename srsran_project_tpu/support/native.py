@@ -81,6 +81,29 @@ def get_lib():
                                      [ctypes.c_void_p] * 9 +
                                      [ctypes.c_void_p, ctypes.c_int])
     lib.ofh_cplane_parse.restype = ctypes.c_int
+    lib.ofh_uplane_size_static.argtypes = [ctypes.c_int, ctypes.c_int]
+    lib.ofh_uplane_size_static.restype = ctypes.c_int
+    lib.ofh_uplane_build_static.argtypes = list(lib.ofh_uplane_build.argtypes)
+    lib.ofh_uplane_build_static.restype = ctypes.c_int
+    lib.ofh_uplane_parse_static.argtypes = ([ctypes.c_void_p, ctypes.c_int,
+                                             ctypes.c_int] + [ctypes.c_void_p] * 9)
+    lib.ofh_uplane_parse_static.restype = ctypes.c_int
+    lib.ofh_cplane_build_comp.argtypes = ([ctypes.c_void_p, ctypes.c_int,
+                                           ctypes.c_uint16, ctypes.c_uint16] +
+                                          [ctypes.c_int] * 6 +
+                                          [ctypes.c_void_p, ctypes.c_int])
+    lib.ofh_cplane_build_comp.restype = ctypes.c_int
+    lib.ofh_cplane_comp_hdr.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.ofh_cplane_comp_hdr.restype = ctypes.c_int
+    lib.ofh_cplane_size_type0.restype = ctypes.c_int
+    lib.ofh_cplane_build_type0.argtypes = ([ctypes.c_void_p, ctypes.c_int,
+                                            ctypes.c_uint16, ctypes.c_uint16] +
+                                           [ctypes.c_int] * 8 + [ctypes.c_void_p])
+    lib.ofh_cplane_build_type0.restype = ctypes.c_int
+    lib.ofh_cplane_parse_type0.argtypes = ([ctypes.c_void_p, ctypes.c_int] +
+                                           [ctypes.c_void_p] * 10 +
+                                           [ctypes.c_void_p])
+    lib.ofh_cplane_parse_type0.restype = ctypes.c_int
     _LIB = lib
     return lib
 
@@ -350,3 +373,147 @@ def ofh_cplane_parse(data: np.ndarray, max_sections: int = 64):
                           freq_offset=arr[i].freq_offset)
             for i in range(min(n, max_sections))]
     return hdr, secs
+
+
+# ---------------------------------------------------------------------------
+# Static-compression OFH variants + C-plane section type 0 (idle/guard)
+# ---------------------------------------------------------------------------
+
+def ud_comp_hdr(width: int, direction: int, mode: str = "dynamic",
+                method: int = 1) -> int:
+    """The udCompHdr byte per the reference's serialize_compression_header:
+    static mode and downlink always encode 0; dynamic uplink encodes
+    iqWidth<<4|compMeth with width 16 mapping to 0
+    (ofh_cplane_message_builder_{static,dynamic}_compression_impl.cpp)."""
+    if mode == "static" or direction == 1:
+        return 0
+    return (((0 if width == 16 else width) & 0xF) << 4) | (method & 0xF)
+
+
+def ofh_uplane_build_static(iq: np.ndarray, *, pc_id=0, seq_id=0, direction=0,
+                            frame_id=0, subframe_id=0, slot_id=0, symbol_id=0,
+                            start_prb=0, width=9) -> np.ndarray:
+    """Static-compression U-plane message: no udCompHdr on the wire — the
+    width is fixed by configuration on both ends."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    iq = np.ascontiguousarray(iq, np.int16)
+    nof_prb = iq.size // 24
+    out = np.empty(lib.ofh_uplane_size_static(nof_prb, width), np.uint8)
+    n = lib.ofh_uplane_build_static(out.ctypes.data, len(out), pc_id, seq_id,
+                                    direction, frame_id, subframe_id, slot_id,
+                                    symbol_id, start_prb, nof_prb, width,
+                                    iq.ctypes.data)
+    if n < 0:
+        raise ValueError("ofh_uplane_build_static failed")
+    return out[:n]
+
+
+def ofh_uplane_parse_static(data: np.ndarray, width: int):
+    """Parse a static-compression U-plane message (configured width)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    data = np.ascontiguousarray(data, np.uint8)
+    pc = ctypes.c_uint16(); sq = ctypes.c_uint16()
+    ints = [ctypes.c_int() for _ in range(6)]
+    n = lib.ofh_uplane_parse_static(data.ctypes.data, len(data), width,
+                                    ctypes.byref(pc), ctypes.byref(sq),
+                                    *[ctypes.byref(v) for v in ints], None)
+    if n < 0:
+        raise ValueError("malformed static U-plane message")
+    iq = np.empty(n * 24, np.int16)
+    lib.ofh_uplane_parse_static(data.ctypes.data, len(data), width,
+                                ctypes.byref(pc), ctypes.byref(sq),
+                                *[ctypes.byref(v) for v in ints], iq.ctypes.data)
+    hdr = {"pc_id": pc.value, "seq_id": sq.value, "direction": ints[0].value,
+           "frame_id": ints[1].value, "subframe_id": ints[2].value,
+           "slot_id": ints[3].value, "symbol_id": ints[4].value,
+           "start_prb": ints[5].value, "width": width, "nof_prb": n}
+    return hdr, iq
+
+
+def ofh_cplane_build_comp(sections, *, rtc_id=0, seq_id=0, direction=1,
+                          frame_id=0, subframe_id=0, slot_id=0, start_symbol=0,
+                          comp_byte=0) -> np.ndarray:
+    """Type-1 C-plane message with an explicit udCompHdr byte (use
+    ud_comp_hdr() to derive it from the compression mode)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    n = len(sections)
+    arr = (_CplaneSectionStruct * n)()
+    for i, s in enumerate(sections):
+        for f in ("section_id", "start_prbc", "num_prbc", "re_mask",
+                  "num_symbol", "beam_id", "freq_offset"):
+            setattr(arr[i], f, getattr(s, f))
+    out = np.empty(lib.ofh_cplane_size(1, n), np.uint8)
+    r = lib.ofh_cplane_build_comp(out.ctypes.data, out.size, rtc_id, seq_id,
+                                  direction, frame_id, subframe_id, slot_id,
+                                  start_symbol, comp_byte, ctypes.byref(arr), n)
+    if r < 0:
+        raise ValueError("ofh_cplane_build_comp failed")
+    return out
+
+
+def ofh_cplane_comp_hdr(data: np.ndarray) -> int:
+    """Extract the udCompHdr byte of a type-1 C-plane message."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    data = np.ascontiguousarray(data, np.uint8)
+    v = lib.ofh_cplane_comp_hdr(data.ctypes.data, data.size)
+    if v < 0:
+        raise ValueError("not a type-1 C-plane message")
+    return v
+
+
+def ofh_cplane_build_type0(section: "CplaneSection", *, rtc_id=0, seq_id=0,
+                           direction=1, frame_id=0, subframe_id=0, slot_id=0,
+                           start_symbol=0, time_offset=0, frame_structure=0,
+                           cp_length=0) -> np.ndarray:
+    """Idle/guard-period indication (C-plane section type 0; reference
+    build_idle_guard_period_message, ofh_cplane_message_builder_impl.cpp:222)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    arr = (_CplaneSectionStruct * 1)()
+    for f in ("section_id", "start_prbc", "num_prbc", "re_mask",
+              "num_symbol", "beam_id", "freq_offset"):
+        setattr(arr[0], f, getattr(section, f))
+    out = np.empty(lib.ofh_cplane_size_type0(), np.uint8)
+    r = lib.ofh_cplane_build_type0(out.ctypes.data, out.size, rtc_id, seq_id,
+                                   direction, frame_id, subframe_id, slot_id,
+                                   start_symbol, time_offset, frame_structure,
+                                   cp_length, ctypes.byref(arr))
+    if r < 0:
+        raise ValueError("ofh_cplane_build_type0 failed")
+    return out
+
+
+def ofh_cplane_parse_type0(data: np.ndarray):
+    """Parse a type-0 idle/guard message -> (header dict, CplaneSection)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    data = np.ascontiguousarray(data, np.uint8)
+    rtc = ctypes.c_uint16(); seq = ctypes.c_uint16()
+    ints = [ctypes.c_int() for _ in range(8)]
+    arr = (_CplaneSectionStruct * 1)()
+    r = lib.ofh_cplane_parse_type0(data.ctypes.data, data.size,
+                                   ctypes.byref(rtc), ctypes.byref(seq),
+                                   *[ctypes.byref(v) for v in ints],
+                                   ctypes.byref(arr))
+    if r < 0:
+        raise ValueError("malformed type-0 C-plane message")
+    hdr = {"rtc_id": rtc.value, "seq_id": seq.value, "direction": ints[0].value,
+           "frame_id": ints[1].value, "subframe_id": ints[2].value,
+           "slot_id": ints[3].value, "start_symbol": ints[4].value,
+           "time_offset": ints[5].value, "frame_structure": ints[6].value,
+           "cp_length": ints[7].value}
+    sec = CplaneSection(section_id=arr[0].section_id, start_prbc=arr[0].start_prbc,
+                        num_prbc=arr[0].num_prbc, re_mask=arr[0].re_mask,
+                        num_symbol=arr[0].num_symbol, beam_id=arr[0].beam_id,
+                        freq_offset=arr[0].freq_offset)
+    return hdr, sec

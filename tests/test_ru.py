@@ -222,3 +222,77 @@ def test_factory_dispatch():
     assert isinstance(ru, RuGeneric)
     with pytest.raises(ValueError):
         create_ru("uhd", RuDummyConfig(), col)
+
+
+@pytest.mark.skipif(native.get_lib() is None, reason="native lib unavailable")
+def test_ofh_ru_static_compression_roundtrip():
+    """Static-compression mode: U-plane sections carry no udCompHdr yet
+    round-trip bit-identically when both ends share the configured width."""
+    col = Collector()
+    cfg = RuOfhConfig(scs=SCS, nof_prb=12, compression_mode="static")
+    frames = []
+    ru = RuOfh(cfg, col, send_frame=frames.append)
+    slot = SlotPoint.from_sfn_slot(SCS, 2, 2)
+    rng = np.random.default_rng(3)
+    grid = (rng.standard_normal((1, 14, 144)) + 1j * rng.standard_normal((1, 14, 144))).astype(np.complex64) * 0.1
+    ru.ota_tick(slot)
+    ru.handle_new_uplink_slot(ResourceGridContext(slot=slot))
+    ru.handle_dl_data(ResourceGridContext(slot=slot), grid)
+    uplane = [f for f in frames if f[1] == 0x00]
+    # Static messages are 2 bytes/section shorter than dynamic ones.
+    dyn_len = len(native.ofh_uplane_build(np.zeros(12 * 24, np.int16), width=9))
+    assert all(len(f) == dyn_len - 2 for f in uplane)
+    for f in uplane:
+        ru.push_uplane_frame(f)
+    assert len(col.symbols) == 14
+    assert np.allclose(np.asarray(col.symbols[0][1]), grid, atol=2e-2)
+
+
+@pytest.mark.skipif(native.get_lib() is None, reason="native lib unavailable")
+def test_ofh_cplane_type0_idle_guard():
+    """C-plane section type 0 (idle/guard period) round-trips: timeOffset,
+    frameStructure, cpLength and the single section's PRB/symbol range
+    (reference build_idle_guard_period_message)."""
+    sec = native.CplaneSection(section_id=5, start_prbc=0, num_prbc=106,
+                               re_mask=0xFFF, num_symbol=4)
+    msg = native.ofh_cplane_build_type0(sec, rtc_id=2, seq_id=77, frame_id=9,
+                                        subframe_id=3, slot_id=1, start_symbol=10,
+                                        time_offset=480, frame_structure=0x91,
+                                        cp_length=352)
+    hdr, got = native.ofh_cplane_parse_type0(msg)
+    assert hdr["time_offset"] == 480
+    assert hdr["frame_structure"] == 0x91
+    assert hdr["cp_length"] == 352
+    assert hdr["start_symbol"] == 10
+    assert got.num_prbc == 106 and got.num_symbol == 4 and got.section_id == 5
+    # A type-1 parser must reject it.
+    with pytest.raises(ValueError):
+        native.ofh_cplane_parse(msg)
+
+
+@pytest.mark.skipif(native.get_lib() is None, reason="native lib unavailable")
+def test_ofh_ru_send_idle_guard():
+    col = Collector()
+    frames = []
+    ru = RuOfh(RuOfhConfig(scs=SCS, nof_prb=24), col, send_frame=frames.append)
+    slot = SlotPoint.from_sfn_slot(SCS, 0, 1)
+    ru.send_idle_guard(slot, start_symbol=12, nof_symbols=2)
+    hdr, sec = native.ofh_cplane_parse_type0(frames[0])
+    assert hdr["start_symbol"] == 12 and sec.num_symbol == 2 and sec.num_prbc == 24
+
+
+@pytest.mark.skipif(native.get_lib() is None, reason="native lib unavailable")
+def test_ofh_cplane_ud_comp_hdr_static_vs_dynamic():
+    """The type-1 udCompHdr byte follows the reference's rules: static mode
+    and downlink encode 0; dynamic uplink encodes iqWidth<<4|compMeth with
+    16-bit width mapping to 0 (serialize_compression_header)."""
+    assert native.ud_comp_hdr(9, direction=0, mode="dynamic") == 0x91
+    assert native.ud_comp_hdr(16, direction=0, mode="dynamic") == 0x01
+    assert native.ud_comp_hdr(9, direction=1, mode="dynamic") == 0
+    assert native.ud_comp_hdr(9, direction=0, mode="static") == 0
+    s = native.CplaneSection(num_prbc=24, num_symbol=14)
+    msg = native.ofh_cplane_build_comp(
+        [s], direction=0, comp_byte=native.ud_comp_hdr(9, 0, "dynamic"))
+    assert native.ofh_cplane_comp_hdr(msg) == 0x91
+    hdr, secs = native.ofh_cplane_parse(msg)
+    assert hdr["section_type"] == 1 and secs[0].num_prbc == 24

@@ -22,6 +22,7 @@
 #include "srsran/phy/support/resource_grid_writer.h"
 #include "srsran/support/shared_transport_block.h"
 #include "srsran/ran/precoding/precoding_codebooks.h"
+#include "srsran/ran/sch/sch_dmrs_power.h"
 
 #include <cmath>
 
@@ -171,7 +172,10 @@ void gen_pdsch_processor() {
     pdu.tbs_lbrm = tbs_lbrm_default;
     pdu.reserved = re_pattern_list();
     pdu.ptrs = std::nullopt;
-    pdu.ratio_pdsch_dmrs_to_sss_dB = 0.0f;
+    // Production power profile (lib/fapi_adaptor/phy/messages/pdsch.cpp:82):
+    // DMRS power follows data power by the TS38.214 Table 4.1-1 ratio, so
+    // the grid carries boosted DM-RS at >1 CDM group.
+    pdu.ratio_pdsch_dmrs_to_sss_dB = get_sch_to_dmrs_ratio_dB(c.cdm_groups);
     pdu.ratio_pdsch_data_to_sss_dB = 0.0f;
     pdu.precoding = precoding_configuration::make_wideband(make_identity(c.layers));
 
