@@ -24,6 +24,10 @@ class SliceConfig:
     min_ratio: float = 0.0  # guaranteed share of the band
     max_ratio: float = 1.0  # cap
     policy: str = "rr"
+    # S-NSSAI identifying this slice toward O-RAN RRM policies (E2SM-CCC
+    # O-RRMPolicyRatio member list keys on {plmn, sst, sd}).
+    sst: int = 1
+    sd: int = 0
 
 
 class SliceScheduler:
@@ -96,6 +100,26 @@ class SliceScheduler:
         return (fapi.DlTtiRequest(slot=slot, pdsch=pdsch),
                 fapi.TxDataRequest(slot=slot, payloads=payloads),
                 fapi.UlTtiRequest(slot=slot, pusch=pusch), grants)
+
+    def apply_rrm_policy(self, policy: dict) -> bool:
+        """Apply an O-RRMPolicyRatio structure (E2SM-CCC style 2, percent
+        ratios per the reference's rrm_policy_ratio_group) to the slices
+        whose S-NSSAI appears in the member list; returns False when no
+        slice matches."""
+        members = policy.get("members", [])
+        targets = [
+            sid for sid, s in self.slices.items()
+            if any(mb.get("sst") == s.sst and mb.get("sd", 0) == s.sd
+                   for mb in members)
+        ]
+        if not targets:
+            return False
+        for sid in targets:
+            self.slices[sid] = dataclasses.replace(
+                self.slices[sid],
+                min_ratio=policy.get("min_ratio", 0) / 100.0,
+                max_ratio=policy.get("max_ratio", 100) / 100.0)
+        return True
 
     def handle_results(self, res: fapi.SlotResults):
         for sch in self.inner.values():
