@@ -66,9 +66,12 @@ def _alpha(m0: int, m_cs: int, n_cs: int) -> float:
     return 2.0 * np.pi / NRE * ((m0 + m_cs + n_cs) % NRE)
 
 
-# m_cs per HARQ value (TS 38.213 §9.2.3-like mapping used at PHY level).
+# m_cs per HARQ value (TS 38.213 Table 9.2.3-3/9.2.3-4; golden-tested
+# against the reference detector dictionaries,
+# pucch_detector_format0.cpp:45-52).
 _MCS_1BIT = {0: 0, 1: 6}
-_MCS_2BIT = {0: 0, 1: 3, 3: 6, 2: 9}  # value = b0 + 2*b1
+# value = b0 + 2*b1: (0,0)->0, (1,0)->9, (0,1)->3, (1,1)->6.
+_MCS_2BIT = {0: 0, 1: 9, 3: 6, 2: 3}
 
 
 def _f0_candidates(cfg: PucchFormat0Config):

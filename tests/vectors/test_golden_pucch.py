@@ -1,0 +1,74 @@
+"""PUCCH Format 0/1 conformance: grids synthesized per TS 38.211 and
+decoded by the reference pucch_processor (tools/refgen/gen_pucch.cpp);
+our detectors must reproduce the reference's UCI messages — payload bits,
+SR flag, and detection/DTX decisions — on the same grids."""
+
+import numpy as np
+import pytest
+
+from srsran_project_tpu.phy import pucch
+from srsran_project_tpu.support.file_vector import read_vector
+
+from conftest import load_suite, suite_path
+
+pytestmark = pytest.mark.vectortest
+
+
+def _load_grid(suite, case, ports, subc):
+    g = read_vector(suite_path(suite, f"grid{case['idx']}.dat"), "cf32")
+    return g.reshape(ports, 14, subc)
+
+
+def test_pucch_format0_golden():
+    cases = load_suite("pucch_format0")
+    assert len(cases) == 5
+    for case in cases:
+        subc = case["bwp_rb"] * 12
+        grid = _load_grid("pucch_format0", case, case["ports"], subc)
+        cfg = pucch.PucchFormat0Config(
+            prb=case["prb"], start_symbol=case["start_sym"],
+            nof_symbols=case["nof_syms"],
+            initial_cyclic_shift=case["m0"], n_id=case["n_id"],
+            slot_in_frame=case["slot_idx"],
+            nof_harq_bits=case["nof_harq"],
+            sr_opportunity=bool(case["sr_opportunity"]),
+            nof_grid_sc=subc)
+        best, metric, _ = pucch.format0_detect(grid, cfg)
+        valid = bool(metric >= pucch.F0_DTX_THRESHOLD)
+        assert valid == bool(case["ref_valid"]), case
+        if not valid:
+            continue
+        cands = pucch._f0_candidates(cfg)
+        idx = int(best)
+        sr = False
+        if cfg.sr_opportunity and cfg.nof_harq_bits and idx >= len(cands) // 2:
+            sr = True
+            idx -= len(cands) // 2
+        harq = idx if cfg.nof_harq_bits else 0
+        if cfg.nof_harq_bits == 0:
+            # SR-only: a valid detection IS the positive SR.
+            sr = True
+        assert harq == case["ref_harq"], case
+        assert int(sr) == case["ref_sr"], case
+
+
+def test_pucch_format1_golden():
+    cases = load_suite("pucch_format1")
+    assert len(cases) == 5
+    for case in cases:
+        subc = case["bwp_rb"] * 12
+        grid = _load_grid("pucch_format1", case, case["ports"], subc)
+        for iu in range(case["nof_ues"]):
+            p = f"ue{iu}_"
+            cfg = pucch.PucchFormat1Config(
+                prb=case["prb"], start_symbol=case["start_sym"],
+                nof_symbols=case["nof_syms"],
+                initial_cyclic_shift=case[p + "m0"],
+                occ_index=case[p + "occi"], n_id=case["n_id"],
+                slot_in_frame=case["slot_idx"],
+                nof_harq_bits=case[p + "nof_harq"], nof_grid_sc=subc)
+            bits, _, rho = pucch.format1_detect(grid, cfg)
+            assert bool(rho >= pucch.F1_DTX_THRESHOLD) == bool(case[p + "ref_valid"]), case
+            if case[p + "ref_valid"]:
+                harq = sum(int(b) << i for i, b in enumerate(np.asarray(bits)))
+                assert harq == case[p + "ref_harq"], (case, iu)

@@ -1,0 +1,495 @@
+// PUCCH processor golden suites: synthesize PUCCH transmissions per
+// TS 38.211 using the reference sequence primitives, pass them through a
+// channel + noise, then run the REFERENCE pucch_processor
+// (lib/phy/upper/channel_processors/pucch/pucch_processor_impl.cpp) and
+// dump grid + configuration + reference outputs (UCI payload, detection
+// status/metric).  tests/vectors/test_golden_pucch.py asserts the TPU
+// framework's PUCCH receivers produce the same messages on the same grids.
+
+#include "common.h"
+
+#include "lib/phy/generic_functions/transform_precoding/transform_precoder_dft_impl.h"
+
+#include "lib/phy/generic_functions/dft_processor_generic_impl.h"
+#include "lib/phy/support/interpolator/interpolator_linear_impl.h"
+#include "lib/phy/support/time_alignment_estimator/time_alignment_estimator_dft_impl.h"
+#include "lib/phy/upper/channel_coding/crc_calculator_generic_impl.h"
+#include "lib/phy/upper/channel_coding/polar/polar_code_impl.h"
+#include "lib/phy/upper/channel_coding/polar/polar_decoder_impl.h"
+#include "lib/phy/upper/channel_coding/polar/polar_deallocator_impl.h"
+#include "lib/phy/upper/channel_coding/polar/polar_encoder_impl.h"
+#include "lib/phy/upper/channel_coding/polar/polar_rate_dematcher_impl.h"
+#include "lib/phy/upper/channel_coding/short/short_block_detector_impl.h"
+#include "lib/phy/upper/channel_coding/short/short_block_encoder_impl.h"
+#include "lib/phy/upper/channel_modulation/demodulation_mapper_impl.h"
+#include "lib/phy/upper/channel_modulation/modulation_mapper_lut_impl.h"
+#include "lib/phy/upper/channel_processors/pucch/pucch_demodulator_format2.h"
+#include "lib/phy/upper/channel_processors/pucch/pucch_demodulator_format3.h"
+#include "lib/phy/upper/channel_processors/pucch/pucch_demodulator_format4.h"
+#include "lib/phy/upper/channel_processors/pucch/pucch_demodulator_impl.h"
+#include "lib/phy/upper/channel_processors/pucch/pucch_detector_format0.h"
+#include "lib/phy/upper/channel_processors/pucch/pucch_detector_format1.h"
+#include "lib/phy/upper/channel_processors/pucch/pucch_detector_impl.h"
+#include "lib/phy/upper/channel_processors/pucch/pucch_processor_impl.h"
+#include "lib/phy/upper/channel_processors/uci/uci_decoder_impl.h"
+#include "lib/phy/upper/equalization/channel_equalizer_generic_impl.h"
+#include "lib/phy/upper/sequence_generators/low_papr_sequence_collection_impl.h"
+#include "lib/phy/upper/sequence_generators/low_papr_sequence_generator_impl.h"
+#include "lib/phy/upper/sequence_generators/pseudo_random_generator_impl.h"
+#include "lib/phy/upper/signal_processors/pucch/dmrs_pucch_estimator_format2.h"
+#include "lib/phy/upper/signal_processors/pucch/dmrs_pucch_estimator_formats3_4.h"
+#include "lib/phy/upper/signal_processors/pucch/dmrs_pucch_estimator_impl.h"
+#include "lib/phy/upper/signal_processors/channel_estimator/port_channel_estimator_average_impl.h"
+#include "srsran/phy/support/resource_grid_reader.h"
+#include "srsran/phy/upper/pucch_helper.h"
+#include "srsran/phy/upper/pucch_orthogonal_sequence.h"
+#include "srsran/ran/pucch/pucch_constants.h"
+
+#include <cmath>
+#include <random>
+
+using namespace srsran;
+using namespace refgen;
+
+extern std::string g_root_outdir;
+
+namespace {
+
+void start(const std::string& name) { set_outdir(g_root_outdir + "/" + name); }
+
+// Minimal dense resource grid (same role as gen_proc.cpp's demod_grid).
+class pucch_grid : public resource_grid_reader {
+public:
+  pucch_grid(unsigned ports, unsigned symbols, unsigned subc)
+      : ports_(ports), symbols_(symbols), subc_(subc), data_(ports * symbols * subc) {}
+  cbf16_t& at(unsigned p, unsigned l, unsigned k) {
+    return data_[(p * symbols_ + l) * subc_ + k];
+  }
+  const cbf16_t& at(unsigned p, unsigned l, unsigned k) const {
+    return data_[(p * symbols_ + l) * subc_ + k];
+  }
+  unsigned get_nof_ports() const override { return ports_; }
+  unsigned get_nof_subc() const override { return subc_; }
+  unsigned get_nof_symbols() const override { return symbols_; }
+  bool is_empty(unsigned) const override { return false; }
+  bool is_empty() const override { return false; }
+  span<cf_t> get(span<cf_t> symbols, unsigned port, unsigned l, unsigned k_init,
+                 const bounded_bitset<MAX_RB * NRE>& mask) const override {
+    unsigned i = 0;
+    for (unsigned k = 0; k != mask.size(); ++k)
+      if (mask.test(k)) symbols[i++] = to_cf(at(port, l, k_init + k));
+    return symbols.last(symbols.size() - i);
+  }
+  span<cbf16_t> get(span<cbf16_t> symbols, unsigned port, unsigned l, unsigned k_init,
+                    const bounded_bitset<MAX_RB * NRE>& mask) const override {
+    unsigned i = 0;
+    for (unsigned k = 0; k != mask.size(); ++k)
+      if (mask.test(k)) symbols[i++] = at(port, l, k_init + k);
+    return symbols.last(symbols.size() - i);
+  }
+  void get(span<cf_t> symbols, unsigned port, unsigned l, unsigned k_init,
+           unsigned stride) const override {
+    for (unsigned i = 0; i != symbols.size(); ++i)
+      symbols[i] = to_cf(at(port, l, k_init + i * stride));
+  }
+  void get(span<cbf16_t> symbols, unsigned port, unsigned l, unsigned k_init) const override {
+    for (unsigned i = 0; i != symbols.size(); ++i) symbols[i] = at(port, l, k_init + i);
+  }
+  span<const cbf16_t> get_view(unsigned port, unsigned l) const override {
+    return span<const cbf16_t>(&at(port, l, 0), subc_);
+  }
+
+private:
+  unsigned ports_, symbols_, subc_;
+  std::vector<cbf16_t> data_;
+};
+
+std::unique_ptr<time_alignment_estimator> make_ta_est() {
+  time_alignment_estimator_dft_impl::collection_dft_processors dfts;
+  for (unsigned size = 128; size <= 4096; size *= 2) {
+    dfts.emplace(size, std::make_unique<dft_processor_generic_impl>(
+                           dft_processor::configuration{size, dft_processor::direction::INVERSE}));
+  }
+  return std::make_unique<time_alignment_estimator_dft_impl>(std::move(dfts));
+}
+
+std::unique_ptr<uci_decoder> make_uci_dec() {
+  return std::make_unique<uci_decoder_impl>(
+      std::make_unique<short_block_detector_impl>(),
+      std::make_unique<polar_code_impl>(),
+      std::make_unique<polar_rate_dematcher_impl>(),
+      std::make_unique<polar_decoder_impl>(std::make_unique<polar_encoder_impl>(),
+                                           polar_code::NMAX_LOG),
+      std::make_unique<polar_deallocator_impl>(),
+      std::make_unique<crc_calculator_generic_impl>(crc_generator_poly::CRC6),
+      std::make_unique<crc_calculator_generic_impl>(crc_generator_poly::CRC11));
+}
+
+// Build the reference pucch_processor with all format paths.
+std::unique_ptr<pucch_processor> make_processor(unsigned nof_prb, unsigned nof_ports) {
+  std::array<float, NRE> alphas;
+  for (unsigned n = 0; n != NRE; ++n)
+    alphas[n] = 2.0F * static_cast<float>(M_PI) * static_cast<float>(n) / static_cast<float>(NRE);
+
+  low_papr_sequence_generator_impl gen;
+  auto coll0 = std::make_unique<low_papr_sequence_collection_impl>(gen, 1, 0, alphas);
+  auto coll1 = std::make_unique<low_papr_sequence_collection_impl>(gen, 1, 0, alphas);
+
+  auto det0 = std::make_unique<pucch_detector_format0>(
+      std::make_unique<pseudo_random_generator_impl>(), std::move(coll0));
+  auto det1 = std::make_unique<pucch_detector_format1>(
+      std::move(coll1), std::make_unique<pseudo_random_generator_impl>(),
+      std::make_unique<dft_processor_generic_impl>(
+          dft_processor::configuration{NRE, dft_processor::direction::DIRECT}),
+      std::make_unique<dft_processor_generic_impl>(
+          dft_processor::configuration{NRE, dft_processor::direction::INVERSE}));
+  auto detector = std::make_unique<pucch_detector_impl>(std::move(det0), std::move(det1));
+
+  auto make_port_est = [] {
+    return std::make_unique<port_channel_estimator_average_impl>(
+        std::make_unique<interpolator_linear_impl>(), make_ta_est(),
+        port_channel_estimator_fd_smoothing_strategy::filter,
+        port_channel_estimator_td_interpolation_strategy::average,
+        /*compensate_cfo=*/false);
+  };
+  auto est_f2 = std::make_unique<dmrs_pucch_estimator_format2>(
+      std::make_unique<pseudo_random_generator_impl>(), make_port_est());
+  auto est_f34 = std::make_unique<dmrs_pucch_estimator_formats3_4>(
+      std::make_unique<pseudo_random_generator_impl>(),
+      std::make_unique<low_papr_sequence_generator_impl>(), make_port_est());
+  auto estimator = std::make_unique<dmrs_pucch_estimator_impl>(std::move(est_f2),
+                                                               std::move(est_f34));
+
+  auto make_eq = [] {
+    return std::make_unique<channel_equalizer_generic_impl>(
+        channel_equalizer_algorithm_type::mmse);
+  };
+  auto dem2 = std::make_unique<pucch_demodulator_format2>(
+      make_eq(), std::make_unique<demodulation_mapper_impl>(),
+      std::make_unique<pseudo_random_generator_impl>());
+  auto dem3 = std::make_unique<pucch_demodulator_format3>(
+      make_eq(), std::make_unique<demodulation_mapper_impl>(),
+      std::make_unique<pseudo_random_generator_impl>(),
+      std::make_unique<transform_precoder_dft_impl>([] {
+        transform_precoder_dft_impl::collection_dft_processors dfts;
+        for (unsigned rb : {1u, 2u, 3u, 4u, 5u, 6u, 8u, 9u, 10u, 12u, 15u, 16u}) {
+          dfts.emplace(rb, std::make_unique<dft_processor_generic_impl>(
+                               dft_processor::configuration{
+                                   rb * NRE, dft_processor::direction::INVERSE}));
+        }
+        return dfts;
+      }()));
+  auto dem4 = std::make_unique<pucch_demodulator_format4>(
+      make_eq(), std::make_unique<demodulation_mapper_impl>(),
+      std::make_unique<pseudo_random_generator_impl>(),
+      std::make_unique<transform_precoder_dft_impl>([] {
+        transform_precoder_dft_impl::collection_dft_processors dfts;
+        dfts.emplace(1, std::make_unique<dft_processor_generic_impl>(
+                            dft_processor::configuration{
+                                NRE, dft_processor::direction::INVERSE}));
+        return dfts;
+      }()));
+  auto demodulator = std::make_unique<pucch_demodulator_impl>(
+      std::move(dem2), std::move(dem3), std::move(dem4));
+
+  channel_estimate::channel_estimate_dimensions ce_dims;
+  ce_dims.nof_prb = nof_prb;
+  ce_dims.nof_symbols = 14;
+  ce_dims.nof_rx_ports = nof_ports;
+  ce_dims.nof_tx_layers = 1;
+
+  return std::make_unique<pucch_processor_impl>(
+      std::make_unique<pucch_pdu_validator_impl>(ce_dims), std::move(estimator),
+      std::move(detector), std::move(demodulator), make_uci_dec(), ce_dims);
+}
+
+// --- TS 38.211 TX helpers (reference primitives) ---------------------------
+
+// m_cs for Format 0 per TS 38.213 Section 9.2.4 (matches the detector's
+// dictionaries in pucch_detector_format0.cpp:45-66).
+unsigned f0_m_cs(unsigned nof_harq, unsigned harq_bits, bool sr_opportunity, bool sr_positive) {
+  if (nof_harq == 0) return 0;  // positive SR only
+  if (nof_harq == 1) {
+    unsigned base = (harq_bits & 1) ? 6 : 0;
+    return base + (sr_opportunity && sr_positive ? 3 : 0);
+  }
+  // Index = b0 + 2*b1; TS 38.213 Table 9.2.3-4: (b0,b1) (0,0)->0, (1,0)->9,
+  // (0,1)->3, (1,1)->6 (matches pucch_detector_format0_twoharq_nosr).
+  static const unsigned two[4] = {0, 9, 3, 6};
+  unsigned base = two[harq_bits & 3];
+  return base + (sr_opportunity && sr_positive ? 1 : 0);
+}
+
+struct chan_model {
+  std::mt19937& rng;
+  float nstd;
+  unsigned nof_ports;
+  std::normal_distribution<float> nd{0.f, 1.f};
+  // Per-port flat-ish channel with a linear phase ramp.
+  cf_t h(unsigned port, unsigned k) {
+    float ph = 2.f * (float)M_PI * (0.05f + 0.04f * port) * k / (float)NRE;
+    float amp = 1.0f;
+    return amp * cf_t(std::cos(ph), std::sin(ph));
+  }
+  cf_t noise() { return nstd * cf_t(nd(rng), nd(rng)); }
+};
+
+void dump_grid(pucch_grid& grid, unsigned ports, unsigned subc, const std::string& name) {
+  std::vector<cf_t> dump;
+  for (unsigned p = 0; p != ports; ++p)
+    for (unsigned s = 0; s != 14; ++s)
+      for (unsigned k = 0; k != subc; ++k) dump.push_back(to_cf(grid.at(p, s, k)));
+  write_dat(name, reinterpret_cast<const float*>(dump.data()), 2 * dump.size());
+}
+
+// --- Format 0 suite --------------------------------------------------------
+
+void gen_pucch_format0() {
+  start("pucch_format0");
+  manifest m("manifest.json");
+  auto rng = make_rng(0xF0F0);
+
+  pucch_helper helper(std::make_unique<pseudo_random_generator_impl>());
+  low_papr_sequence_generator_impl seq_gen;
+
+  struct f0case {
+    unsigned bwp_rb, prb, start_sym, nof_syms, m0, n_id, slot_idx;
+    unsigned nof_harq, harq_bits;
+    bool sr_opportunity, sr_positive;
+    bool transmit;  // false => DTX case
+    float snr_db;
+    unsigned ports;
+  };
+  std::vector<f0case> cases = {
+      {52, 3, 13, 1, 0, 42, 2, 1, 1, false, false, true, 20.f, 1},
+      {52, 10, 12, 2, 5, 301, 5, 2, 2, false, false, true, 20.f, 1},
+      {106, 51, 13, 1, 3, 77, 1, 2, 1, true, true, true, 20.f, 2},
+      {52, 7, 13, 1, 0, 42, 3, 0, 0, true, true, true, 20.f, 1},
+      {52, 3, 13, 1, 0, 42, 2, 1, 0, false, false, false, 20.f, 1},  // DTX
+  };
+
+  int idx = 0;
+  for (const auto& c : cases) {
+    unsigned subc = c.bwp_rb * NRE;
+    pucch_grid grid(c.ports, 14, subc);
+    float nstd = std::sqrt(std::pow(10.f, -c.snr_db / 10.f) / 2.f);
+    chan_model ch{rng, nstd, c.ports};
+
+    slot_point slot(to_numerology_value(subcarrier_spacing::kHz30), c.slot_idx);
+
+    // Noise everywhere in the PUCCH PRB (the detector only reads it).
+    for (unsigned p = 0; p != c.ports; ++p)
+      for (unsigned s = 0; s != 14; ++s)
+        for (unsigned k = 0; k != subc; ++k) grid.at(p, s, k) = to_cbf16(ch.noise());
+
+    if (c.transmit) {
+      unsigned m_cs = f0_m_cs(c.nof_harq, c.harq_bits, c.sr_opportunity, c.sr_positive);
+      auto [u, v] = pucch_helper::compute_group_sequence(pucch_group_hopping::NEITHER, c.n_id);
+      for (unsigned s = 0; s != c.nof_syms; ++s) {
+        unsigned sym = c.start_sym + s;
+        unsigned alpha_idx = helper.get_alpha_index(slot, cyclic_prefix::NORMAL, c.n_id,
+                                                    sym, c.m0, m_cs);
+        std::array<cf_t, NRE> r;
+        seq_gen.generate(r, u, v, alpha_idx, NRE);
+        for (unsigned p = 0; p != c.ports; ++p)
+          for (unsigned k = 0; k != NRE; ++k)
+            grid.at(p, sym, c.prb * NRE + k) =
+                to_cbf16(r[k] * ch.h(p, k) + ch.noise());
+      }
+    }
+
+    // Reference RX.
+    auto proc = make_processor(c.bwp_rb, c.ports);
+    pucch_processor::format0_configuration cfg;
+    cfg.slot = slot;
+    cfg.cp = cyclic_prefix::NORMAL;
+    cfg.bwp_size_rb = c.bwp_rb;
+    cfg.bwp_start_rb = 0;
+    cfg.starting_prb = c.prb;
+    cfg.second_hop_prb = std::nullopt;
+    cfg.start_symbol_index = c.start_sym;
+    cfg.nof_symbols = c.nof_syms;
+    cfg.initial_cyclic_shift = c.m0;
+    cfg.n_id = c.n_id;
+    cfg.nof_harq_ack = c.nof_harq;
+    cfg.sr_opportunity = c.sr_opportunity;
+    for (unsigned p = 0; p != c.ports; ++p) cfg.ports.push_back(p);
+
+    pucch_processor_result res = proc->process(grid, cfg);
+
+    std::string base = std::to_string(idx);
+    dump_grid(grid, c.ports, subc, "grid" + base + ".dat");
+
+    bool valid = res.message.get_status() == uci_status::valid;
+    unsigned harq_out = 0;
+    for (unsigned i = 0; i != res.message.get_harq_ack_bits().size(); ++i)
+      harq_out |= (unsigned)res.message.get_harq_ack_bits()[i] << i;
+    unsigned sr_out = res.message.get_sr_bits().empty()
+                          ? 0 : (unsigned)res.message.get_sr_bits()[0];
+
+    m.begin_case();
+    m.field("idx", (long long)idx);
+    m.field("bwp_rb", (long long)c.bwp_rb);
+    m.field("prb", (long long)c.prb);
+    m.field("start_sym", (long long)c.start_sym);
+    m.field("nof_syms", (long long)c.nof_syms);
+    m.field("m0", (long long)c.m0);
+    m.field("n_id", (long long)c.n_id);
+    m.field("slot_idx", (long long)c.slot_idx);
+    m.field("nof_harq", (long long)c.nof_harq);
+    m.field("harq_tx", (long long)c.harq_bits);
+    m.field("sr_opportunity", (long long)(c.sr_opportunity ? 1 : 0));
+    m.field("sr_tx", (long long)(c.sr_positive ? 1 : 0));
+    m.field("transmit", (long long)(c.transmit ? 1 : 0));
+    m.field("ports", (long long)c.ports);
+    m.field("ref_valid", (long long)(valid ? 1 : 0));
+    m.field("ref_harq", (long long)harq_out);
+    m.field("ref_sr", (long long)sr_out);
+    m.end_case();
+    ++idx;
+  }
+  m.flush();
+}
+
+// --- Format 1 suite --------------------------------------------------------
+
+void gen_pucch_format1() {
+  start("pucch_format1");
+  manifest m("manifest.json");
+  auto rng = make_rng(0xF1F1);
+
+  pucch_helper helper(std::make_unique<pseudo_random_generator_impl>());
+  low_papr_sequence_generator_impl seq_gen;
+  pucch_orthogonal_sequence_format1 occ;
+
+  struct f1ue {
+    unsigned m0, occi, nof_harq, harq_bits;
+  };
+  struct f1case {
+    unsigned bwp_rb, prb, start_sym, nof_syms, n_id, slot_idx;
+    float snr_db;
+    unsigned ports;
+    std::vector<f1ue> ues;
+  };
+  std::vector<f1case> cases = {
+      {52, 11, 0, 14, 17, 4, 20.f, 1, {{0, 0, 1, 1}}},
+      {52, 11, 0, 14, 17, 4, 20.f, 1, {{0, 0, 2, 2}}},
+      {106, 40, 2, 12, 500, 8, 20.f, 2, {{3, 1, 2, 1}}},
+      // Two UEs multiplexed on the same resource (different ICS + OCC).
+      {52, 5, 0, 14, 99, 1, 20.f, 1, {{0, 0, 1, 1}, {6, 3, 1, 0}}},
+      {52, 5, 4, 10, 99, 9, 22.f, 1, {{2, 1, 2, 3}}},
+  };
+
+  int idx = 0;
+  for (const auto& c : cases) {
+    unsigned subc = c.bwp_rb * NRE;
+    pucch_grid grid(c.ports, 14, subc);
+    float nstd = std::sqrt(std::pow(10.f, -c.snr_db / 10.f) / 2.f);
+    chan_model ch{rng, nstd, c.ports};
+    slot_point slot(to_numerology_value(subcarrier_spacing::kHz30), c.slot_idx);
+
+    // Start from pure noise in the allocated PRB.
+    for (unsigned p = 0; p != c.ports; ++p)
+      for (unsigned s = 0; s != 14; ++s)
+        for (unsigned k = 0; k != subc; ++k) grid.at(p, s, k) = to_cbf16(ch.noise());
+
+    // Clear PUCCH REs so multiplexed UEs superpose over a clean slate, then
+    // add noise back once.
+    for (unsigned p = 0; p != c.ports; ++p)
+      for (unsigned s = 0; s != c.nof_syms; ++s)
+        for (unsigned k = 0; k != NRE; ++k)
+          grid.at(p, c.start_sym + s, c.prb * NRE + k) = to_cbf16(ch.noise());
+
+    auto [u, v] = pucch_helper::compute_group_sequence(pucch_group_hopping::NEITHER, c.n_id);
+    unsigned n_dmrs_sf = (c.nof_syms + 1) / 2;  // DM-RS on even relative symbols
+    unsigned n_data_sf = c.nof_syms / 2;
+
+    for (const auto& ue : c.ues) {
+      // Modulation symbol d: BPSK (1 bit) / QPSK (2 bits), TS 38.211 5.1.2/5.1.3.
+      cf_t d;
+      if (ue.nof_harq == 1) {
+        float s0 = (ue.harq_bits & 1) ? -(float)M_SQRT1_2 : (float)M_SQRT1_2;
+        d = cf_t(s0, s0);
+      } else {
+        float re = (ue.harq_bits & 1) ? -(float)M_SQRT1_2 : (float)M_SQRT1_2;
+        float im = (ue.harq_bits & 2) ? -(float)M_SQRT1_2 : (float)M_SQRT1_2;
+        d = cf_t(re, im);
+      }
+      unsigned i_data = 0, i_dmrs = 0;
+      for (unsigned s = 0; s != c.nof_syms; ++s) {
+        unsigned sym = c.start_sym + s;
+        unsigned alpha_idx = helper.get_alpha_index(slot, cyclic_prefix::NORMAL,
+                                                    c.n_id, sym, ue.m0, 0);
+        std::array<cf_t, NRE> r;
+        seq_gen.generate(r, u, v, alpha_idx, NRE);
+        bool is_dmrs = (s % 2 == 0);
+        cf_t w = is_dmrs ? occ.get_sequence_value(n_dmrs_sf, ue.occi, i_dmrs)
+                         : occ.get_sequence_value(n_data_sf, ue.occi, i_data);
+        cf_t scale = is_dmrs ? w : d * w;
+        if (is_dmrs) ++i_dmrs; else ++i_data;
+        for (unsigned p = 0; p != c.ports; ++p)
+          for (unsigned k = 0; k != NRE; ++k) {
+            cf_t cur = to_cf(grid.at(p, sym, c.prb * NRE + k));
+            grid.at(p, sym, c.prb * NRE + k) =
+                to_cbf16(cur + scale * r[k] * ch.h(p, k));
+          }
+      }
+    }
+
+    // Reference RX: batch with one entry per UE.
+    auto proc = make_processor(c.bwp_rb, c.ports);
+    pucch_processor::format1_batch_configuration batch;
+    batch.common_config.slot = slot;
+    batch.common_config.bwp_size_rb = c.bwp_rb;
+    batch.common_config.bwp_start_rb = 0;
+    batch.common_config.cp = cyclic_prefix::NORMAL;
+    batch.common_config.starting_prb = c.prb;
+    batch.common_config.second_hop_prb = std::nullopt;
+    batch.common_config.n_id = c.n_id;
+    batch.common_config.nof_symbols = c.nof_syms;
+    batch.common_config.start_symbol_index = c.start_sym;
+    for (unsigned p = 0; p != c.ports; ++p) batch.common_config.ports.push_back(p);
+    for (const auto& ue : c.ues)
+      batch.entries.insert(ue.m0, ue.occi, {std::nullopt, (uint16_t)ue.nof_harq});
+
+    const auto& results = proc->process(grid, batch);
+
+    std::string base = std::to_string(idx);
+    dump_grid(grid, c.ports, subc, "grid" + base + ".dat");
+
+    m.begin_case();
+    m.field("idx", (long long)idx);
+    m.field("bwp_rb", (long long)c.bwp_rb);
+    m.field("prb", (long long)c.prb);
+    m.field("start_sym", (long long)c.start_sym);
+    m.field("nof_syms", (long long)c.nof_syms);
+    m.field("n_id", (long long)c.n_id);
+    m.field("slot_idx", (long long)c.slot_idx);
+    m.field("ports", (long long)c.ports);
+    m.field("nof_ues", (long long)c.ues.size());
+    int iu = 0;
+    for (const auto& ue : c.ues) {
+      const auto& r = results.get(ue.m0, ue.occi);
+      bool valid = r.message.get_status() == uci_status::valid;
+      unsigned harq_out = 0;
+      for (unsigned i = 0; i != r.message.get_harq_ack_bits().size(); ++i)
+        harq_out |= (unsigned)r.message.get_harq_ack_bits()[i] << i;
+      std::string pre = "ue" + std::to_string(iu) + "_";
+      m.field(pre + "m0", (long long)ue.m0);
+      m.field(pre + "occi", (long long)ue.occi);
+      m.field(pre + "nof_harq", (long long)ue.nof_harq);
+      m.field(pre + "harq_tx", (long long)ue.harq_bits);
+      m.field(pre + "ref_valid", (long long)(valid ? 1 : 0));
+      m.field(pre + "ref_harq", (long long)harq_out);
+      ++iu;
+    }
+    m.end_case();
+    ++idx;
+  }
+  m.flush();
+}
+
+} // namespace
+
+void gen_pucch_format0_suite() { gen_pucch_format0(); }
+void gen_pucch_format1_suite() { gen_pucch_format1(); }

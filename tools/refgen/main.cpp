@@ -59,6 +59,8 @@ void gen_pdsch_processor_suite();
 void gen_ulsch_demux_suite();
 void gen_pusch_demodulator_suite();
 void gen_pusch_processor_suite();
+void gen_pucch_format0_suite();
+void gen_pucch_format1_suite();
 
 namespace {
 
@@ -648,6 +650,8 @@ int main(int argc, char** argv) {
       {"ulsch_demux", gen_ulsch_demux_suite},
       {"pusch_demodulator", gen_pusch_demodulator_suite},
       {"pusch_processor_rx", gen_pusch_processor_suite},
+      {"pucch_format0", gen_pucch_format0_suite},
+      {"pucch_format1", gen_pucch_format1_suite},
   };
   if (argc == 2) {
     for (auto& [name, fn] : suites) fn();
