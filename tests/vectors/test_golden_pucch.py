@@ -72,3 +72,27 @@ def test_pucch_format1_golden():
             if case[p + "ref_valid"]:
                 harq = sum(int(b) << i for i, b in enumerate(np.asarray(bits)))
                 assert harq == case[p + "ref_harq"], (case, iu)
+
+
+def test_pucch_format2_golden():
+    from srsran_project_tpu.phy import pucch_f2
+
+    cases = load_suite("pucch_format2")
+    assert len(cases) == 4
+    for case in cases:
+        subc = case["bwp_rb"] * 12
+        grid = _load_grid("pucch_format2", case, case["ports"], subc)
+        payload = read_vector(suite_path("pucch_format2", f"payload{case['idx']}.dat"), "u8")
+        ref_bits = read_vector(suite_path("pucch_format2", f"ref_bits{case['idx']}.dat"), "u8")
+        nof_uci = case["nof_harq"] + case["nof_sr"] + case["nof_csi1"]
+        cfg = pucch_f2.PucchFormat2Config(
+            rb_start=case["prb"], rb_count=case["nof_prb"],
+            start_symbol=case["start_sym"], nof_symbols=case["nof_syms"],
+            nof_uci_bits=nof_uci, rnti=case["rnti"], n_id=case["n_id"],
+            n_id0=case["n_id0"], slot_in_frame=case["slot_idx"],
+            nof_rx_ports=case["ports"], nof_grid_sc=subc)
+        bits, ok, snr_db = pucch_f2.process(grid, cfg)
+        assert bool(ok) == bool(case["ref_valid"]), case
+        got = np.asarray(bits)[:nof_uci]
+        assert np.array_equal(got, ref_bits), (case, got, ref_bits)
+        assert np.array_equal(got, payload), case

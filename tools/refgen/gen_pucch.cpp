@@ -44,6 +44,7 @@
 #include "srsran/phy/upper/pucch_helper.h"
 #include "srsran/phy/upper/pucch_orthogonal_sequence.h"
 #include "srsran/ran/pucch/pucch_constants.h"
+#include "srsran/srsvec/bit.h"
 
 #include <cmath>
 #include <random>
@@ -489,7 +490,143 @@ void gen_pucch_format1() {
   m.flush();
 }
 
+// --- Format 2 suite --------------------------------------------------------
+
+void gen_pucch_format2() {
+  start("pucch_format2");
+  manifest m("manifest.json");
+  auto rng = make_rng(0xF2F2);
+
+  struct f2case {
+    unsigned bwp_rb, prb, nof_prb, start_sym, nof_syms;
+    unsigned rnti, n_id, n_id0, slot_idx;
+    unsigned nof_harq, nof_sr, nof_csi1;
+    float snr_db;
+    unsigned ports;
+  };
+  std::vector<f2case> cases = {
+      {52, 0, 1, 13, 1, 0x4601, 42, 17, 2, 3, 0, 0, 20.f, 1},
+      {52, 4, 2, 12, 2, 0x1234, 301, 301, 5, 4, 1, 4, 20.f, 1},
+      {106, 20, 4, 12, 2, 0x17a1, 77, 901, 8, 6, 1, 4, 20.f, 2},
+      {52, 10, 3, 13, 1, 0x900d, 10, 10, 1, 11, 0, 0, 22.f, 1},
+  };
+
+  short_block_encoder_impl sb_enc;
+  modulation_mapper_lut_impl mapper;
+
+  int idx = 0;
+  for (const auto& c : cases) {
+    unsigned subc = c.bwp_rb * NRE;
+    unsigned A = c.nof_harq + c.nof_sr + c.nof_csi1;
+    unsigned E = c.nof_prb * 8 * c.nof_syms * 2;  // 8 data REs/PRB, QPSK
+    pucch_grid grid(c.ports, 14, subc);
+    float nstd = std::sqrt(std::pow(10.f, -c.snr_db / 10.f) / 2.f);
+    chan_model ch{rng, nstd, c.ports};
+    slot_point slot(to_numerology_value(subcarrier_spacing::kHz30), c.slot_idx);
+
+    // Payload and encoding (TS 38.212 short block, A in [3, 11]).
+    std::vector<uint8_t> payload(A);
+    for (auto& b : payload) b = rng() & 1;
+    std::vector<uint8_t> coded(E);
+    sb_enc.encode(coded, payload, modulation_scheme::QPSK);
+
+    // Scramble (TS 38.211 6.3.2.5.1) and QPSK-map.
+    pseudo_random_generator_impl scr;
+    scr.init((unsigned)c.rnti * pow2(15) + c.n_id);
+    scr.apply_xor(coded, coded);
+    dynamic_bit_buffer packed(E);
+    srsvec::bit_pack(packed, coded);
+    std::vector<cf_t> x(E / 2);
+    mapper.modulate(x, packed, modulation_scheme::QPSK);
+
+    // Noise floor.
+    for (unsigned p = 0; p != c.ports; ++p)
+      for (unsigned s = 0; s != 14; ++s)
+        for (unsigned k = 0; k != subc; ++k) grid.at(p, s, k) = to_cbf16(ch.noise());
+
+    // Map data (k%3 != 1) and DM-RS (k%3 == 1; TS 38.211 6.4.1.3.2).
+    pseudo_random_generator_impl dmrs_prg;
+    unsigned data_i = 0;
+    for (unsigned s = 0; s != c.nof_syms; ++s) {
+      unsigned sym = c.start_sym + s;
+      unsigned c_init =
+          ((14ull * c.slot_idx + sym + 1) * (2ull * c.n_id0 + 1) * pow2(17) +
+           2ull * c.n_id0) % pow2(31);
+      dmrs_prg.init(c_init);
+      dmrs_prg.advance(c.prb * 4 * 2);
+      std::vector<cf_t> pil(c.nof_prb * 4);
+      static_cast<pseudo_random_generator&>(dmrs_prg).generate(span<cf_t>(pil), (float)M_SQRT1_2);
+      unsigned pi = 0;
+      for (unsigned rb = 0; rb != c.nof_prb; ++rb) {
+        for (unsigned re = 0; re != NRE; ++re) {
+          unsigned k = (c.prb + rb) * NRE + re;
+          cf_t v = (re % 3 == 1) ? pil[pi++] : x[data_i++];
+          for (unsigned p = 0; p != c.ports; ++p) {
+            cf_t cur = to_cf(grid.at(p, sym, k));
+            grid.at(p, sym, k) = to_cbf16(cur + v * ch.h(p, k % NRE));
+          }
+        }
+      }
+    }
+
+    // Reference RX.
+    auto proc = make_processor(c.bwp_rb, c.ports);
+    pucch_processor::format2_configuration cfg;
+    cfg.slot = slot;
+    cfg.cp = cyclic_prefix::NORMAL;
+    for (unsigned p = 0; p != c.ports; ++p) cfg.ports.push_back(p);
+    cfg.bwp_size_rb = c.bwp_rb;
+    cfg.bwp_start_rb = 0;
+    cfg.starting_prb = c.prb;
+    cfg.second_hop_prb = std::nullopt;
+    cfg.nof_prb = c.nof_prb;
+    cfg.start_symbol_index = c.start_sym;
+    cfg.nof_symbols = c.nof_syms;
+    cfg.rnti = c.rnti;
+    cfg.n_id = c.n_id;
+    cfg.n_id_0 = c.n_id0;
+    cfg.nof_harq_ack = c.nof_harq;
+    cfg.nof_sr = c.nof_sr;
+    cfg.nof_csi_part1 = c.nof_csi1;
+    cfg.nof_csi_part2 = 0;
+
+    pucch_processor_result res = proc->process(grid, cfg);
+
+    std::string base = std::to_string(idx);
+    dump_grid(grid, c.ports, subc, "grid" + base + ".dat");
+    write_dat("payload" + base + ".dat", payload);
+
+    bool valid = res.message.get_status() == uci_status::valid;
+    std::vector<uint8_t> ref_bits;
+    for (auto b : res.message.get_harq_ack_bits()) ref_bits.push_back(b);
+    for (auto b : res.message.get_sr_bits()) ref_bits.push_back(b);
+    for (auto b : res.message.get_csi_part1_bits()) ref_bits.push_back(b);
+    write_dat("ref_bits" + base + ".dat", ref_bits);
+
+    m.begin_case();
+    m.field("idx", (long long)idx);
+    m.field("bwp_rb", (long long)c.bwp_rb);
+    m.field("prb", (long long)c.prb);
+    m.field("nof_prb", (long long)c.nof_prb);
+    m.field("start_sym", (long long)c.start_sym);
+    m.field("nof_syms", (long long)c.nof_syms);
+    m.field("rnti", (long long)c.rnti);
+    m.field("n_id", (long long)c.n_id);
+    m.field("n_id0", (long long)c.n_id0);
+    m.field("slot_idx", (long long)c.slot_idx);
+    m.field("nof_harq", (long long)c.nof_harq);
+    m.field("nof_sr", (long long)c.nof_sr);
+    m.field("nof_csi1", (long long)c.nof_csi1);
+    m.field("ports", (long long)c.ports);
+    m.field("ref_valid", (long long)(valid ? 1 : 0));
+    m.end_case();
+    ++idx;
+  }
+  m.flush();
+}
+
 } // namespace
 
 void gen_pucch_format0_suite() { gen_pucch_format0(); }
 void gen_pucch_format1_suite() { gen_pucch_format1(); }
+void gen_pucch_format2_suite() { gen_pucch_format2(); }

@@ -61,6 +61,7 @@ void gen_pusch_demodulator_suite();
 void gen_pusch_processor_suite();
 void gen_pucch_format0_suite();
 void gen_pucch_format1_suite();
+void gen_pucch_format2_suite();
 
 namespace {
 
@@ -652,6 +653,7 @@ int main(int argc, char** argv) {
       {"pusch_processor_rx", gen_pusch_processor_suite},
       {"pucch_format0", gen_pucch_format0_suite},
       {"pucch_format1", gen_pucch_format1_suite},
+      {"pucch_format2", gen_pucch_format2_suite},
   };
   if (argc == 2) {
     for (auto& [name, fn] : suites) fn();
