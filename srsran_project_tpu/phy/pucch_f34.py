@@ -65,25 +65,34 @@ def _c_init(cfg: PucchFormat34Config) -> int:
     return ((cfg.rnti << 15) + cfg.n_id) % (1 << 31)
 
 
+# Format 4 DM-RS initial cyclic shift per OCC index (TS 38.211
+# Table 6.4.1.3.3.1-1; reference dmrs_pucch_estimator_formats3_4.cpp:34-50).
+_F4_DMRS_M0 = {0: 0, 1: 6, 2: 3, 3: 9}
+
+
 @functools.lru_cache(maxsize=None)
 def _dmrs_seq(cfg: PucchFormat34Config, sym_rel: int) -> np.ndarray:
     """Low-PAPR DM-RS for one DM-RS symbol over the allocation."""
     u = cfg.n_id % 30
     base = sequences.base_sequence(u, 0, cfg.nof_data_sc)
-    # Per-symbol cyclic shift from the cell PRN (alpha hopping).
+    # Per-symbol cyclic shift from the cell PRN (alpha hopping), plus the
+    # OCC-dependent m0 for Format 4.
+    m0 = _F4_DMRS_M0[cfg.occ_index] if cfg.occ_length > 1 else 0
     sym_abs = cfg.start_symbol + sym_rel
     seq = scrambling.gold_ref(cfg.n_id % (1 << 31), 8 * 14 * (cfg.slot_in_frame + 1))
     bits = seq[8 * (14 * cfg.slot_in_frame + sym_abs) : 8 * (14 * cfg.slot_in_frame + sym_abs) + 8]
     ncs = int(sum(int(b) << m for m, b in enumerate(bits)))
-    alpha = 2.0 * np.pi * (ncs % NRE) / NRE
+    alpha = 2.0 * np.pi * ((m0 + ncs) % NRE) / NRE
     ramp = np.exp(1j * alpha * np.arange(cfg.nof_data_sc))
     return (base * ramp).astype(np.complex64)
 
 
 def _occ(cfg: PucchFormat34Config) -> np.ndarray:
+    """Pre-DFT block weights w_i(m) = e^{-j2pi·i·m/n} (TS 38.211 Table
+    6.3.2.6.3-1/2; reference pucch_format4_length{2,4} tables)."""
     n = cfg.occ_length
     i = cfg.occ_index
-    return np.exp(2j * np.pi * i * np.arange(n) / n).astype(np.complex64)
+    return np.exp(-2j * np.pi * i * np.arange(n) / n).astype(np.complex64)
 
 
 def generate(cfg: PucchFormat34Config, bits: np.ndarray) -> np.ndarray:

@@ -96,3 +96,28 @@ def test_pucch_format2_golden():
         got = np.asarray(bits)[:nof_uci]
         assert np.array_equal(got, ref_bits), (case, got, ref_bits)
         assert np.array_equal(got, payload), case
+
+
+def test_pucch_format34_golden():
+    from srsran_project_tpu.phy import pucch_f34
+
+    cases = load_suite("pucch_format34")
+    assert len(cases) == 5
+    for case in cases:
+        subc = case["bwp_rb"] * 12
+        grid = _load_grid("pucch_format34", case, case["ports"], subc)
+        payload = read_vector(suite_path("pucch_format34", f"payload{case['idx']}.dat"), "u8")
+        ref_bits = read_vector(suite_path("pucch_format34", f"ref_bits{case['idx']}.dat"), "u8")
+        nof_uci = case["nof_harq"] + case["nof_sr"] + case["nof_csi1"]
+        cfg = pucch_f34.PucchFormat34Config(
+            prb_start=case["prb"], nof_prb=case["nof_prb"],
+            start_symbol=case["start_sym"], nof_symbols=case["nof_syms"],
+            nof_uci_bits=nof_uci, rnti=case["rnti"], n_id=case["n_id"],
+            occ_length=case["occ_length"], occ_index=case["occ_index"],
+            slot_in_frame=case["slot_idx"], nof_rx_ports=case["ports"],
+            nof_grid_sc=subc)
+        bits, ok, snr_db = pucch_f34.process(grid, cfg)
+        assert bool(ok) == bool(case["ref_valid"]), case
+        got = np.asarray(bits)[:nof_uci]
+        assert np.array_equal(got, ref_bits), (case, got, ref_bits)
+        assert np.array_equal(got, payload), case

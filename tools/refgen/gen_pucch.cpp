@@ -41,6 +41,7 @@
 #include "lib/phy/upper/signal_processors/pucch/dmrs_pucch_estimator_impl.h"
 #include "lib/phy/upper/signal_processors/channel_estimator/port_channel_estimator_average_impl.h"
 #include "srsran/phy/support/resource_grid_reader.h"
+#include "srsran/phy/upper/pucch_formats3_4_helpers.h"
 #include "srsran/phy/upper/pucch_helper.h"
 #include "srsran/phy/upper/pucch_orthogonal_sequence.h"
 #include "srsran/ran/pucch/pucch_constants.h"
@@ -625,8 +626,200 @@ void gen_pucch_format2() {
   m.flush();
 }
 
+// --- Format 3/4 suite ------------------------------------------------------
+
+void gen_pucch_format34() {
+  start("pucch_format34");
+  manifest m("manifest.json");
+  auto rng = make_rng(0xF3F4);
+
+  pucch_helper helper(std::make_unique<pseudo_random_generator_impl>());
+  low_papr_sequence_generator_impl seq_gen;
+  short_block_encoder_impl sb_enc;
+  modulation_mapper_lut_impl mapper;
+
+  struct f34case {
+    unsigned bwp_rb, prb, nof_prb, start_sym, nof_syms;
+    unsigned rnti, n_id, slot_idx;
+    unsigned nof_harq, nof_sr, nof_csi1;
+    unsigned occ_length, occ_index;  // occ_length 1 => format 3
+    float snr_db;
+    unsigned ports;
+  };
+  std::vector<f34case> cases = {
+      // Format 3.
+      {52, 0, 1, 0, 14, 0x4601, 42, 2, 4, 0, 0, 1, 0, 20.f, 1},
+      {52, 8, 2, 4, 10, 0x1234, 301, 7, 6, 1, 4, 1, 0, 20.f, 1},
+      {106, 30, 4, 9, 5, 0x17a1, 77, 3, 11, 0, 0, 1, 0, 22.f, 2},
+      // Format 4 (1 PRB, pre-DFT OCC).
+      {52, 5, 1, 0, 14, 0x900d, 10, 6, 4, 0, 0, 2, 1, 20.f, 1},
+      {52, 5, 1, 0, 14, 0x77aa, 55, 8, 3, 0, 0, 4, 3, 22.f, 1},
+  };
+
+  int idx = 0;
+  for (const auto& c : cases) {
+    unsigned subc = c.bwp_rb * NRE;
+    unsigned m_sc = c.nof_prb * NRE;
+    unsigned A = c.nof_harq + c.nof_sr + c.nof_csi1;
+    pucch_grid grid(c.ports, 14, subc);
+    float nstd = std::sqrt(std::pow(10.f, -c.snr_db / 10.f) / 2.f);
+    chan_model ch{rng, nstd, c.ports};
+    slot_point slot(to_numerology_value(subcarrier_spacing::kHz30), c.slot_idx);
+
+    symbol_slot_mask dmrs_mask = get_pucch_formats3_4_dmrs_symbol_mask(
+        c.nof_syms, /*frequency_hopping=*/false, /*additional_dmrs=*/false);
+    unsigned nof_data_syms = c.nof_syms - dmrs_mask.count();
+    unsigned E = nof_data_syms * m_sc * 2 / c.occ_length;  // QPSK
+
+    // Encode + scramble + modulate.
+    std::vector<uint8_t> payload(A);
+    for (auto& b : payload) b = rng() & 1;
+    std::vector<uint8_t> coded(E);
+    sb_enc.encode(coded, payload, modulation_scheme::QPSK);
+    pseudo_random_generator_impl scr;
+    scr.init((unsigned)c.rnti * pow2(15) + c.n_id);
+    scr.apply_xor(coded, coded);
+    dynamic_bit_buffer packed(E);
+    srsvec::bit_pack(packed, coded);
+    std::vector<cf_t> d(E / 2);
+    mapper.modulate(d, packed, modulation_scheme::QPSK);
+
+    // Forward DFT (transform precoding TX side: 1/sqrt(M_sc) scaling).
+    dft_processor_generic_impl dft(
+        dft_processor::configuration{m_sc, dft_processor::direction::DIRECT});
+
+    // Noise floor.
+    for (unsigned p = 0; p != c.ports; ++p)
+      for (unsigned s = 0; s != 14; ++s)
+        for (unsigned k = 0; k != subc; ++k) grid.at(p, s, k) = to_cbf16(ch.noise());
+
+    auto [u, v] = pucch_helper::compute_group_sequence(pucch_group_hopping::NEITHER, c.n_id);
+    // Format 4 DM-RS m0 per TS 38.211 Table 6.4.1.3.3.1-1 (estimator
+    // dmrs_pucch_estimator_formats3_4.cpp:34-50); Format 3 uses m0 = 0.
+    unsigned m0 = 0;
+    if (c.occ_length > 1) {
+      static const unsigned m0_table[4] = {0, 6, 3, 9};
+      m0 = m0_table[c.occ_index];
+    }
+
+    unsigned mod = NRE / std::max(c.occ_length, 1u);
+    span<const cf_t> wn;
+    if (c.occ_length > 1)
+      wn = pucch_orthogonal_sequence_format4::get_sequence(c.occ_length, c.occ_index);
+
+    unsigned i_data_sym = 0;
+    for (unsigned s = 0; s != c.nof_syms; ++s) {
+      unsigned sym = c.start_sym + s;
+      std::vector<cf_t> x(m_sc);
+      if (dmrs_mask.test(s)) {
+        unsigned alpha_idx = helper.get_alpha_index(slot, cyclic_prefix::NORMAL,
+                                                    c.n_id, sym, m0, 0);
+        seq_gen.generate(x, u, v, alpha_idx, NRE);
+      } else {
+        // Block-wise spreading (F4) or plain block (F3), then DFT.
+        std::vector<cf_t> y(m_sc);
+        const cf_t* block = &d[i_data_sym * (m_sc / c.occ_length)];
+        for (unsigned k = 0; k != m_sc; ++k)
+          y[k] = (c.occ_length > 1) ? wn[k] * block[k % mod] : block[k];
+        srsvec::copy(dft.get_input(), y);
+        span<const cf_t> out = dft.run();
+        for (unsigned k = 0; k != m_sc; ++k)
+          x[k] = out[k] / std::sqrt((float)m_sc);
+        ++i_data_sym;
+      }
+      for (unsigned p = 0; p != c.ports; ++p)
+        for (unsigned k = 0; k != m_sc; ++k) {
+          cf_t cur = to_cf(grid.at(p, sym, c.prb * NRE + k));
+          grid.at(p, sym, c.prb * NRE + k) = to_cbf16(cur * 0.0f + x[k] * ch.h(p, k % NRE) + ch.noise());
+        }
+    }
+
+    // Reference RX.
+    auto proc = make_processor(c.bwp_rb, c.ports);
+    pucch_processor_result res;
+    if (c.occ_length == 1) {
+      pucch_processor::format3_configuration cfg;
+      cfg.slot = slot;
+      cfg.cp = cyclic_prefix::NORMAL;
+      for (unsigned p = 0; p != c.ports; ++p) cfg.ports.push_back(p);
+      cfg.bwp_size_rb = c.bwp_rb;
+      cfg.bwp_start_rb = 0;
+      cfg.starting_prb = c.prb;
+      cfg.second_hop_prb = std::nullopt;
+      cfg.nof_prb = c.nof_prb;
+      cfg.start_symbol_index = c.start_sym;
+      cfg.nof_symbols = c.nof_syms;
+      cfg.rnti = c.rnti;
+      cfg.n_id_hopping = c.n_id;
+      cfg.n_id_scrambling = c.n_id;
+      cfg.nof_harq_ack = c.nof_harq;
+      cfg.nof_sr = c.nof_sr;
+      cfg.nof_csi_part1 = c.nof_csi1;
+      cfg.nof_csi_part2 = 0;
+      cfg.additional_dmrs = false;
+      cfg.pi2_bpsk = false;
+      res = proc->process(grid, cfg);
+    } else {
+      pucch_processor::format4_configuration cfg;
+      cfg.slot = slot;
+      cfg.cp = cyclic_prefix::NORMAL;
+      for (unsigned p = 0; p != c.ports; ++p) cfg.ports.push_back(p);
+      cfg.bwp_size_rb = c.bwp_rb;
+      cfg.bwp_start_rb = 0;
+      cfg.starting_prb = c.prb;
+      cfg.second_hop_prb = std::nullopt;
+      cfg.start_symbol_index = c.start_sym;
+      cfg.nof_symbols = c.nof_syms;
+      cfg.rnti = c.rnti;
+      cfg.n_id_hopping = c.n_id;
+      cfg.n_id_scrambling = c.n_id;
+      cfg.nof_harq_ack = c.nof_harq;
+      cfg.nof_sr = c.nof_sr;
+      cfg.nof_csi_part1 = c.nof_csi1;
+      cfg.nof_csi_part2 = 0;
+      cfg.additional_dmrs = false;
+      cfg.pi2_bpsk = false;
+      cfg.occ_index = c.occ_index;
+      cfg.occ_length = c.occ_length;
+      res = proc->process(grid, cfg);
+    }
+
+    std::string base = std::to_string(idx);
+    dump_grid(grid, c.ports, subc, "grid" + base + ".dat");
+    write_dat("payload" + base + ".dat", payload);
+    bool valid = res.message.get_status() == uci_status::valid;
+    std::vector<uint8_t> ref_bits;
+    for (auto b : res.message.get_harq_ack_bits()) ref_bits.push_back(b);
+    for (auto b : res.message.get_sr_bits()) ref_bits.push_back(b);
+    for (auto b : res.message.get_csi_part1_bits()) ref_bits.push_back(b);
+    write_dat("ref_bits" + base + ".dat", ref_bits);
+
+    m.begin_case();
+    m.field("idx", (long long)idx);
+    m.field("bwp_rb", (long long)c.bwp_rb);
+    m.field("prb", (long long)c.prb);
+    m.field("nof_prb", (long long)c.nof_prb);
+    m.field("start_sym", (long long)c.start_sym);
+    m.field("nof_syms", (long long)c.nof_syms);
+    m.field("rnti", (long long)c.rnti);
+    m.field("n_id", (long long)c.n_id);
+    m.field("slot_idx", (long long)c.slot_idx);
+    m.field("nof_harq", (long long)c.nof_harq);
+    m.field("nof_sr", (long long)c.nof_sr);
+    m.field("nof_csi1", (long long)c.nof_csi1);
+    m.field("occ_length", (long long)c.occ_length);
+    m.field("occ_index", (long long)c.occ_index);
+    m.field("ports", (long long)c.ports);
+    m.field("ref_valid", (long long)(valid ? 1 : 0));
+    m.end_case();
+    ++idx;
+  }
+  m.flush();
+}
+
 } // namespace
 
 void gen_pucch_format0_suite() { gen_pucch_format0(); }
 void gen_pucch_format1_suite() { gen_pucch_format1(); }
 void gen_pucch_format2_suite() { gen_pucch_format2(); }
+void gen_pucch_format34_suite() { gen_pucch_format34(); }

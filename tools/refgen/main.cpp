@@ -62,6 +62,7 @@ void gen_pusch_processor_suite();
 void gen_pucch_format0_suite();
 void gen_pucch_format1_suite();
 void gen_pucch_format2_suite();
+void gen_pucch_format34_suite();
 
 namespace {
 
@@ -654,6 +655,7 @@ int main(int argc, char** argv) {
       {"pucch_format0", gen_pucch_format0_suite},
       {"pucch_format1", gen_pucch_format1_suite},
       {"pucch_format2", gen_pucch_format2_suite},
+      {"pucch_format34", gen_pucch_format34_suite},
   };
   if (argc == 2) {
     for (auto& [name, fn] : suites) fn();
