@@ -119,11 +119,18 @@ def _re_indices(cfg: PdcchConfig):
                 dsym.append(sym)
             else:
                 data.append(base + re)
+    # Coded symbols map onto the allocated REs in (symbol, frequency)
+    # ascending order, NOT in CCE/REG enumeration order — the reference
+    # modulator derives a PRB mask from the CCEs and fills it sequentially
+    # (pdcch_modulator_impl.cpp mapping; golden-tested).  Sort all index
+    # arrays by flat grid position (symbol-major).
+    data = np.sort(np.asarray(data, np.int32))
+    order = np.argsort(np.asarray(dmrs, np.int32), kind="stable")
     return (
-        np.asarray(data, np.int32),
-        np.asarray(dmrs, np.int32),
-        np.asarray(seq, np.int32),
-        np.asarray(dsym, np.int32),
+        data,
+        np.asarray(dmrs, np.int32)[order],
+        np.asarray(seq, np.int32)[order],
+        np.asarray(dsym, np.int32)[order],
     )
 
 

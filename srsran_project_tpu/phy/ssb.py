@@ -84,6 +84,7 @@ class SsbConfig:
     ssb_index: int = 0
     l_max: int = 8
     sfn_2lsb: int = 0  # 2nd/3rd LSB of SFN: first-scrambling offset v
+    hrf: int = 0  # half-frame bit (second half-frame = 1)
 
     @property
     def nid1(self) -> int:
@@ -96,6 +97,28 @@ class SsbConfig:
     @functools.cached_property
     def code(self) -> polar.PolarCode:
         return polar.construct(K_PBCH, E_PBCH, n_max=9)
+
+
+def pbch_pack_payload(mib_bits, sfn: int, hrf: int, ssb_index: int,
+                      l_max: int, k_ssb: int = 0) -> np.ndarray:
+    """Pack the 24 MIB bits + timing fields into the 32-bit pre-interleave
+    PBCH payload a(j) consumed by :func:`encode_pbch` (ordering mirrors the
+    reference's interleaver walk, pbch_encoder_impl.cpp:39-74
+    payload_generate: SFN-field MIB bits first, then SFN LSBs, HRF, the
+    SSB-index/k_ssb bits, then the remaining MIB bits)."""
+    mib = np.asarray(mib_bits, np.uint8)
+    assert mib.size == 24
+    out = []
+    out.extend(mib[1:7])                        # MIB SFN payload bits -> G[0..5]
+    out.extend(((sfn >> s) & 1) for s in (3, 2, 1, 0))  # SFN 4 LSBs -> G[6..9]
+    out.append(hrf & 1)                         # half-frame -> G[10]
+    if l_max == 64:
+        out.extend(((ssb_index >> s) & 1) for s in (5, 4, 3))  # -> G[11..13]
+    else:
+        out.extend(((k_ssb >> 4) & 1, 0, 0))    # k_ssb MSB + reserved
+    out.append(mib[0])                          # MIB bit 0 -> G[14]
+    out.extend(mib[7:24])                       # rest -> G[15..31]
+    return np.asarray(out, np.uint8)
 
 
 def pbch_payload_interleave(a_bits: jax.Array) -> jax.Array:
@@ -111,8 +134,12 @@ def _first_scrambling_mask(cfg: SsbConfig) -> np.ndarray:
     m = A_BITS - 3 if cfg.l_max in (4, 8) else A_BITS - 6
     seq = scrambling.gold_ref(cfg.pci, (cfg.sfn_2lsb + 1) * m)[-m:]
     mask = np.zeros(A_BITS, dtype=np.uint8)
-    # Unscrambled positions (interleaved indices): SFN 2nd/3rd LSB, HRF.
-    skip = {G_PATTERN[7], G_PATTERN[8], G_PATTERN[10]} if cfg.l_max in (4, 8) else set()
+    # Unscrambled positions (interleaved indices): SFN 2nd/3rd LSB and HRF
+    # always; additionally the 3 SSB-index bits when L_max = 64
+    # (reference pbch_encoder_impl.cpp:86-105 scramble()).
+    skip = {G_PATTERN[7], G_PATTERN[8], G_PATTERN[10]}
+    if cfg.l_max == 64:
+        skip |= {G_PATTERN[11], G_PATTERN[12], G_PATTERN[13]}
     j = 0
     for i in range(A_BITS):
         if i in skip:
@@ -154,8 +181,12 @@ def _ssb_re_layout(pci: int):
 
 
 def _dmrs_c_init(cfg: SsbConfig) -> int:
-    issb = cfg.ssb_index & (0b111 if cfg.l_max > 4 else 0b11)
-    # TS 38.211 §7.4.1.4.1 (half-frame bit 0).
+    # TS 38.211 §7.4.1.4.1: i_ssb takes the SSB index 2 LSBs + 4*n_hf for
+    # L_max = 4, or the 3 LSBs (no half-frame term) otherwise.
+    if cfg.l_max == 4:
+        issb = (cfg.ssb_index & 0b11) + 4 * (cfg.hrf & 1)
+    else:
+        issb = cfg.ssb_index & 0b111
     return ((1 << 11) * (issb + 1) * (cfg.pci // 4 + 1) + (1 << 6) * (issb + 1) + (cfg.pci % 4)) % (
         1 << 31
     )

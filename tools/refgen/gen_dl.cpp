@@ -1,0 +1,303 @@
+// DL control/broadcast processor golden suites: the REFERENCE
+// pdcch_processor (lib/phy/upper/channel_processors/pdcch/) and
+// ssb_processor (lib/phy/upper/channel_processors/ssb/) produce full grid
+// contributions from PDUs; tests/vectors/test_golden_dl_proc.py asserts
+// our phy.pdcch / phy.ssb TX chains generate identical grids.
+
+#include "common.h"
+
+#include "lib/phy/generic_functions/precoding/channel_precoder_generic.h"
+#include "lib/phy/support/resource_grid_mapper_impl.h"
+#include "lib/phy/upper/channel_coding/crc_calculator_lut_impl.h"
+#include "lib/phy/upper/channel_coding/polar/polar_allocator_impl.h"
+#include "lib/phy/upper/channel_coding/polar/polar_code_impl.h"
+#include "lib/phy/upper/channel_coding/polar/polar_encoder_impl.h"
+#include "lib/phy/upper/channel_coding/polar/polar_interleaver_impl.h"
+#include "lib/phy/upper/channel_coding/polar/polar_rate_matcher_impl.h"
+#include "lib/phy/upper/channel_modulation/modulation_mapper_lut_impl.h"
+#include "lib/phy/upper/channel_processors/pdcch/pdcch_encoder_impl.h"
+#include "lib/phy/upper/channel_processors/pdcch/pdcch_modulator_impl.h"
+#include "lib/phy/upper/channel_processors/pdcch/pdcch_processor_impl.h"
+#include "lib/phy/upper/channel_processors/ssb/pbch_encoder_impl.h"
+#include "lib/phy/upper/channel_processors/ssb/pbch_modulator_impl.h"
+#include "lib/phy/upper/channel_processors/ssb/ssb_processor_impl.h"
+#include "lib/phy/upper/sequence_generators/pseudo_random_generator_impl.h"
+#include "lib/phy/upper/signal_processors/pdcch/dmrs_pdcch_processor_impl.h"
+#include "lib/phy/upper/signal_processors/ssb/dmrs_pbch_processor_impl.h"
+#include "lib/phy/upper/signal_processors/ssb/pss_processor_impl.h"
+#include "lib/phy/upper/signal_processors/ssb/sss_processor_impl.h"
+#include "srsran/phy/support/resource_grid_writer.h"
+#include "srsran/ran/precoding/precoding_codebooks.h"
+
+#include <random>
+
+using namespace srsran;
+using namespace refgen;
+
+extern std::string g_root_outdir;
+
+namespace {
+
+void start(const std::string& name) { set_outdir(g_root_outdir + "/" + name); }
+
+class dl_grid : public resource_grid_writer {
+public:
+  dl_grid(unsigned nof_ports, unsigned nof_symbols, unsigned nof_subc)
+      : ports_(nof_ports), symbols_(nof_symbols), subc_(nof_subc),
+        data_(nof_ports * nof_symbols * nof_subc, cbf16_t()) {}
+  cbf16_t& at(unsigned p, unsigned l, unsigned k) {
+    return data_[(p * symbols_ + l) * subc_ + k];
+  }
+  unsigned get_nof_ports() const override { return ports_; }
+  unsigned get_nof_subc() const override { return subc_; }
+  unsigned get_nof_symbols() const override { return symbols_; }
+  span<const cf_t> put(unsigned port, unsigned l, unsigned k_init,
+                       const bounded_bitset<MAX_RB* NRE>& mask,
+                       span<const cf_t> symbols) override {
+    unsigned i = 0;
+    for (unsigned k = 0; k != mask.size(); ++k)
+      if (mask.test(k)) at(port, l, k_init + k) = to_cbf16(symbols[i++]);
+    return symbols.last(symbols.size() - i);
+  }
+  span<const cbf16_t> put(unsigned port, unsigned l, unsigned k_init,
+                          const bounded_bitset<MAX_RB* NRE>& mask,
+                          span<const cbf16_t> symbols) override {
+    unsigned i = 0;
+    for (unsigned k = 0; k != mask.size(); ++k)
+      if (mask.test(k)) at(port, l, k_init + k) = symbols[i++];
+    return symbols.last(symbols.size() - i);
+  }
+  void put(unsigned port, unsigned l, unsigned k_init, span<const cf_t> symbols) override {
+    for (unsigned i = 0; i != symbols.size(); ++i) at(port, l, k_init + i) = to_cbf16(symbols[i]);
+  }
+  void put(unsigned port, unsigned l, unsigned k_init, unsigned stride,
+           span<const cbf16_t> symbols) override {
+    for (unsigned i = 0; i != symbols.size(); ++i) at(port, l, k_init + i * stride) = symbols[i];
+  }
+  span<cbf16_t> get_view(unsigned port, unsigned l) override {
+    return span<cbf16_t>(&at(port, l, 0), subc_);
+  }
+
+  void dump(const std::string& name) const {
+    std::vector<cf_t> out;
+    out.reserve(data_.size());
+    for (const auto& v : data_) out.push_back(to_cf(v));
+    write_dat(name, reinterpret_cast<const float*>(out.data()), 2 * out.size());
+  }
+
+private:
+  unsigned ports_, symbols_, subc_;
+  std::vector<cbf16_t> data_;
+};
+
+// --- PDCCH processor suite -------------------------------------------------
+
+void gen_pdcch_processor() {
+  start("pdcch_processor");
+  manifest m("manifest.json");
+  auto rng = make_rng(0xDCC0);
+
+  auto make_proc = [] {
+    auto encoder = std::make_unique<pdcch_encoder_impl>(
+        std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC24C),
+        std::make_unique<polar_interleaver_impl>(),
+        std::make_unique<polar_allocator_impl>(),
+        std::make_unique<polar_code_impl>(),
+        std::make_unique<polar_encoder_impl>(),
+        std::make_unique<polar_rate_matcher_impl>());
+    auto modulator = std::make_unique<pdcch_modulator_impl>(
+        std::make_unique<modulation_mapper_lut_impl>(),
+        std::make_unique<pseudo_random_generator_impl>(),
+        std::make_unique<resource_grid_mapper_impl>(
+            std::make_unique<channel_precoder_generic>()));
+    auto dmrs = std::make_unique<dmrs_pdcch_processor_impl>(
+        std::make_unique<pseudo_random_generator_impl>(),
+        std::make_unique<resource_grid_mapper_impl>(
+            std::make_unique<channel_precoder_generic>()));
+    return std::make_unique<pdcch_processor_impl>(
+        std::move(encoder), std::move(modulator), std::move(dmrs));
+  };
+
+  struct pcase {
+    unsigned bwp_rb, coreset_rb_start, coreset_rb_count, start_sym, duration;
+    unsigned cce_index, aggregation_level, payload_bits;
+    unsigned rnti, n_id, n_rnti, slot_idx;
+    bool interleaved;
+    unsigned reg_bundle, interleaver_rows, shift_index;
+  };
+  std::vector<pcase> cases = {
+      {52, 0, 48, 0, 1, 0, 4, 40, 0x4601, 17, 0x4601, 1, false, 6, 2, 0},
+      {52, 6, 24, 0, 2, 2, 2, 28, 0x1234, 500, 0, 3, false, 6, 2, 0},
+      {106, 0, 48, 1, 1, 0, 8, 60, 0x17a1, 77, 0x17a1, 7, true, 6, 2, 77},
+      {52, 0, 36, 0, 2, 0, 1, 20, 0xfff0, 42, 0, 0, true, 2, 6, 11},
+  };
+
+  int idx = 0;
+  for (const auto& c : cases) {
+    unsigned subc = c.bwp_rb * NRE;
+    dl_grid grid(1, 14, subc);
+    auto proc = make_proc();
+
+    std::vector<uint8_t> payload(c.payload_bits);
+    for (auto& b : payload) b = rng() & 1;
+
+    pdcch_processor::pdu_t pdu;
+    pdu.slot = slot_point(to_numerology_value(subcarrier_spacing::kHz30), c.slot_idx);
+    pdu.cp = cyclic_prefix::NORMAL;
+    pdu.coreset.bwp_size_rb = c.bwp_rb;
+    pdu.coreset.bwp_start_rb = 0;
+    pdu.coreset.start_symbol_index = c.start_sym;
+    pdu.coreset.duration = c.duration;
+    pdu.coreset.frequency_resources.resize(pdcch_constants::MAX_NOF_FREQ_RESOURCES);
+    for (unsigned i = 0; i != c.coreset_rb_count / 6; ++i)
+      pdu.coreset.frequency_resources.set(c.coreset_rb_start / 6 + i);
+    pdu.coreset.cce_to_reg_mapping =
+        c.interleaved ? pdcch_processor::cce_to_reg_mapping_type::INTERLEAVED
+                      : pdcch_processor::cce_to_reg_mapping_type::NON_INTERLEAVED;
+    pdu.coreset.reg_bundle_size = c.reg_bundle;
+    pdu.coreset.interleaver_size = c.interleaver_rows;
+    pdu.coreset.shift_index = c.shift_index;
+    pdu.dci.rnti = c.rnti;
+    pdu.dci.n_id_pdcch_dmrs = c.n_id;
+    pdu.dci.n_id_pdcch_data = c.n_id;
+    pdu.dci.n_rnti = c.n_rnti;
+    pdu.dci.cce_index = c.cce_index;
+    pdu.dci.aggregation_level = c.aggregation_level;
+    pdu.dci.dmrs_power_offset_dB = 0.0f;
+    pdu.dci.data_power_offset_dB = 0.0f;
+    pdu.dci.payload.assign(payload.begin(), payload.end());
+    pdu.dci.precoding = precoding_configuration::make_wideband(make_single_port());
+
+    proc->process(grid, pdu);
+
+    std::string base = std::to_string(idx);
+    grid.dump("grid" + base + ".dat");
+    write_dat("payload" + base + ".dat", payload);
+
+    m.begin_case();
+    m.field("idx", (long long)idx);
+    m.field("bwp_rb", (long long)c.bwp_rb);
+    m.field("coreset_rb_start", (long long)c.coreset_rb_start);
+    m.field("coreset_rb_count", (long long)c.coreset_rb_count);
+    m.field("start_sym", (long long)c.start_sym);
+    m.field("duration", (long long)c.duration);
+    m.field("cce_index", (long long)c.cce_index);
+    m.field("aggregation_level", (long long)c.aggregation_level);
+    m.field("payload_bits", (long long)c.payload_bits);
+    m.field("rnti", (long long)c.rnti);
+    m.field("n_id", (long long)c.n_id);
+    m.field("n_rnti", (long long)c.n_rnti);
+    m.field("slot_idx", (long long)c.slot_idx);
+    m.field("interleaved", (long long)(c.interleaved ? 1 : 0));
+    m.field("reg_bundle", (long long)c.reg_bundle);
+    m.field("interleaver_rows", (long long)c.interleaver_rows);
+    m.field("shift_index", (long long)c.shift_index);
+    m.end_case();
+    ++idx;
+  }
+  m.flush();
+}
+
+// --- SSB processor suite ---------------------------------------------------
+
+void gen_ssb_processor() {
+  start("ssb_processor");
+  manifest m("manifest.json");
+  auto rng = make_rng(0x55B0);
+
+  auto make_proc = [] {
+    ssb_processor_config cfg;
+    cfg.encoder = std::make_unique<pbch_encoder_impl>(
+        std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC24C),
+        std::make_unique<pseudo_random_generator_impl>(),
+        std::make_unique<polar_interleaver_impl>(),
+        std::make_unique<polar_allocator_impl>(),
+        std::make_unique<polar_code_impl>(),
+        std::make_unique<polar_encoder_impl>(),
+        std::make_unique<polar_rate_matcher_impl>());
+    cfg.modulator = std::make_unique<pbch_modulator_impl>(
+        std::make_unique<modulation_mapper_lut_impl>(),
+        std::make_unique<pseudo_random_generator_impl>());
+    cfg.dmrs = std::make_unique<dmrs_pbch_processor_impl>(
+        std::make_unique<pseudo_random_generator_impl>());
+    cfg.pss = std::make_unique<pss_processor_impl>();
+    cfg.sss = std::make_unique<sss_processor_impl>();
+    return std::make_unique<ssb_processor_impl>(std::move(cfg));
+  };
+
+  struct scase {
+    unsigned pci, ssb_idx, L_max, sfn, slot_in_frame;
+    unsigned subcarrier_offset, offset_pointA;
+    float beta_pss;
+  };
+  // slot_in_frame selects the half-frame (hrf = slot >= 10 for kHz30) and
+  // must contain the SSB burst position for the case pattern; keep the
+  // SSB in the slot's first half for simplicity (ssb_idx 0/1 -> slot 0,
+  // 2/3 -> slot 1, ...).
+  std::vector<scase> cases = {
+      {42, 0, 8, 16, 0, 0, 0, 0.0f},
+      {500, 3, 8, 109, 1, 2, 4, 0.0f},
+      {911, 1, 4, 7, 0, 6, 2, 0.0f},
+      {42, 5, 8, 16, 12, 0, 0, 0.0f},  // second half-frame (hrf = 1)
+  };
+
+  int idx = 0;
+  for (const auto& c : cases) {
+    // Grid: 20 PRB wide is plenty for offset_pointA + 20 RB SSB.
+    unsigned subc = (c.offset_pointA + 24) * NRE;
+    dl_grid grid(1, 14, subc);
+    auto proc = make_proc();
+
+    std::array<uint8_t, 24> mib;
+    for (auto& b : mib) b = rng() & 1;
+
+    ssb_processor::pdu_t pdu;
+    pdu.slot = slot_point(to_numerology_value(subcarrier_spacing::kHz30),
+                          (unsigned)c.sfn, c.slot_in_frame);
+    pdu.phys_cell_id = c.pci;
+    pdu.beta_pss = c.beta_pss;
+    pdu.ssb_idx = c.ssb_idx;
+    pdu.L_max = c.L_max;
+    pdu.common_scs = subcarrier_spacing::kHz30;
+    pdu.subcarrier_offset = c.subcarrier_offset;
+    pdu.offset_to_pointA = c.offset_pointA;
+    pdu.pattern_case = ssb_pattern_case::C;
+    std::copy(mib.begin(), mib.end(), pdu.mib_payload.begin());
+    pdu.ports.push_back(0);
+
+    proc->process(grid, pdu);
+
+    unsigned l_start_in_burst = ssb_get_l_first(pdu.pattern_case, pdu.ssb_idx);
+    unsigned l_start = l_start_in_burst % 14;
+    unsigned k_start = ssb_get_k_first(to_frequency_range(pdu.pattern_case),
+                                       to_subcarrier_spacing(pdu.pattern_case),
+                                       pdu.common_scs, pdu.offset_to_pointA,
+                                       pdu.subcarrier_offset);
+
+    std::string base = std::to_string(idx);
+    grid.dump("grid" + base + ".dat");
+    write_dat("mib" + base + ".dat", std::vector<uint8_t>(mib.begin(), mib.end()));
+
+    m.begin_case();
+    m.field("idx", (long long)idx);
+    m.field("pci", (long long)c.pci);
+    m.field("ssb_idx", (long long)c.ssb_idx);
+    m.field("L_max", (long long)c.L_max);
+    m.field("sfn", (long long)c.sfn);
+    m.field("slot_in_frame", (long long)c.slot_in_frame);
+    m.field("subcarrier_offset", (long long)c.subcarrier_offset);
+    m.field("offset_pointA", (long long)c.offset_pointA);
+    m.field("grid_rb", (long long)(c.offset_pointA + 24));
+    m.field("l_start", (long long)l_start);
+    m.field("k_start", (long long)k_start);
+    m.field("hrf", (long long)(pdu.slot.is_odd_hrf() ? 1 : 0));
+    m.end_case();
+    ++idx;
+  }
+  m.flush();
+}
+
+} // namespace
+
+void gen_pdcch_processor_suite() { gen_pdcch_processor(); }
+void gen_ssb_processor_suite() { gen_ssb_processor(); }

@@ -63,6 +63,8 @@ void gen_pucch_format0_suite();
 void gen_pucch_format1_suite();
 void gen_pucch_format2_suite();
 void gen_pucch_format34_suite();
+void gen_pdcch_processor_suite();
+void gen_ssb_processor_suite();
 
 namespace {
 
@@ -656,6 +658,8 @@ int main(int argc, char** argv) {
       {"pucch_format1", gen_pucch_format1_suite},
       {"pucch_format2", gen_pucch_format2_suite},
       {"pucch_format34", gen_pucch_format34_suite},
+      {"pdcch_processor", gen_pdcch_processor_suite},
+      {"ssb_processor", gen_ssb_processor_suite},
   };
   if (argc == 2) {
     for (auto& [name, fn] : suites) fn();
