@@ -106,10 +106,12 @@ def _re_layout(cfg: CsiRsConfig):
         offsets = [cfg.k0, cfg.k0 + 4, cfg.k0 + 8]
         sym = cfg.symbol
         ks, seq = [], []
-        for rb_i, rb in enumerate(rbs):
+        # Sequence index counts pilots from CRB0, not from rb_start
+        # (reference nzp_csi_rs_generator_impl.cpp:86-97 PRG advance).
+        for rb in rbs:
             for j, off in enumerate(offsets):
                 ks.append(sym * cfg.nof_grid_sc + rb * NRE + off)
-                seq.append(rb_i * 3 + j)
+                seq.append(rb * 3 + j)
         return (((sym, np.asarray(ks, np.int32), np.asarray(seq, np.int32),
                   np.ones(len(ks), np.float32)),),)
 
@@ -144,10 +146,16 @@ def _re_layout(cfg: CsiRsConfig):
                 sym = base_l + lp
                 offs = sym_offsets[sym]
                 kslist, seqlist, wlist = [], [], []
-                for rb_i, rb in enumerate(rbs):
+                # Pilot sequence index m' = fd*n + k' with n the absolute
+                # PRB (counted from CRB0): every CDM group in a PRB shares
+                # the same fd values — the per-symbol sequence length is
+                # nof_rb*fd regardless of how many (kbar, lbar) locations
+                # the row has (reference get_seq_len,
+                # nzp_csi_rs_generator_impl.cpp:142-176).
+                for rb in rbs:
                     for kp in range(fd):
                         kslist.append(sym * cfg.nof_grid_sc + rb * NRE + k + kp)
-                        seqlist.append(rb_i * len(offs) + offs.index(k + kp))
+                        seqlist.append(rb * fd + kp)
                         wlist.append(float(wf[kp] * wt[lp]))
                 entries[sym] = (np.asarray(kslist, np.int32), np.asarray(seqlist, np.int32),
                                 np.asarray(wlist, np.float32))
@@ -160,10 +168,15 @@ def generate(cfg: CsiRsConfig, amplitude: float = 1.0) -> jax.Array:
     """CSI-RS contribution as a (nof_ports, nsym, nsc) grid (squeezed to
     (nsym, nsc) for single-port rows, preserving the row-1 legacy shape)."""
     layout = _re_layout(cfg)
-    # per-symbol pilot sequences (c_init depends on the symbol index)
+    # per-symbol pilot sequences (c_init depends on the symbol index);
+    # generate the longest sequence any port needs for a symbol up front.
+    nseq_needed = max(int(seq_idx.max()) + 1
+                      for port_entries in layout
+                      for _, _, seq_idx, _ in port_entries)
     pilot_cache: dict[int, jax.Array] = {}
 
     def pilots_for(sym: int, nseq: int) -> jax.Array:
+        nseq = nseq_needed
         if sym not in pilot_cache:
             c = scrambling.gold_sequence(np.uint32(_c_init(cfg, sym)), 2 * nseq)
             re = 1.0 - 2.0 * c[0::2].astype(jnp.float32)

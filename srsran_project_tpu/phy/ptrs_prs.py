@@ -99,11 +99,16 @@ def generate_prs(cfg: PrsConfig) -> jax.Array:
     grid = jnp.zeros((cfg.nof_grid_symbols * cfg.nof_grid_sc,), jnp.complex64)
     per_sym = cfg.rb_count * NRE // cfg.comb_size
     offsets = _PRS_OFFSETS[cfg.comb_size]
+    # Pilot sequence index counts from Point A: skip rb_start PRBs' worth
+    # of pilots (reference prs_generator_impl.cpp:77 `prg->advance`).
+    per_prb = NRE // cfg.comb_size
+    skip = cfg.rb_start * per_prb
     for i in range(cfg.nof_symbols):
         sym = cfg.start_symbol + i
         koff = (cfg.comb_offset + offsets[i % len(offsets)]) % cfg.comb_size
         ks = cfg.rb_start * NRE + koff + cfg.comb_size * np.arange(per_sym)
-        c = scrambling.gold_sequence(np.uint32(_prs_c_init(cfg, sym)), 2 * per_sym)
+        c = scrambling.gold_sequence(np.uint32(_prs_c_init(cfg, sym)),
+                                     2 * (skip + per_sym))[2 * skip :]
         re = 1.0 - 2.0 * c[0::2].astype(jnp.float32)
         im = 1.0 - 2.0 * c[1::2].astype(jnp.float32)
         pilots = ((re + 1j * im) / np.sqrt(2)).astype(jnp.complex64)

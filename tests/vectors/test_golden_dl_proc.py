@@ -71,3 +71,53 @@ def test_ssb_processor_golden():
         mask = np.ones_like(ref, bool)
         mask[l0 : l0 + 4, k0 : k0 + 240] = False
         assert np.abs(ref[mask]).max() == 0.0, case
+
+
+def test_csi_rs_generator_golden():
+    from srsran_project_tpu.phy import csi_rs
+
+    cases = load_suite("csi_rs_generator")
+    assert len(cases) == 5
+    for case in cases:
+        subc = case["bwp_rb"] * 12
+        ports = case["nof_ports"]
+        ref = read_vector(suite_path("csi_rs_generator", f"grid{case['idx']}.dat"),
+                          "cf32").reshape(ports, 14, subc)
+        ki = tuple(case["ki"])
+        cfg = csi_rs.CsiRsConfig(
+            rb_start=case["rb_start"], rb_count=case["rb_count"],
+            symbol=case["l0"], scrambling_id=case["scrambling_id"],
+            row=case["row"], k0=ki[0], ki=ki if len(ki) > 1 else (),
+            symbol2=case["l1"] if case["l1"] else None,
+            slot_in_frame=case["slot_idx"],
+            nof_grid_symbols=14, nof_grid_sc=subc)
+        # The golden grids include the reference's make_identity precoding
+        # normalization (1/sqrt(nof_ports), precoding_codebooks.cpp:76).
+        got = np.asarray(csi_rs.generate(cfg)) / np.sqrt(ports)
+        if got.ndim == 2:
+            got = got[None]
+        err = np.abs(got - ref)
+        assert err.max() < 8e-3, (case, float(err.max()))
+        # 4-port rows carry 1/sqrt(4)-scaled pilots (~0.35 amplitude).
+        assert np.abs(ref).max() > 0.3, case
+
+
+def test_prs_generator_golden():
+    from srsran_project_tpu.phy import ptrs_prs
+
+    cases = load_suite("prs_generator")
+    assert len(cases) == 5
+    for case in cases:
+        subc = case["bwp_rb"] * 12
+        ref = read_vector(suite_path("prs_generator", f"grid{case['idx']}.dat"),
+                          "cf32").reshape(14, subc)
+        cfg = ptrs_prs.PrsConfig(
+            rb_start=case["rb_start"], rb_count=case["rb_count"],
+            start_symbol=case["start_symbol"], nof_symbols=case["nof_symbols"],
+            comb_size=case["comb_size"], comb_offset=case["comb_offset"],
+            n_id_prs=case["n_id_prs"], slot_in_frame=case["slot_idx"],
+            nof_grid_sc=subc, nof_grid_symbols=14)
+        got = np.asarray(ptrs_prs.generate_prs(cfg))
+        err = np.abs(got - ref)
+        assert err.max() < 8e-3, (case, float(err.max()))
+        assert np.abs(ref).max() > 0.5, case

@@ -48,6 +48,7 @@ public:
     body_ += "\"" + k + "\": " + buf;
   }
   void field(const std::string& k, const std::string& v) { sep(); body_ += "\"" + k + "\": \"" + v + "\""; }
+  void raw_field(const std::string& k, const std::string& v) { sep(); body_ += "\"" + k + "\": " + v; }
   void end_case() { body_ += "}"; }
   void flush() {
     body_ += "\n]\n";

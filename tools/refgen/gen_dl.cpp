@@ -26,6 +26,9 @@
 #include "lib/phy/upper/signal_processors/ssb/dmrs_pbch_processor_impl.h"
 #include "lib/phy/upper/signal_processors/ssb/pss_processor_impl.h"
 #include "lib/phy/upper/signal_processors/ssb/sss_processor_impl.h"
+#include "lib/phy/upper/signal_processors/nzp_csi_rs/nzp_csi_rs_generator_impl.h"
+#include "lib/phy/upper/signal_processors/prs/prs_generator_impl.h"
+#include "srsran/phy/upper/signal_processors/prs/prs_generator_configuration.h"
 #include "srsran/phy/support/resource_grid_writer.h"
 #include "srsran/ran/precoding/precoding_codebooks.h"
 
@@ -297,7 +300,156 @@ void gen_ssb_processor() {
   m.flush();
 }
 
+// --- NZP-CSI-RS generator suite --------------------------------------------
+
+void gen_csi_rs_generator() {
+  start("csi_rs_generator");
+  manifest m("manifest.json");
+
+  auto make_gen = [] {
+    return std::make_unique<nzp_csi_rs_generator_impl>(
+        std::make_unique<pseudo_random_generator_impl>(),
+        std::make_unique<resource_grid_mapper_impl>(
+            std::make_unique<channel_precoder_generic>()));
+  };
+
+  struct ccase {
+    unsigned row, rb_start, rb_count, l0, l1;
+    std::vector<unsigned> k_ref;     // freq_allocation_ref_idx values
+    csi_rs_cdm_type cdm;
+    csi_rs_freq_density_type density;
+    unsigned scrambling_id, slot_idx;
+    unsigned nof_ports;
+    std::vector<unsigned> ki;        // our-framework k-bar list
+  };
+  std::vector<ccase> cases = {
+      {1, 0, 16, 5, 0, {2}, csi_rs_cdm_type::no_CDM,
+       csi_rs_freq_density_type::three, 42, 3, 1, {2}},
+      {2, 4, 24, 13, 0, {7}, csi_rs_cdm_type::no_CDM,
+       csi_rs_freq_density_type::one, 500, 7, 1, {7}},
+      {4, 0, 12, 9, 0, {4}, csi_rs_cdm_type::fd_CDM2,
+       csi_rs_freq_density_type::one, 77, 1, 4, {4, 6}},
+      {5, 2, 10, 5, 0, {6}, csi_rs_cdm_type::fd_CDM2,
+       csi_rs_freq_density_type::one, 901, 8, 4, {6}},
+      {5, 6, 18, 9, 0, {2}, csi_rs_cdm_type::fd_CDM2,
+       csi_rs_freq_density_type::one, 10, 2, 4, {2}},
+  };
+
+  int idx = 0;
+  for (const auto& c : cases) {
+    unsigned bwp_rb = c.rb_start + c.rb_count;
+    unsigned subc = bwp_rb * NRE;
+    dl_grid grid(c.nof_ports, 14, subc);
+    auto gen = make_gen();
+
+    nzp_csi_rs_generator::config_t cfg;
+    cfg.slot = slot_point(to_numerology_value(subcarrier_spacing::kHz30), c.slot_idx);
+    cfg.cp = cyclic_prefix::NORMAL;
+    cfg.start_rb = c.rb_start;
+    cfg.nof_rb = c.rb_count;
+    cfg.csi_rs_mapping_table_row = c.row;
+    for (unsigned v : c.k_ref) cfg.freq_allocation_ref_idx.push_back(v);
+    cfg.symbol_l0 = c.l0;
+    cfg.symbol_l1 = c.l1;
+    cfg.cdm = c.cdm;
+    cfg.freq_density = c.density;
+    cfg.scrambling_id = c.scrambling_id;
+    cfg.amplitude = 1.0f;
+    cfg.precoding = precoding_configuration::make_wideband(make_identity(c.nof_ports));
+
+    gen->map(grid, cfg);
+
+    std::string base = std::to_string(idx);
+    grid.dump("grid" + base + ".dat");
+
+    m.begin_case();
+    m.field("idx", (long long)idx);
+    m.field("row", (long long)c.row);
+    m.field("rb_start", (long long)c.rb_start);
+    m.field("rb_count", (long long)c.rb_count);
+    m.field("l0", (long long)c.l0);
+    m.field("l1", (long long)c.l1);
+    m.field("scrambling_id", (long long)c.scrambling_id);
+    m.field("slot_idx", (long long)c.slot_idx);
+    m.field("nof_ports", (long long)c.nof_ports);
+    m.field("bwp_rb", (long long)bwp_rb);
+    {
+      std::string s = "[";
+      for (size_t i = 0; i != c.ki.size(); ++i)
+        s += (i ? "," : "") + std::to_string(c.ki[i]);
+      s += "]";
+      m.raw_field("ki", s);
+    }
+    m.end_case();
+    ++idx;
+  }
+  m.flush();
+}
+
+// --- PRS generator suite ---------------------------------------------------
+
+void gen_prs_generator() {
+  start("prs_generator");
+  manifest m("manifest.json");
+
+  struct pcase {
+    unsigned rb_start, rb_count, start_symbol, nof_symbols;
+    unsigned comb_size, comb_offset, n_id_prs, slot_idx;
+  };
+  std::vector<pcase> cases = {
+      {0, 24, 2, 4, 4, 0, 17, 1},
+      {4, 48, 0, 12, 4, 2, 2025, 5},
+      {0, 24, 3, 6, 6, 1, 4000, 9},
+      {8, 24, 0, 2, 2, 0, 511, 0},
+      {0, 48, 1, 12, 12, 7, 1234, 2},
+  };
+
+  int idx = 0;
+  for (const auto& c : cases) {
+    unsigned bwp_rb = c.rb_start + c.rb_count;
+    unsigned subc = bwp_rb * NRE;
+    dl_grid grid(1, 14, subc);
+    prs_generator_impl gen(std::make_unique<pseudo_random_generator_impl>(),
+                           std::make_unique<channel_precoder_generic>());
+
+    prs_generator_configuration cfg;
+    cfg.slot = slot_point(to_numerology_value(subcarrier_spacing::kHz30), c.slot_idx);
+    cfg.cp = cyclic_prefix::NORMAL;
+    cfg.n_id_prs = c.n_id_prs;
+    cfg.comb_size = static_cast<prs_comb_size>(c.comb_size);
+    cfg.comb_offset = c.comb_offset;
+    cfg.duration = static_cast<prs_num_symbols>(c.nof_symbols);
+    cfg.start_symbol = c.start_symbol;
+    cfg.prb_start = c.rb_start;
+    cfg.freq_alloc = {c.rb_start, c.rb_start + c.rb_count};
+    cfg.power_offset_dB = 0.0f;
+    cfg.precoding = precoding_configuration::make_wideband(make_single_port());
+
+    gen.generate(grid, cfg);
+
+    std::string base = std::to_string(idx);
+    grid.dump("grid" + base + ".dat");
+
+    m.begin_case();
+    m.field("idx", (long long)idx);
+    m.field("rb_start", (long long)c.rb_start);
+    m.field("rb_count", (long long)c.rb_count);
+    m.field("start_symbol", (long long)c.start_symbol);
+    m.field("nof_symbols", (long long)c.nof_symbols);
+    m.field("comb_size", (long long)c.comb_size);
+    m.field("comb_offset", (long long)c.comb_offset);
+    m.field("n_id_prs", (long long)c.n_id_prs);
+    m.field("slot_idx", (long long)c.slot_idx);
+    m.field("bwp_rb", (long long)bwp_rb);
+    m.end_case();
+    ++idx;
+  }
+  m.flush();
+}
+
 } // namespace
 
 void gen_pdcch_processor_suite() { gen_pdcch_processor(); }
 void gen_ssb_processor_suite() { gen_ssb_processor(); }
+void gen_csi_rs_generator_suite() { gen_csi_rs_generator(); }
+void gen_prs_generator_suite() { gen_prs_generator(); }

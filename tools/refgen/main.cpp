@@ -65,6 +65,8 @@ void gen_pucch_format2_suite();
 void gen_pucch_format34_suite();
 void gen_pdcch_processor_suite();
 void gen_ssb_processor_suite();
+void gen_csi_rs_generator_suite();
+void gen_prs_generator_suite();
 
 namespace {
 
@@ -660,6 +662,8 @@ int main(int argc, char** argv) {
       {"pucch_format34", gen_pucch_format34_suite},
       {"pdcch_processor", gen_pdcch_processor_suite},
       {"ssb_processor", gen_ssb_processor_suite},
+      {"csi_rs_generator", gen_csi_rs_generator_suite},
+      {"prs_generator", gen_prs_generator_suite},
   };
   if (argc == 2) {
     for (auto& [name, fn] : suites) fn();
