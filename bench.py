@@ -79,21 +79,72 @@ def worker() -> None:
         jax.block_until_ready(out["tb_bits"])
         t_dec_c = time.time() - t0
         print(f"# warmup: decode done {t_dec_c:.1f}s", file=sys.stderr, flush=True)
-    # Device-side verification.  Read the verdict out NOW: device->host
-    # transfers on this backend die late in a process's life, so an
-    # end-of-run readout frequently leaves crc_verified null (VERDICT r1
-    # weak #1).  The benched-decode readout later upgrades the source.
+    # Device-side verification.  On some axon tunnels EVERY device->host
+    # transfer raises UNIMPLEMENTED (and poisons the client session), while
+    # host->device and pure execution keep working.  So the verdict is read
+    # through a TIMING channel instead of a transfer: a jitted program
+    # branches on the verdict between a trivial op and ~0.5 TFLOP of
+    # matmuls; its wall time, compared against the same executable fed
+    # literal True/False, reveals the verdict without a single d2h byte.
     nof_bit_errors = (out["tb_bits"] != tb).astype(jnp.int32).sum()
-    crc_ok_dev = out["tb_crc_ok"]
-    jax.block_until_ready((nof_bit_errors, crc_ok_dev))
+    verdict_dev = jnp.logical_and(out["tb_crc_ok"], nof_bit_errors == 0)
+    jax.block_until_ready(verdict_dev)
+
+    from jax import lax
+
+    probe_x = jnp.asarray(rng.standard_normal((1024, 1024)).astype(np.float32))
+
+    @jax.jit
+    def _verdict_probe(ok, x):
+        def heavy(x):
+            return lax.fori_loop(0, 256, lambda i, a: a @ x * 1e-3, x)
+        return lax.cond(ok, lambda x: x, heavy, x)
+
+    def _probe_time(ok_val):
+        jax.block_until_ready(_verdict_probe(ok_val, probe_x))
+        t0 = time.time()
+        jax.block_until_ready(_verdict_probe(ok_val, probe_x))
+        return time.time() - t0
+
+    # Sync-health probe: block_until_ready on a healthy backend scales with
+    # the amount of chained work; a tunnel that merely acks the enqueue
+    # returns in constant time.  A 64x-deeper matmul chain that is not at
+    # least 4x slower means every timing below is dispatch-bound and the
+    # result is flagged accordingly.
+    def _chain_time(n):
+        f = jax.jit(lambda x: lax.fori_loop(0, n, lambda i, a: a @ x * 1e-3, x))
+        jax.block_until_ready(f(probe_x))
+        t0 = time.time()
+        jax.block_until_ready(f(probe_x))
+        return time.time() - t0
+
+    try:
+        t_short = _chain_time(64)
+        t_long = _chain_time(4096)
+        sync_verified = t_long > 4 * t_short
+        print(f"# sync health: 64-chain {t_short*1e3:.2f}ms vs 4096-chain "
+              f"{t_long*1e3:.2f}ms -> sync_verified={sync_verified}",
+              file=sys.stderr, flush=True)
+    except Exception as e:
+        sync_verified = None
+        print(f"# sync-health probe failed: {str(e)[:60]}", file=sys.stderr, flush=True)
+
     crc_warmup = None
     try:
-        _bad = int(np.asarray(nof_bit_errors))
-        crc_warmup = bool(np.asarray(crc_ok_dev)) and _bad == 0
-        print(f"# warmup verify: crc_ok={crc_warmup} bit_errors={_bad}",
-              file=sys.stderr, flush=True)
+        t_true = _probe_time(jnp.asarray(True))
+        t_false = _probe_time(jnp.asarray(False))
+        t_x = _probe_time(verdict_dev)
+        if t_false > 3 * t_true:  # channel has measurable contrast
+            crc_warmup = abs(t_x - t_true) < abs(t_x - t_false)
+            print(f"# warmup verify (timing channel): crc_ok={crc_warmup} "
+                  f"(t_ok={t_true*1e3:.1f}ms t_fail={t_false*1e3:.1f}ms "
+                  f"t_verdict={t_x*1e3:.1f}ms)", file=sys.stderr, flush=True)
+        else:
+            print(f"# timing-channel contrast too low "
+                  f"(t_ok={t_true*1e3:.1f}ms t_fail={t_false*1e3:.1f}ms)",
+                  file=sys.stderr, flush=True)
     except Exception as e:  # pragma: no cover - tunnel flake
-        print(f"# warmup verify readout failed: {str(e)[:60]}",
+        print(f"# warmup verify probe failed: {str(e)[:60]}",
               file=sys.stderr, flush=True)
 
     import contextlib
@@ -147,6 +198,11 @@ def worker() -> None:
         "decode_fixed_iter_ms": round(t_dec_fixed * 1e3, 3) if t_dec_fixed else None,
         "crc_verified": crc_warmup,  # warmup verdict; benched readout upgrades
         "crc_verified_source": "warmup" if crc_warmup is not None else None,
+        # False means block_until_ready on this tunnel acks the enqueue
+        # without waiting for execution: every ms figure in this record is
+        # then a DISPATCH rate, not a compute rate.  Do not compare such a
+        # record against real-time budgets.
+        "sync_verified": sync_verified,
     }
 
     slot_ops_per_s = 1.0 / t_enc + 1.0 / t_dec
@@ -187,13 +243,22 @@ def worker() -> None:
                         vs_baseline=round(rate_a / 2000.0, 3), **extra)
         print("RESULT " + json.dumps(result_a), flush=True)
         try:
-            crcs = [bool(np.asarray(o[1])) for o in dec_outs]
-            extra["crc_verified"] = all(crcs)
-            extra["crc_verified_source"] = "benched"
-            print(f"# crc verified on {len(crcs)} benched decodes: {all(crcs)}",
-                  file=sys.stderr, flush=True)
+            # Combine every benched decode's CRC on device, then read the
+            # verdict through the transfer-free timing channel.
+            all_ok = dec_outs[0][1]
+            for o in dec_outs[1:]:
+                all_ok = jnp.logical_and(all_ok, o[1])
+            t_x = _probe_time(all_ok)
+            t_true = _probe_time(jnp.asarray(True))
+            t_false = _probe_time(jnp.asarray(False))
+            if t_false > 3 * t_true:
+                extra["crc_verified"] = bool(abs(t_x - t_true) < abs(t_x - t_false))
+                extra["crc_verified_source"] = "benched-timing-channel"
+                print(f"# crc verified on {len(dec_outs)} benched decodes "
+                      f"(timing channel): {extra['crc_verified']}",
+                      file=sys.stderr, flush=True)
         except Exception as e:
-            print(f"# benched-crc readout failed ({str(e)[:60]}); warmup verdict stands",
+            print(f"# benched-crc probe failed ({str(e)[:60]}); warmup verdict stands",
                   file=sys.stderr, flush=True)
 
         # Per-slot latency percentiles (one slot in flight, round-trip
@@ -254,11 +319,16 @@ def worker() -> None:
             rate_b = 1.0 / t_enc_b + 1.0 / t_dec_b
             print(f"# batched x{b}: encode {t_enc_b*1e3:.2f} ms/slot, decode {t_dec_b*1e3:.2f} ms/slot",
                   file=sys.stderr, flush=True)
-            # CRC verdicts of the benched batch ride the same outputs.
+            # CRC verdicts of the benched batch, via the timing channel.
             try:
                 crc_b = jax.vmap(lambda x, r: cell_mod.decode_slot(x, r, cfg)["tb_crc_ok"])(
                     iq_rx_b, rntis_dec)
-                extra["crc_verified"] = bool(np.asarray(crc_b).all())
+                t_x = _probe_time(crc_b.all())
+                t_true = _probe_time(jnp.asarray(True))
+                t_false = _probe_time(jnp.asarray(False))
+                if t_false > 3 * t_true:
+                    extra["crc_verified"] = bool(abs(t_x - t_true) < abs(t_x - t_false))
+                    extra["crc_verified_source"] = f"batched-x{b}-timing-channel"
             except Exception:
                 pass
             result_b = dict(result, value=round(rate_b, 1),
@@ -269,13 +339,14 @@ def worker() -> None:
             print(f"# batched x{b} failed ({str(e)[:80]})", file=sys.stderr, flush=True)
 
     # Risky device->host readout last: RESULT is already out if this dies.
+    # (On tunnels with a working transfer path this gives the exact values;
+    # on broken ones the timing-channel verdicts above already stand.)
     try:
-        print(f"# verify: crc_ok={bool(np.asarray(crc_ok_dev))} "
+        print(f"# verify: crc_ok={bool(np.asarray(verdict_dev))} "
               f"bit_errors={int(np.asarray(nof_bit_errors))}", file=sys.stderr, flush=True)
     except Exception as e:
         print(f"# verify readout failed (transfer path): {str(e)[:80]}; "
-              "loopback correctness is covered by the test suite",
-              file=sys.stderr, flush=True)
+              "timing-channel verdict stands", file=sys.stderr, flush=True)
 
 
 def worker_ldpc_only() -> None:

@@ -28,7 +28,15 @@
 #include "lib/phy/upper/signal_processors/ssb/sss_processor_impl.h"
 #include "lib/phy/upper/signal_processors/nzp_csi_rs/nzp_csi_rs_generator_impl.h"
 #include "lib/phy/upper/signal_processors/prs/prs_generator_impl.h"
+#include "lib/phy/upper/signal_processors/srs/srs_estimator_generic_impl.h"
+#include "lib/phy/support/time_alignment_estimator/time_alignment_estimator_dft_impl.h"
+#include "lib/phy/generic_functions/dft_processor_generic_impl.h"
+#include "srsran/ran/srs/srs_information.h"
+#include "srsran/phy/upper/signal_processors/srs/srs_estimator_configuration.h"
+#include "srsran/phy/upper/signal_processors/srs/srs_estimator_result.h"
+#include "lib/phy/upper/sequence_generators/low_papr_sequence_generator_impl.h"
 #include "srsran/phy/upper/signal_processors/prs/prs_generator_configuration.h"
+#include "srsran/phy/support/resource_grid_reader.h"
 #include "srsran/phy/support/resource_grid_writer.h"
 #include "srsran/ran/precoding/precoding_codebooks.h"
 
@@ -447,9 +455,180 @@ void gen_prs_generator() {
   m.flush();
 }
 
+// --- SRS estimator suite ---------------------------------------------------
+
+// Reader view over dl_grid (the SRS estimator consumes a reader).
+class srs_reader_grid : public resource_grid_reader {
+public:
+  srs_reader_grid(const dl_grid& g, unsigned ports, unsigned symbols, unsigned subc)
+      : g_(g), ports_(ports), symbols_(symbols), subc_(subc) {}
+  unsigned get_nof_ports() const override { return ports_; }
+  unsigned get_nof_subc() const override { return subc_; }
+  unsigned get_nof_symbols() const override { return symbols_; }
+  bool is_empty(unsigned) const override { return false; }
+  bool is_empty() const override { return false; }
+  span<cf_t> get(span<cf_t> symbols, unsigned port, unsigned l, unsigned k_init,
+                 const bounded_bitset<MAX_RB * NRE>& mask) const override {
+    unsigned i = 0;
+    for (unsigned k = 0; k != mask.size(); ++k)
+      if (mask.test(k)) symbols[i++] = to_cf(const_cast<dl_grid&>(g_).at(port, l, k_init + k));
+    return symbols.last(symbols.size() - i);
+  }
+  span<cbf16_t> get(span<cbf16_t> symbols, unsigned port, unsigned l, unsigned k_init,
+                    const bounded_bitset<MAX_RB * NRE>& mask) const override {
+    unsigned i = 0;
+    for (unsigned k = 0; k != mask.size(); ++k)
+      if (mask.test(k)) symbols[i++] = const_cast<dl_grid&>(g_).at(port, l, k_init + k);
+    return symbols.last(symbols.size() - i);
+  }
+  void get(span<cf_t> symbols, unsigned port, unsigned l, unsigned k_init,
+           unsigned stride) const override {
+    for (unsigned i = 0; i != symbols.size(); ++i)
+      symbols[i] = to_cf(const_cast<dl_grid&>(g_).at(port, l, k_init + i * stride));
+  }
+  void get(span<cbf16_t> symbols, unsigned port, unsigned l, unsigned k_init) const override {
+    for (unsigned i = 0; i != symbols.size(); ++i)
+      symbols[i] = const_cast<dl_grid&>(g_).at(port, l, k_init + i);
+  }
+  span<const cbf16_t> get_view(unsigned port, unsigned l) const override {
+    return const_cast<dl_grid&>(g_).get_view(port, l);
+  }
+
+private:
+  const dl_grid& g_;
+  unsigned ports_, symbols_, subc_;
+};
+
+void gen_srs_estimator() {
+  start("srs_estimator");
+  manifest m("manifest.json");
+  auto rng = make_rng(0x5125);
+  std::normal_distribution<float> noise_d(0.f, 1.f);
+
+  struct scase {
+    unsigned c_srs, b_srs, comb, comb_offset, cyclic_shift;
+    unsigned freq_shift, start_symbol, nof_symbols;
+    unsigned sequence_id, slot_idx, rx_ports;
+    float snr_db;
+  };
+  std::vector<scase> cases = {
+      {0, 0, 2, 0, 0, 0, 13, 1, 17, 1, 1, 25.f},
+      {5, 0, 2, 1, 3, 2, 12, 2, 500, 5, 2, 25.f},
+      {12, 0, 4, 2, 5, 1, 10, 4, 77, 8, 1, 25.f},
+      {20, 0, 4, 0, 11, 4, 13, 1, 901, 3, 2, 28.f},
+  };
+
+  int idx = 0;
+  for (const auto& c : cases) {
+    srs_resource_configuration res;
+    res.nof_antenna_ports = srs_resource_configuration::one_two_four_enum::one;
+    res.nof_symbols = static_cast<srs_resource_configuration::one_two_four_enum>(c.nof_symbols);
+    res.start_symbol = c.start_symbol;
+    res.configuration_index = c.c_srs;
+    res.sequence_id = c.sequence_id;
+    res.bandwidth_index = c.b_srs;
+    res.comb_size = static_cast<srs_resource_configuration::comb_size_enum>(c.comb);
+    res.comb_offset = c.comb_offset;
+    res.cyclic_shift = c.cyclic_shift;
+    res.freq_position = 0;
+    res.freq_shift = c.freq_shift;
+    res.freq_hopping = 0;
+    res.hopping = srs_resource_configuration::group_or_sequence_hopping_enum::neither;
+    res.periodicity = std::nullopt;
+
+    srs_information info = get_srs_information(res, 0);
+    unsigned m_sc = info.sequence_length;
+    unsigned k0 = info.mapping_initial_subcarrier;
+    unsigned bwp_rb = (k0 + m_sc * c.comb + NRE - 1) / NRE + 2;
+    unsigned subc = bwp_rb * NRE;
+
+    // Synthesize the SRS transmission with the reference sequence
+    // primitives over a per-port phase-ramp channel + noise.
+    low_papr_sequence_generator_impl seq_gen;
+    std::vector<cf_t> seq(m_sc);
+    seq_gen.generate(seq, info.sequence_group, info.sequence_number, info.n_cs,
+                     info.n_cs_max);
+
+    dl_grid grid(c.rx_ports, 14, subc);
+    float nstd = std::sqrt(std::pow(10.f, -c.snr_db / 10.f) / 2.f);
+    for (unsigned p = 0; p != c.rx_ports; ++p)
+      for (unsigned s = 0; s != 14; ++s)
+        for (unsigned k = 0; k != subc; ++k)
+          grid.at(p, s, k) = to_cbf16(nstd * cf_t(noise_d(rng), noise_d(rng)));
+    for (unsigned p = 0; p != c.rx_ports; ++p) {
+      for (unsigned s = 0; s != c.nof_symbols; ++s) {
+        unsigned sym = c.start_symbol + s;
+        for (unsigned i = 0; i != m_sc; ++i) {
+          unsigned k = k0 + i * c.comb;
+          // Same delay (frequency ramp) on every Rx port — the reference's
+          // TA estimate is a joint peak across ports; per-port constant
+          // phase offsets keep the channel coefficients distinct.
+          float ph = 2.f * (float)M_PI * (0.03f * i / (float)m_sc + 0.11f * p);
+          cf_t h = cf_t(std::cos(ph), std::sin(ph));
+          cf_t cur = to_cf(grid.at(p, sym, k));
+          grid.at(p, sym, k) = to_cbf16(cur + seq[i] * h);
+        }
+      }
+    }
+
+    // Reference estimator.
+    srs_estimator_generic_impl::dependencies deps;
+    deps.sequence_generator = std::make_unique<low_papr_sequence_generator_impl>();
+    {
+      time_alignment_estimator_dft_impl::collection_dft_processors dfts;
+      for (unsigned size = 128; size <= 8192; size *= 2) {
+        dfts.emplace(size, std::make_unique<dft_processor_generic_impl>(
+                               dft_processor::configuration{
+                                   size, dft_processor::direction::INVERSE}));
+      }
+      deps.ta_estimator =
+          std::make_unique<time_alignment_estimator_dft_impl>(std::move(dfts));
+    }
+    srs_estimator_generic_impl estimator(std::move(deps), MAX_RB);
+
+    srs_estimator_configuration cfg;
+    cfg.slot = slot_point(to_numerology_value(subcarrier_spacing::kHz30), c.slot_idx);
+    cfg.resource = res;
+    for (unsigned p = 0; p != c.rx_ports; ++p) cfg.ports.push_back(p);
+
+    srs_reader_grid reader(grid, c.rx_ports, 14, subc);
+    srs_estimator_result result = estimator.estimate(reader, cfg);
+
+    std::string base = std::to_string(idx);
+    grid.dump("grid" + base + ".dat");
+    std::vector<cf_t> h_ref;
+    for (unsigned p = 0; p != c.rx_ports; ++p)
+      h_ref.push_back(result.channel_matrix.get_coefficient(p, 0));
+    write_dat("h" + base + ".dat", reinterpret_cast<const float*>(h_ref.data()),
+              2 * h_ref.size());
+
+    m.begin_case();
+    m.field("idx", (long long)idx);
+    m.field("m_sc", (long long)m_sc);
+    m.field("k0", (long long)k0);
+    m.field("comb", (long long)c.comb);
+    m.field("n_cs", (long long)info.n_cs);
+    m.field("n_cs_max", (long long)info.n_cs_max);
+    m.field("u", (long long)info.sequence_group);
+    m.field("sequence_id", (long long)c.sequence_id);
+    m.field("cyclic_shift", (long long)c.cyclic_shift);
+    m.field("start_symbol", (long long)c.start_symbol);
+    m.field("nof_symbols", (long long)c.nof_symbols);
+    m.field("rx_ports", (long long)c.rx_ports);
+    m.field("bwp_rb", (long long)bwp_rb);
+    m.field("ref_ta_s", result.time_alignment.time_alignment);
+    m.field("ref_epre_db", (double)result.epre_dB.value_or(-999.0));
+    m.field("ref_noise_var", (double)result.noise_variance.value_or(-1.0));
+    m.end_case();
+    ++idx;
+  }
+  m.flush();
+}
+
 } // namespace
 
 void gen_pdcch_processor_suite() { gen_pdcch_processor(); }
 void gen_ssb_processor_suite() { gen_ssb_processor(); }
 void gen_csi_rs_generator_suite() { gen_csi_rs_generator(); }
 void gen_prs_generator_suite() { gen_prs_generator(); }
+void gen_srs_estimator_suite() { gen_srs_estimator(); }

@@ -67,6 +67,7 @@ void gen_pdcch_processor_suite();
 void gen_ssb_processor_suite();
 void gen_csi_rs_generator_suite();
 void gen_prs_generator_suite();
+void gen_srs_estimator_suite();
 
 namespace {
 
@@ -664,6 +665,7 @@ int main(int argc, char** argv) {
       {"ssb_processor", gen_ssb_processor_suite},
       {"csi_rs_generator", gen_csi_rs_generator_suite},
       {"prs_generator", gen_prs_generator_suite},
+      {"srs_estimator", gen_srs_estimator_suite},
   };
   if (argc == 2) {
     for (auto& [name, fn] : suites) fn();
