@@ -46,7 +46,10 @@ class PdschConfig:
     # for common-phase-error tracking).
     ptrs_enabled: bool = False
     ptrs_k: int = 2  # K_PTRS
-    ptrs_re_offset: int = 0
+    ptrs_re_offset: int = 0  # resourceElementOffset (0..3), Table 7.4.1.2.2-1
+    # k_RB_ref = rnti mod K_PTRS (TS 38.211 7.4.1.2.2; rnti is a runtime
+    # value in this API, so callers fold it into the config).
+    ptrs_k_rb_ref: int = 0
 
     @functools.cached_property
     def sch(self) -> SchConfig:
@@ -129,27 +132,41 @@ def _grid_chain(cw: jax.Array, precoding: jax.Array, cfg: PdschConfig) -> jax.Ar
     return jnp.einsum("lp,lsk->psk", w, grid_l)
 
 
+# TS 38.211 Table 7.4.1.2.2-1 (DM-RS type 1): subcarrier k_RE_ref per
+# (resourceElementOffset, PT-RS port); reference ptrs_pattern.cpp:36-38.
+_PTRS_K_RE_TYPE1 = ((0, 2, 1, 3), (2, 4, 3, 5), (6, 8, 7, 9), (8, 10, 9, 11))
+
+
 @functools.lru_cache(maxsize=None)
 def ptrs_layout(cfg: PdschConfig):
     """(flat grid indices, pilot values, symbol index per RE) for the PT-RS
-    REs of this PDU (pilots reuse the DM-RS sequence of each symbol)."""
+    REs of this PDU.
+
+    Reference semantics (ptrs_pdsch_generator_impl.cpp:44-100,
+    ptrs_pattern.cpp): ONE DM-RS sequence — c_init from the FIRST DM-RS
+    symbol — feeds every PT-RS symbol; PRBs start at rb_start + k_RB_ref
+    with stride K_PTRS; the subcarrier comes from the Table 7.4.1.2.2-1
+    k_RE_ref for port 0."""
     a = cfg.alloc
-    prbs = list(range(a.rb_start, a.rb_start + a.rb_count, cfg.ptrs_k))
+    k_re = _PTRS_K_RE_TYPE1[cfg.ptrs_re_offset][0]
+    prbs = list(range(a.rb_start + cfg.ptrs_k_rb_ref,
+                      a.rb_start + a.rb_count, cfg.ptrs_k))
     data_syms = [s for s in range(a.sym_start, a.sym_start + a.sym_count)
                  if s not in a.dmrs_symbols]
+    l0 = min(a.dmrs_symbols)
+    c_init = dmrs_mod.dmrs_c_init(cfg.slot_in_frame, l0, cfg.dmrs_scrambling_id, cfg.n_scid)
+    nseq = (a.crb_start + a.rb_start + a.rb_count) * 6
+    # Host-side LFSR (this helper is lru_cached and also runs inside jit
+    # traces, where calling the jitted gold_sequence is not allowed).
+    c = scrambling.gold_ref(c_init, 2 * nseq)
+    re_p = 1.0 - 2.0 * c[0::2].astype(np.float32)
+    im_p = 1.0 - 2.0 * c[1::2].astype(np.float32)
+    r = (re_p + 1j * im_p) / np.sqrt(2)
     idx, vals, syms = [], [], []
     for sym in data_syms:
-        c_init = dmrs_mod.dmrs_c_init(cfg.slot_in_frame, sym, cfg.dmrs_scrambling_id, cfg.n_scid)
-        nseq = (a.crb_start + a.rb_start + a.rb_count) * 6
-        # Host-side LFSR (this helper is lru_cached and also runs inside jit
-        # traces, where calling the jitted gold_sequence is not allowed).
-        c = scrambling.gold_ref(c_init, 2 * nseq)
-        re_p = 1.0 - 2.0 * c[0::2].astype(np.float32)
-        im_p = 1.0 - 2.0 * c[1::2].astype(np.float32)
-        r = (re_p + 1j * im_p) / np.sqrt(2)
         for prb in prbs:
-            idx.append(sym * cfg.nof_grid_sc + prb * 12 + cfg.ptrs_re_offset)
-            vals.append(r[(a.crb_start + prb) * 6 + cfg.ptrs_re_offset // 2])
+            idx.append(sym * cfg.nof_grid_sc + prb * 12 + k_re)
+            vals.append(r[(a.crb_start + prb) * 6 + k_re // 2])
             syms.append(sym)
     return (np.asarray(idx, np.int32), np.asarray(vals, np.complex64),
             np.asarray(syms, np.int32))

@@ -86,6 +86,7 @@ class PuschConfig:
     ptrs_enabled: bool = False
     ptrs_k: int = 2
     ptrs_re_offset: int = 0
+    ptrs_k_rb_ref: int = 0  # rnti mod K_PTRS, folded in by the caller
 
     @functools.cached_property
     def g_total(self) -> int:
@@ -259,6 +260,7 @@ def _estimate_stage(grid: jax.Array, cfg: PuschConfig):
             nof_grid_sc=cfg.nof_grid_sc, slot_in_frame=cfg.slot_in_frame,
             dmrs_scrambling_id=cfg.dmrs_scrambling_id, n_scid=cfg.n_scid,
             ptrs_enabled=True, ptrs_k=cfg.ptrs_k, ptrs_re_offset=cfg.ptrs_re_offset,
+            ptrs_k_rb_ref=cfg.ptrs_k_rb_ref,
         )
         p_idx, p_vals, p_syms = pdsch_mod.ptrs_layout(tx_twin)
         sc_of_p = (p_idx % cfg.nof_grid_sc) - a.sc_start
@@ -307,6 +309,7 @@ def _ptrs_bit_positions(cfg: PuschConfig) -> np.ndarray:
         nof_grid_sc=cfg.nof_grid_sc, slot_in_frame=cfg.slot_in_frame,
         dmrs_scrambling_id=cfg.dmrs_scrambling_id, n_scid=cfg.n_scid,
         ptrs_enabled=True, ptrs_k=cfg.ptrs_k, ptrs_re_offset=cfg.ptrs_re_offset,
+        ptrs_k_rb_ref=cfg.ptrs_k_rb_ref,
     )
     p_idx, _, _ = pdsch_mod.ptrs_layout(tx_twin)
     didx = alloc_mod.data_re_indices(a, cfg.nof_grid_symbols, cfg.nof_grid_sc)

@@ -122,6 +122,7 @@ void gen_pdsch_processor() {
     modulation_scheme mod;
     unsigned dmrs_mask;  // symbol mask
     unsigned cdm_groups;
+    bool ptrs = false;   // PT-RS with K=2, L=1, reOffset 0
   };
   std::vector<pcase> cases = {
       {24, 0, 24, 1, 13, 96, 0, 0x4601, 1, 1, 1, modulation_scheme::QPSK,
@@ -134,6 +135,14 @@ void gen_pdsch_processor() {
        (1u << 2), 2},
       {52, 10, 20, 0, 14, 640, 2, 0x777, 42, 42, 1, modulation_scheme::QAM64,
        (1u << 2) | (1u << 7) | (1u << 11), 1},
+      // NOTE: no PT-RS case.  The reference's pdsch PT-RS path is not
+      // driven by its own FAPI adaptor and pdsch_compute_nof_data_re
+      // asserts out under ASSERTS_ENABLED (re_pattern crb_mask used
+      // unsized, pdsch_processor_helpers.h:171) — there is no exercised
+      // upstream behavior to pin.  Our PT-RS follows the generator's
+      // conventions (single c_init at l_0, k_RB_ref = rnti mod K, Table
+      // 7.4.1.2.2-1 k_RE) with spec puncture semantics, unit-tested in
+      // tests/test_ptrs_on_pxsch.py.
   };
   int idx = 0;
   for (const auto& c : cases) {
@@ -172,6 +181,14 @@ void gen_pdsch_processor() {
     pdu.tbs_lbrm = tbs_lbrm_default;
     pdu.reserved = re_pattern_list();
     pdu.ptrs = std::nullopt;
+    if (c.ptrs) {
+      pdsch_processor::ptrs_configuration ptrs_cfg;
+      ptrs_cfg.freq_density = ptrs_frequency_density::two;
+      ptrs_cfg.time_density = ptrs_time_density::one;
+      ptrs_cfg.re_offset = ptrs_re_offset::offset00;
+      ptrs_cfg.ratio_ptrs_to_pdsch_data_dB = 0.0f;
+      pdu.ptrs.emplace(ptrs_cfg);
+    }
     // Production power profile (lib/fapi_adaptor/phy/messages/pdsch.cpp:82):
     // DMRS power follows data power by the TS38.214 Table 4.1-1 ratio, so
     // the grid carries boosted DM-RS at >1 CDM group.
@@ -206,6 +223,7 @@ void gen_pdsch_processor() {
     m.field("qm", (long long)get_bits_per_symbol(c.mod));
     m.field("dmrs_mask", (long long)c.dmrs_mask);
     m.field("cdm_groups", (long long)c.cdm_groups);
+    m.field("ptrs", (long long)(c.ptrs ? 1 : 0));
     m.field("bg", (long long)(pdu.ldpc_base_graph == ldpc_base_graph_type::BG1 ? 1 : 2));
     m.field("slot_numerology", (long long)1);
     m.field("slot_sfn", (long long)3);
