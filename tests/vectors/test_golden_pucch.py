@@ -78,7 +78,7 @@ def test_pucch_format2_golden():
     from srsran_project_tpu.phy import pucch_f2
 
     cases = load_suite("pucch_format2")
-    assert len(cases) == 4
+    assert len(cases) == 6
     for case in cases:
         subc = case["bwp_rb"] * 12
         grid = _load_grid("pucch_format2", case, case["ports"], subc)
@@ -102,7 +102,7 @@ def test_pucch_format34_golden():
     from srsran_project_tpu.phy import pucch_f34
 
     cases = load_suite("pucch_format34")
-    assert len(cases) == 5
+    assert len(cases) == 6
     for case in cases:
         subc = case["bwp_rb"] * 12
         grid = _load_grid("pucch_format34", case, case["ports"], subc)

@@ -19,6 +19,9 @@
 #include "lib/phy/upper/channel_coding/polar/polar_deallocator_impl.h"
 #include "lib/phy/upper/channel_coding/polar/polar_encoder_impl.h"
 #include "lib/phy/upper/channel_coding/polar/polar_rate_dematcher_impl.h"
+#include "lib/phy/upper/channel_coding/polar/polar_allocator_impl.h"
+#include "lib/phy/upper/channel_coding/polar/polar_interleaver_impl.h"
+#include "lib/phy/upper/channel_coding/polar/polar_rate_matcher_impl.h"
 #include "lib/phy/upper/channel_coding/short/short_block_detector_impl.h"
 #include "lib/phy/upper/channel_coding/short/short_block_encoder_impl.h"
 #include "lib/phy/upper/channel_modulation/demodulation_mapper_impl.h"
@@ -125,6 +128,58 @@ std::unique_ptr<uci_decoder> make_uci_dec() {
       std::make_unique<polar_deallocator_impl>(),
       std::make_unique<crc_calculator_generic_impl>(crc_generator_poly::CRC6),
       std::make_unique<crc_calculator_generic_impl>(crc_generator_poly::CRC11));
+}
+
+// TX-side UCI encoder mirroring uci_decoder_impl's polar chain
+// (uci_decoder_impl.cpp:43-107): short block for A <= 11; otherwise
+// CRC6/11 + polar(ibil) + rate match, 2 codeblocks with filler on the
+// first when segmented.
+std::vector<uint8_t> uci_encode_ref(span<const uint8_t> payload, unsigned E) {
+  unsigned A = payload.size();
+  std::vector<uint8_t> out(E);
+  if (A <= 11) {
+    short_block_encoder_impl sb;
+    sb.encode(out, payload, modulation_scheme::QPSK);
+    return out;
+  }
+  unsigned crc_size = (A >= 20) ? 11 : 6;
+  bool segmented = (A >= 360 && E >= 1088) || (A >= 1013);
+  unsigned nof_cb = segmented ? 2 : 1;
+  crc_calculator_generic_impl crc6(crc_generator_poly::CRC6);
+  crc_calculator_generic_impl crc11(crc_generator_poly::CRC11);
+  crc_calculator& crc = (crc_size == 11) ? static_cast<crc_calculator&>(crc11)
+                                         : static_cast<crc_calculator&>(crc6);
+  polar_code_impl code;
+  polar_allocator_impl allocator;
+  polar_encoder_impl encoder;
+  polar_rate_matcher_impl rm;
+  unsigned cb0 = A / nof_cb;
+  unsigned filler = A % nof_cb;
+  unsigned pos_in = 0, pos_out = 0;
+  for (unsigned i_cb = 0; i_cb != nof_cb; ++i_cb) {
+    unsigned cb_msg = (i_cb == 0) ? cb0 : (A + nof_cb - 1) / nof_cb;
+    unsigned cb_fill = (i_cb == 0) ? filler : 0;
+    unsigned E_cb = E / nof_cb;
+    unsigned K = cb_msg + cb_fill + crc_size;
+    std::vector<uint8_t> a(K);
+    for (unsigned j = 0; j != cb_fill; ++j) a[j] = 0;
+    for (unsigned j = 0; j != cb_msg; ++j) a[cb_fill + j] = payload[pos_in + j];
+    crc_calculator_checksum_t checksum =
+        crc.calculate_bit(span<const uint8_t>(a.data(), cb_msg + cb_fill));
+    for (unsigned j = 0; j != crc_size; ++j)
+      a[cb_msg + cb_fill + j] = (checksum >> (crc_size - 1 - j)) & 1;
+    code.set(K, E_cb, 10, polar_code_ibil::present);
+    std::vector<uint8_t> allocated(code.get_N());
+    allocator.allocate(allocated, a, code);
+    std::vector<uint8_t> encoded(code.get_N());
+    encoder.encode(encoded, allocated, code.get_n());
+    std::vector<uint8_t> matched(E_cb);
+    rm.rate_match(matched, encoded, code);
+    std::copy(matched.begin(), matched.end(), out.begin() + pos_out);
+    pos_in += cb_msg;
+    pos_out += E_cb;
+  }
+  return out;
 }
 
 // Build the reference pucch_processor with all format paths.
@@ -510,6 +565,9 @@ void gen_pucch_format2() {
       {52, 4, 2, 12, 2, 0x1234, 301, 301, 5, 4, 1, 4, 20.f, 1},
       {106, 20, 4, 12, 2, 0x17a1, 77, 901, 8, 6, 1, 4, 20.f, 2},
       {52, 10, 3, 13, 1, 0x900d, 10, 10, 1, 11, 0, 0, 22.f, 1},
+      // Polar-coded UCI (A > 11): CRC6 regime and CRC11 regime.
+      {52, 0, 4, 12, 2, 0x4601, 42, 17, 4, 16, 0, 0, 22.f, 1},
+      {52, 20, 6, 12, 2, 0x1234, 301, 301, 6, 29, 1, 10, 22.f, 1},
   };
 
   short_block_encoder_impl sb_enc;
@@ -528,8 +586,7 @@ void gen_pucch_format2() {
     // Payload and encoding (TS 38.212 short block, A in [3, 11]).
     std::vector<uint8_t> payload(A);
     for (auto& b : payload) b = rng() & 1;
-    std::vector<uint8_t> coded(E);
-    sb_enc.encode(coded, payload, modulation_scheme::QPSK);
+    std::vector<uint8_t> coded = uci_encode_ref(payload, E);
 
     // Scramble (TS 38.211 6.3.2.5.1) and QPSK-map.
     pseudo_random_generator_impl scr;
@@ -654,6 +711,8 @@ void gen_pucch_format34() {
       // Format 4 (1 PRB, pre-DFT OCC).
       {52, 5, 1, 0, 14, 0x900d, 10, 6, 4, 0, 0, 2, 1, 20.f, 1},
       {52, 5, 1, 0, 14, 0x77aa, 55, 8, 3, 0, 0, 4, 3, 22.f, 1},
+      // Format 3 with polar-coded UCI (A = 25, CRC11).
+      {52, 12, 2, 0, 14, 0x2468, 77, 4, 20, 1, 4, 1, 0, 22.f, 1},
   };
 
   int idx = 0;
@@ -674,8 +733,7 @@ void gen_pucch_format34() {
     // Encode + scramble + modulate.
     std::vector<uint8_t> payload(A);
     for (auto& b : payload) b = rng() & 1;
-    std::vector<uint8_t> coded(E);
-    sb_enc.encode(coded, payload, modulation_scheme::QPSK);
+    std::vector<uint8_t> coded = uci_encode_ref(payload, E);
     pseudo_random_generator_impl scr;
     scr.init((unsigned)c.rnti * pow2(15) + c.n_id);
     scr.apply_xor(coded, coded);
