@@ -510,18 +510,24 @@ void gen_srs_estimator() {
     unsigned freq_shift, start_symbol, nof_symbols;
     unsigned sequence_id, slot_idx, rx_ports;
     float snr_db;
+    unsigned tx_ports = 1;
   };
   std::vector<scase> cases = {
       {0, 0, 2, 0, 0, 0, 13, 1, 17, 1, 1, 25.f},
       {5, 0, 2, 1, 3, 2, 12, 2, 500, 5, 2, 25.f},
       {12, 0, 4, 2, 5, 1, 10, 4, 77, 8, 1, 25.f},
       {20, 0, 4, 0, 11, 4, 13, 1, 901, 3, 2, 28.f},
+      // Multi-antenna-port SRS: 2 ports (shared comb, split shifts) and
+      // 4 ports with cs >= n_cs_max/2 (ports 1/3 interleave combs).
+      {12, 0, 2, 0, 1, 0, 12, 2, 333, 2, 1, 28.f, 2},
+      {12, 0, 4, 1, 7, 2, 10, 4, 555, 6, 2, 28.f, 4},
   };
 
   int idx = 0;
   for (const auto& c : cases) {
     srs_resource_configuration res;
-    res.nof_antenna_ports = srs_resource_configuration::one_two_four_enum::one;
+    res.nof_antenna_ports =
+        static_cast<srs_resource_configuration::one_two_four_enum>(c.tx_ports);
     res.nof_symbols = static_cast<srs_resource_configuration::one_two_four_enum>(c.nof_symbols);
     res.start_symbol = c.start_symbol;
     res.configuration_index = c.c_srs;
@@ -543,11 +549,9 @@ void gen_srs_estimator() {
     unsigned subc = bwp_rb * NRE;
 
     // Synthesize the SRS transmission with the reference sequence
-    // primitives over a per-port phase-ramp channel + noise.
+    // primitives over per-(rx,tx) phase-offset channels with one common
+    // delay ramp + noise.
     low_papr_sequence_generator_impl seq_gen;
-    std::vector<cf_t> seq(m_sc);
-    seq_gen.generate(seq, info.sequence_group, info.sequence_number, info.n_cs,
-                     info.n_cs_max);
 
     dl_grid grid(c.rx_ports, 14, subc);
     float nstd = std::sqrt(std::pow(10.f, -c.snr_db / 10.f) / 2.f);
@@ -555,18 +559,25 @@ void gen_srs_estimator() {
       for (unsigned s = 0; s != 14; ++s)
         for (unsigned k = 0; k != subc; ++k)
           grid.at(p, s, k) = to_cbf16(nstd * cf_t(noise_d(rng), noise_d(rng)));
-    for (unsigned p = 0; p != c.rx_ports; ++p) {
-      for (unsigned s = 0; s != c.nof_symbols; ++s) {
-        unsigned sym = c.start_symbol + s;
-        for (unsigned i = 0; i != m_sc; ++i) {
-          unsigned k = k0 + i * c.comb;
-          // Same delay (frequency ramp) on every Rx port — the reference's
-          // TA estimate is a joint peak across ports; per-port constant
-          // phase offsets keep the channel coefficients distinct.
-          float ph = 2.f * (float)M_PI * (0.03f * i / (float)m_sc + 0.11f * p);
-          cf_t h = cf_t(std::cos(ph), std::sin(ph));
-          cf_t cur = to_cf(grid.at(p, sym, k));
-          grid.at(p, sym, k) = to_cbf16(cur + seq[i] * h);
+    for (unsigned tx = 0; tx != c.tx_ports; ++tx) {
+      srs_information tx_info = get_srs_information(res, tx);
+      std::vector<cf_t> seq(m_sc);
+      seq_gen.generate(seq, tx_info.sequence_group, tx_info.sequence_number,
+                       tx_info.n_cs, tx_info.n_cs_max);
+      for (unsigned p = 0; p != c.rx_ports; ++p) {
+        for (unsigned s = 0; s != c.nof_symbols; ++s) {
+          unsigned sym = c.start_symbol + s;
+          for (unsigned i = 0; i != m_sc; ++i) {
+            unsigned k = tx_info.mapping_initial_subcarrier + i * c.comb;
+            // Same delay (frequency ramp) on every path — the reference's
+            // TA estimate is a joint peak; per-(rx,tx) constant phases
+            // keep the channel coefficients distinct.
+            float ph = 2.f * (float)M_PI *
+                       (0.03f * i / (float)m_sc + 0.11f * p + 0.07f * tx);
+            cf_t h = cf_t(std::cos(ph), std::sin(ph));
+            cf_t cur = to_cf(grid.at(p, sym, k));
+            grid.at(p, sym, k) = to_cbf16(cur + seq[i] * h);
+          }
         }
       }
     }
@@ -598,7 +609,8 @@ void gen_srs_estimator() {
     grid.dump("grid" + base + ".dat");
     std::vector<cf_t> h_ref;
     for (unsigned p = 0; p != c.rx_ports; ++p)
-      h_ref.push_back(result.channel_matrix.get_coefficient(p, 0));
+      for (unsigned tx = 0; tx != c.tx_ports; ++tx)
+        h_ref.push_back(result.channel_matrix.get_coefficient(p, tx));
     write_dat("h" + base + ".dat", reinterpret_cast<const float*>(h_ref.data()),
               2 * h_ref.size());
 
@@ -615,6 +627,7 @@ void gen_srs_estimator() {
     m.field("start_symbol", (long long)c.start_symbol);
     m.field("nof_symbols", (long long)c.nof_symbols);
     m.field("rx_ports", (long long)c.rx_ports);
+    m.field("tx_ports", (long long)c.tx_ports);
     m.field("bwp_rb", (long long)bwp_rb);
     m.field("ref_ta_s", result.time_alignment.time_alignment);
     m.field("ref_epre_db", (double)result.epre_dB.value_or(-999.0));
