@@ -964,3 +964,106 @@ void gen_dmrs_suites() {
   gen_dmrs_pdsch();
   gen_dmrs_pdcch();
 }
+
+// ---------------------------------------------------------------------------
+// PRACH OFDM demodulator suite: the reference's window math (16-kappa CP
+// extensions, occasion offsets, DC-centred frequency mapping) over random
+// baseband (the demodulator is linear, so noise input pins it fully).
+// Reference: lib/phy/lower/modulation/ofdm_prach_demodulator_impl.cpp.
+#include "lib/phy/lower/modulation/ofdm_prach_demodulator_impl.h"
+#include "lib/phy/support/prach_buffer_impl.h"
+#include "srsran/phy/lower/sampling_rate.h"
+#include "srsran/ran/prach/prach_preamble_information.h"
+
+namespace {
+
+void gen_prach_demodulator() {
+  start("prach_demodulator");
+  refgen::manifest m("manifest.json");
+  auto rng = make_rng(0xDE30);
+  std::normal_distribution<float> nd(0.f, 1.f);
+
+  struct dcase {
+    prach_format_type fmt;
+    const char* fmt_name;
+    unsigned slot_idx, start_symbol, nof_td, nof_fd, rb_offset, nof_prb_ul;
+    unsigned l_ra;
+  };
+  // All cases at 30 kHz PUSCH SCS (numerology 1), 61.44 Msps.
+  std::vector<dcase> cases = {
+      {prach_format_type::zero, "0", 0, 0, 1, 1, 3, 106, 839},
+      {prach_format_type::three, "3", 0, 0, 1, 1, 10, 106, 839},
+      {prach_format_type::B4, "B4", 1, 2, 1, 2, 4, 51, 139},
+      {prach_format_type::A2, "A2", 0, 0, 2, 1, 0, 51, 139},
+      {prach_format_type::C0, "C0", 1, 0, 1, 1, 7, 51, 139},
+  };
+
+  sampling_rate srate = sampling_rate::from_MHz(61.44);
+  int idx = 0;
+  for (const auto& c : cases) {
+    ofdm_prach_demodulator_impl::dft_processors_table dfts;
+    for (auto scs : {prach_subcarrier_spacing::kHz1_25, prach_subcarrier_spacing::kHz5,
+                     prach_subcarrier_spacing::kHz15, prach_subcarrier_spacing::kHz30}) {
+      unsigned size = srate.to_Hz() / ra_scs_to_Hz(scs);
+      dfts.emplace(scs, std::make_unique<dft_processor_generic_impl>(
+                            dft_processor::configuration{size, dft_processor::direction::DIRECT}));
+    }
+    ofdm_prach_demodulator_impl demod(srate, std::move(dfts));
+
+    // Size the input generously: a full 0.5 ms slot plus a long preamble.
+    unsigned nof_input = (unsigned)(srate.to_Hz() * 15e-4);
+    std::vector<cf_t> input(nof_input);
+    for (auto& v : input) v = cf_t(nd(rng), nd(rng));
+
+    unsigned nof_symbols =
+        is_long_preamble(c.fmt)
+            ? get_prach_preamble_long_info(c.fmt).nof_symbols
+            : get_prach_preamble_short_info(c.fmt, prach_subcarrier_spacing::kHz30, true).nof_symbols;
+    prach_buffer_impl buffer(1, c.nof_td, c.nof_fd, nof_symbols, c.l_ra);
+
+    ofdm_prach_demodulator::configuration cfg;
+    cfg.slot = slot_point(1, 0, c.slot_idx);
+    cfg.format = c.fmt;
+    cfg.nof_td_occasions = c.nof_td;
+    cfg.nof_fd_occasions = c.nof_fd;
+    cfg.start_symbol = c.start_symbol;
+    cfg.rb_offset = c.rb_offset;
+    cfg.nof_prb_ul_grid = c.nof_prb_ul;
+    cfg.port = 0;
+    demod.demodulate(buffer, input, cfg);
+
+    std::string base = std::to_string(idx);
+    write_dat("input" + base + ".dat", reinterpret_cast<const float*>(input.data()),
+              2 * input.size());
+    std::vector<cf_t> out;
+    for (unsigned td = 0; td != c.nof_td; ++td)
+      for (unsigned fd = 0; fd != c.nof_fd; ++fd)
+        for (unsigned s = 0; s != nof_symbols; ++s) {
+          span<const cbf16_t> sym =
+              static_cast<const prach_buffer&>(buffer).get_symbol(0, td, fd, s);
+          for (unsigned i = 0; i != c.l_ra; ++i) out.push_back(to_cf(sym[i]));
+        }
+    write_dat("buffer" + base + ".dat", reinterpret_cast<const float*>(out.data()),
+              2 * out.size());
+
+    m.begin_case();
+    m.field("idx", (long long)idx);
+    m.field("fmt", std::string(c.fmt_name));
+    m.field("slot_idx", (long long)c.slot_idx);
+    m.field("start_symbol", (long long)c.start_symbol);
+    m.field("nof_td", (long long)c.nof_td);
+    m.field("nof_fd", (long long)c.nof_fd);
+    m.field("rb_offset", (long long)c.rb_offset);
+    m.field("nof_prb_ul", (long long)c.nof_prb_ul);
+    m.field("l_ra", (long long)c.l_ra);
+    m.field("nof_symbols", (long long)nof_symbols);
+    m.field("srate_hz", (double)srate.to_Hz());
+    m.end_case();
+    ++idx;
+  }
+  m.flush();
+}
+
+} // namespace
+
+void gen_prach_demodulator_suite() { gen_prach_demodulator(); }

@@ -68,6 +68,7 @@ void gen_ssb_processor_suite();
 void gen_csi_rs_generator_suite();
 void gen_prs_generator_suite();
 void gen_srs_estimator_suite();
+void gen_prach_demodulator_suite();
 
 namespace {
 
@@ -666,6 +667,7 @@ int main(int argc, char** argv) {
       {"csi_rs_generator", gen_csi_rs_generator_suite},
       {"prs_generator", gen_prs_generator_suite},
       {"srs_estimator", gen_srs_estimator_suite},
+      {"prach_demodulator", gen_prach_demodulator_suite},
   };
   if (argc == 2) {
     for (auto& [name, fn] : suites) fn();
