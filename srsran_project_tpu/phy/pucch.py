@@ -31,6 +31,9 @@ class PucchFormat0Config:
     n_id: int  # hopping id
     slot_in_frame: int = 0
     nof_harq_bits: int = 1  # 0 (SR only), 1 or 2
+    # Intra-slot frequency hopping: PRB of the second symbol (TS 38.213
+    # 9.2.1; reference format0_configuration.second_hop_prb).
+    second_hop_prb: int | None = None
     # True when this PUCCH occasion coincides with an SR opportunity: the
     # UE signals positive SR by shifting m_cs (+3 for 1 HARQ bit, +1 for 2;
     # TS 38.213 9.2.4 / 38.211 Table 6.3.2.3.1-1), doubling the candidate
@@ -50,6 +53,10 @@ class PucchFormat1Config:
     slot_in_frame: int = 0
     nof_harq_bits: int = 1
     nof_grid_sc: int = 624
+    # Intra-slot frequency hopping: PRB of the second hop (symbols
+    # nof_symbols//2 onward); OCC spreading restarts per hop (TS 38.211
+    # 6.3.2.4.2; reference format1_configuration.second_hop_prb).
+    second_hop_prb: int | None = None
 
 
 def _ncs_values(n_id: int, slot: int, symbols) -> list[int]:
@@ -128,7 +135,13 @@ def format0_detect(grid: jax.Array, cfg: PucchFormat0Config):
     u, v = sequences.group_hopping_params(cfg.n_id, cfg.slot_in_frame, cfg.start_symbol)
     syms = list(range(cfg.start_symbol, cfg.start_symbol + cfg.nof_symbols))
     ncs = _ncs_values(cfg.n_id, cfg.slot_in_frame, syms)
-    y = grid[:, jnp.asarray(syms), cfg.prb * NRE : (cfg.prb + 1) * NRE]  # (P, S, 12)
+    # Intra-slot frequency hopping: symbols after the first move to
+    # second_hop_prb (reference pucch_detector_format0.cpp:150-155).
+    prbs = [cfg.prb] + [cfg.second_hop_prb if cfg.second_hop_prb is not None
+                        else cfg.prb] * (cfg.nof_symbols - 1)
+    y = jnp.stack(
+        [grid[:, s, prbs[i] * NRE : (prbs[i] + 1) * NRE] for i, s in enumerate(syms)],
+        axis=1)  # (P, S, 12)
 
     cands = _f0_candidates(cfg)
     powers = []
@@ -157,6 +170,24 @@ def _occ(n_sf: int, i: int) -> np.ndarray:
     return np.exp(2j * np.pi * i * m / n_sf).astype(np.complex64)
 
 
+def _f1_hops(cfg: PucchFormat1Config):
+    """Per-hop (syms, dmrs_syms, data_syms, prb).  One hop without
+    frequency hopping; with hopping, the second half of the allocation
+    moves to second_hop_prb and OCC spreading restarts."""
+    syms = list(range(cfg.start_symbol, cfg.start_symbol + cfg.nof_symbols))
+    if cfg.second_hop_prb is None:
+        groups = [(syms, cfg.prb)]
+    else:
+        half = cfg.nof_symbols // 2
+        groups = [(syms[:half], cfg.prb), (syms[half:], cfg.second_hop_prb)]
+    hops = []
+    for hop_syms, prb in groups:
+        dmrs = [l for l in hop_syms if (l - cfg.start_symbol) % 2 == 0]
+        data = [l for l in hop_syms if (l - cfg.start_symbol) % 2 == 1]
+        hops.append((hop_syms, dmrs, data, prb))
+    return hops
+
+
 def _f1_geometry(cfg: PucchFormat1Config):
     syms = list(range(cfg.start_symbol, cfg.start_symbol + cfg.nof_symbols))
     dmrs_syms = syms[0::2]
@@ -165,25 +196,29 @@ def _f1_geometry(cfg: PucchFormat1Config):
 
 
 def format1_generate(cfg: PucchFormat1Config, bits: np.ndarray) -> np.ndarray:
-    """UE-side signal for tests: (nof_symbols, 12) complex64 (data+DM-RS)."""
+    """UE-side signal for tests: (nof_symbols, 12) complex64 (data+DM-RS).
+
+    With frequency hopping the caller places row i at the PRB given by
+    _f1_hops; the OCC restarts on the second hop."""
     u, v = sequences.group_hopping_params(cfg.n_id, cfg.slot_in_frame, cfg.start_symbol)
-    syms, dmrs_syms, data_syms = _f1_geometry(cfg)
+    syms = list(range(cfg.start_symbol, cfg.start_symbol + cfg.nof_symbols))
     ncs = dict(zip(syms, _ncs_values(cfg.n_id, cfg.slot_in_frame, syms)))
     if cfg.nof_harq_bits == 1:
         d = (1.0 - 2.0 * bits[0]) / np.sqrt(2) * (1 + 1j)
     else:
         d = ((1.0 - 2.0 * bits[0]) + 1j * (1.0 - 2.0 * bits[1])) / np.sqrt(2)
-    w_data = _occ(len(data_syms), cfg.occ_index)
-    w_dmrs = _occ(len(dmrs_syms), cfg.occ_index)
     out = np.zeros((len(syms), NRE), dtype=np.complex64)
-    for i, l in enumerate(data_syms):
-        alpha = _alpha(cfg.initial_cyclic_shift, 0, ncs[l])
-        seq = np.asarray(sequences.generate(u, v, NRE, jnp.float32(alpha)))
-        out[syms.index(l)] = d * w_data[i] * seq
-    for i, l in enumerate(dmrs_syms):
-        alpha = _alpha(cfg.initial_cyclic_shift, 0, ncs[l])
-        seq = np.asarray(sequences.generate(u, v, NRE, jnp.float32(alpha)))
-        out[syms.index(l)] = w_dmrs[i] * seq
+    for hop_syms, dmrs_syms, data_syms, _prb in _f1_hops(cfg):
+        w_data = _occ(max(len(data_syms), 1), cfg.occ_index)
+        w_dmrs = _occ(max(len(dmrs_syms), 1), cfg.occ_index)
+        for i, l in enumerate(data_syms):
+            alpha = _alpha(cfg.initial_cyclic_shift, 0, ncs[l])
+            seq = np.asarray(sequences.generate(u, v, NRE, jnp.float32(alpha)))
+            out[syms.index(l)] = d * w_data[i] * seq
+        for i, l in enumerate(dmrs_syms):
+            alpha = _alpha(cfg.initial_cyclic_shift, 0, ncs[l])
+            seq = np.asarray(sequences.generate(u, v, NRE, jnp.float32(alpha)))
+            out[syms.index(l)] = w_dmrs[i] * seq
     return out
 
 
@@ -193,29 +228,36 @@ def format1_detect(grid: jax.Array, cfg: PucchFormat1Config):
 
     Returns (bits (nof_harq_bits,) uint8, llrs, snr-like metric)."""
     u, v = sequences.group_hopping_params(cfg.n_id, cfg.slot_in_frame, cfg.start_symbol)
-    syms, dmrs_syms, data_syms = _f1_geometry(cfg)
+    syms = list(range(cfg.start_symbol, cfg.start_symbol + cfg.nof_symbols))
     ncs = dict(zip(syms, _ncs_values(cfg.n_id, cfg.slot_in_frame, syms)))
-    sc = slice(cfg.prb * NRE, (cfg.prb + 1) * NRE)
 
-    def despread(l_list, occ):
+    def despread(l_list, occ, prb):
+        sc = slice(prb * NRE, (prb + 1) * NRE)
         acc = 0.0
         for i, l in enumerate(l_list):
             alpha = _alpha(cfg.initial_cyclic_shift, 0, ncs[l])
             seq = sequences.generate(u, v, NRE, jnp.float32(alpha))
             y = grid[:, l, sc]  # (P, 12)
             acc = acc + (y * jnp.conj(seq)) * np.conj(occ[i])
-        return acc / len(l_list)  # (P, 12)
+        return acc / max(len(l_list), 1)  # (P, 12)
 
-    h = despread(dmrs_syms, _occ(len(dmrs_syms), cfg.occ_index))
-    z = despread(data_syms, _occ(len(data_syms), cfg.occ_index))
-    # MRC across ports and subcarriers.
-    corr = (z * jnp.conj(h)).sum()
+    # Per hop: coherent despreading within the hop; contributions combine
+    # additively across hops (the channel differs per hop, but d is common
+    # so z.h* adds coherently — reference metrics_hop0 + metrics_hop1).
+    corr = 0.0
+    h_pow = 0.0
+    z_pow = 0.0
+    for hop_syms, dmrs_syms, data_syms, prb in _f1_hops(cfg):
+        h = despread(dmrs_syms, _occ(max(len(dmrs_syms), 1), cfg.occ_index), prb)
+        z = despread(data_syms, _occ(max(len(data_syms), 1), cfg.occ_index), prb)
+        corr = corr + (z * jnp.conj(h)).sum()
+        h_pow = h_pow + (jnp.abs(h) ** 2).sum()
+        z_pow = z_pow + (jnp.abs(z) ** 2).sum()
     # DTX statistic: normalized correlation coefficient between the DM-RS
     # and data despread estimates, in [0, 1].  A matched transmission gives
     # ~1 (both carry the same h per subcarrier); noise-only input
     # decorrelates the two halves.  Thresholded against F1_DTX_THRESHOLD.
-    rho = jnp.abs(corr) / jnp.sqrt(
-        (jnp.abs(h) ** 2).sum() * (jnp.abs(z) ** 2).sum() + 1e-24)
+    rho = jnp.abs(corr) / jnp.sqrt(h_pow * z_pow + 1e-24)
     if cfg.nof_harq_bits == 1:
         proj = (corr.real + corr.imag) / np.sqrt(2)
         bits = jnp.asarray([proj < 0], jnp.uint8)

@@ -21,7 +21,7 @@ def _load_grid(suite, case, ports, subc):
 
 def test_pucch_format0_golden():
     cases = load_suite("pucch_format0")
-    assert len(cases) == 5
+    assert len(cases) == 6
     for case in cases:
         subc = case["bwp_rb"] * 12
         grid = _load_grid("pucch_format0", case, case["ports"], subc)
@@ -32,6 +32,8 @@ def test_pucch_format0_golden():
             slot_in_frame=case["slot_idx"],
             nof_harq_bits=case["nof_harq"],
             sr_opportunity=bool(case["sr_opportunity"]),
+            second_hop_prb=(case["second_hop_prb"]
+                            if case.get("second_hop_prb", -1) >= 0 else None),
             nof_grid_sc=subc)
         best, metric, _ = pucch.format0_detect(grid, cfg)
         valid = bool(metric >= pucch.F0_DTX_THRESHOLD)
@@ -54,7 +56,7 @@ def test_pucch_format0_golden():
 
 def test_pucch_format1_golden():
     cases = load_suite("pucch_format1")
-    assert len(cases) == 5
+    assert len(cases) == 6
     for case in cases:
         subc = case["bwp_rb"] * 12
         grid = _load_grid("pucch_format1", case, case["ports"], subc)
@@ -66,7 +68,10 @@ def test_pucch_format1_golden():
                 initial_cyclic_shift=case[p + "m0"],
                 occ_index=case[p + "occi"], n_id=case["n_id"],
                 slot_in_frame=case["slot_idx"],
-                nof_harq_bits=case[p + "nof_harq"], nof_grid_sc=subc)
+                nof_harq_bits=case[p + "nof_harq"],
+                second_hop_prb=(case["second_hop_prb"]
+                                if case.get("second_hop_prb", -1) >= 0 else None),
+                nof_grid_sc=subc)
             bits, _, rho = pucch.format1_detect(grid, cfg)
             assert bool(rho >= pucch.F1_DTX_THRESHOLD) == bool(case[p + "ref_valid"]), case
             if case[p + "ref_valid"]:

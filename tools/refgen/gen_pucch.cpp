@@ -316,6 +316,7 @@ void gen_pucch_format0() {
     bool transmit;  // false => DTX case
     float snr_db;
     unsigned ports;
+    int second_hop_prb = -1;  // >=0: intra-slot frequency hopping
   };
   std::vector<f0case> cases = {
       {52, 3, 13, 1, 0, 42, 2, 1, 1, false, false, true, 20.f, 1},
@@ -323,6 +324,8 @@ void gen_pucch_format0() {
       {106, 51, 13, 1, 3, 77, 1, 2, 1, true, true, true, 20.f, 2},
       {52, 7, 13, 1, 0, 42, 3, 0, 0, true, true, true, 20.f, 1},
       {52, 3, 13, 1, 0, 42, 2, 1, 0, false, false, false, 20.f, 1},  // DTX
+      // Intra-slot frequency hopping (2 symbols, second on PRB 40).
+      {52, 3, 12, 2, 2, 42, 6, 2, 3, false, false, true, 20.f, 1, 40},
   };
 
   int idx = 0;
@@ -344,13 +347,15 @@ void gen_pucch_format0() {
       auto [u, v] = pucch_helper::compute_group_sequence(pucch_group_hopping::NEITHER, c.n_id);
       for (unsigned s = 0; s != c.nof_syms; ++s) {
         unsigned sym = c.start_sym + s;
+        unsigned prb = (s > 0 && c.second_hop_prb >= 0) ? (unsigned)c.second_hop_prb
+                                                        : c.prb;
         unsigned alpha_idx = helper.get_alpha_index(slot, cyclic_prefix::NORMAL, c.n_id,
                                                     sym, c.m0, m_cs);
         std::array<cf_t, NRE> r;
         seq_gen.generate(r, u, v, alpha_idx, NRE);
         for (unsigned p = 0; p != c.ports; ++p)
           for (unsigned k = 0; k != NRE; ++k)
-            grid.at(p, sym, c.prb * NRE + k) =
+            grid.at(p, sym, prb * NRE + k) =
                 to_cbf16(r[k] * ch.h(p, k) + ch.noise());
       }
     }
@@ -363,7 +368,9 @@ void gen_pucch_format0() {
     cfg.bwp_size_rb = c.bwp_rb;
     cfg.bwp_start_rb = 0;
     cfg.starting_prb = c.prb;
-    cfg.second_hop_prb = std::nullopt;
+    cfg.second_hop_prb = (c.second_hop_prb >= 0)
+                             ? std::optional<unsigned>((unsigned)c.second_hop_prb)
+                             : std::nullopt;
     cfg.start_symbol_index = c.start_sym;
     cfg.nof_symbols = c.nof_syms;
     cfg.initial_cyclic_shift = c.m0;
@@ -399,6 +406,7 @@ void gen_pucch_format0() {
     m.field("sr_tx", (long long)(c.sr_positive ? 1 : 0));
     m.field("transmit", (long long)(c.transmit ? 1 : 0));
     m.field("ports", (long long)c.ports);
+    m.field("second_hop_prb", (long long)c.second_hop_prb);
     m.field("ref_valid", (long long)(valid ? 1 : 0));
     m.field("ref_harq", (long long)harq_out);
     m.field("ref_sr", (long long)sr_out);
@@ -427,6 +435,7 @@ void gen_pucch_format1() {
     float snr_db;
     unsigned ports;
     std::vector<f1ue> ues;
+    int second_hop_prb = -1;
   };
   std::vector<f1case> cases = {
       {52, 11, 0, 14, 17, 4, 20.f, 1, {{0, 0, 1, 1}}},
@@ -435,6 +444,8 @@ void gen_pucch_format1() {
       // Two UEs multiplexed on the same resource (different ICS + OCC).
       {52, 5, 0, 14, 99, 1, 20.f, 1, {{0, 0, 1, 1}, {6, 3, 1, 0}}},
       {52, 5, 4, 10, 99, 9, 22.f, 1, {{2, 1, 2, 3}}},
+      // Intra-slot frequency hopping: second hop on PRB 45, OCC restarts.
+      {52, 5, 0, 14, 17, 2, 22.f, 1, {{0, 0, 2, 1}}, 45},
   };
 
   int idx = 0;
@@ -458,8 +469,8 @@ void gen_pucch_format1() {
           grid.at(p, c.start_sym + s, c.prb * NRE + k) = to_cbf16(ch.noise());
 
     auto [u, v] = pucch_helper::compute_group_sequence(pucch_group_hopping::NEITHER, c.n_id);
-    unsigned n_dmrs_sf = (c.nof_syms + 1) / 2;  // DM-RS on even relative symbols
-    unsigned n_data_sf = c.nof_syms / 2;
+    // Hop boundaries: one hop without hopping, split at nof_syms/2 with.
+    unsigned hop_split = (c.second_hop_prb >= 0) ? c.nof_syms / 2 : c.nof_syms;
 
     for (const auto& ue : c.ues) {
       // Modulation symbol d: BPSK (1 bit) / QPSK (2 bits), TS 38.211 5.1.2/5.1.3.
@@ -472,24 +483,32 @@ void gen_pucch_format1() {
         float im = (ue.harq_bits & 2) ? -(float)M_SQRT1_2 : (float)M_SQRT1_2;
         d = cf_t(re, im);
       }
-      unsigned i_data = 0, i_dmrs = 0;
-      for (unsigned s = 0; s != c.nof_syms; ++s) {
-        unsigned sym = c.start_sym + s;
-        unsigned alpha_idx = helper.get_alpha_index(slot, cyclic_prefix::NORMAL,
-                                                    c.n_id, sym, ue.m0, 0);
-        std::array<cf_t, NRE> r;
-        seq_gen.generate(r, u, v, alpha_idx, NRE);
-        bool is_dmrs = (s % 2 == 0);
-        cf_t w = is_dmrs ? occ.get_sequence_value(n_dmrs_sf, ue.occi, i_dmrs)
-                         : occ.get_sequence_value(n_data_sf, ue.occi, i_data);
-        cf_t scale = is_dmrs ? w : d * w;
-        if (is_dmrs) ++i_dmrs; else ++i_data;
-        for (unsigned p = 0; p != c.ports; ++p)
-          for (unsigned k = 0; k != NRE; ++k) {
-            cf_t cur = to_cf(grid.at(p, sym, c.prb * NRE + k));
-            grid.at(p, sym, c.prb * NRE + k) =
-                to_cbf16(cur + scale * r[k] * ch.h(p, k));
-          }
+      for (unsigned hop = 0; hop != (c.second_hop_prb >= 0 ? 2u : 1u); ++hop) {
+        unsigned s_begin = (hop == 0) ? 0 : hop_split;
+        unsigned s_end = (hop == 0) ? hop_split : c.nof_syms;
+        unsigned prb = (hop == 0) ? c.prb : (unsigned)c.second_hop_prb;
+        unsigned n_dmrs_sf = 0, n_data_sf = 0;
+        for (unsigned s = s_begin; s != s_end; ++s)
+          ((s % 2 == 0) ? n_dmrs_sf : n_data_sf) += 1;
+        unsigned i_data = 0, i_dmrs = 0;
+        for (unsigned s = s_begin; s != s_end; ++s) {
+          unsigned sym = c.start_sym + s;
+          unsigned alpha_idx = helper.get_alpha_index(slot, cyclic_prefix::NORMAL,
+                                                      c.n_id, sym, ue.m0, 0);
+          std::array<cf_t, NRE> r;
+          seq_gen.generate(r, u, v, alpha_idx, NRE);
+          bool is_dmrs = (s % 2 == 0);
+          cf_t w = is_dmrs ? occ.get_sequence_value(n_dmrs_sf, ue.occi, i_dmrs)
+                           : occ.get_sequence_value(n_data_sf, ue.occi, i_data);
+          cf_t scale = is_dmrs ? w : d * w;
+          if (is_dmrs) ++i_dmrs; else ++i_data;
+          for (unsigned p = 0; p != c.ports; ++p)
+            for (unsigned k = 0; k != NRE; ++k) {
+              cf_t cur = to_cf(grid.at(p, sym, prb * NRE + k));
+              grid.at(p, sym, prb * NRE + k) =
+                  to_cbf16(cur + scale * r[k] * ch.h(p, k));
+            }
+        }
       }
     }
 
@@ -501,7 +520,9 @@ void gen_pucch_format1() {
     batch.common_config.bwp_start_rb = 0;
     batch.common_config.cp = cyclic_prefix::NORMAL;
     batch.common_config.starting_prb = c.prb;
-    batch.common_config.second_hop_prb = std::nullopt;
+    batch.common_config.second_hop_prb =
+        (c.second_hop_prb >= 0) ? std::optional<unsigned>((unsigned)c.second_hop_prb)
+                                : std::nullopt;
     batch.common_config.n_id = c.n_id;
     batch.common_config.nof_symbols = c.nof_syms;
     batch.common_config.start_symbol_index = c.start_sym;
@@ -523,6 +544,7 @@ void gen_pucch_format1() {
     m.field("n_id", (long long)c.n_id);
     m.field("slot_idx", (long long)c.slot_idx);
     m.field("ports", (long long)c.ports);
+    m.field("second_hop_prb", (long long)c.second_hop_prb);
     m.field("nof_ues", (long long)c.ues.size());
     int iu = 0;
     for (const auto& ue : c.ues) {
