@@ -36,6 +36,14 @@ class PucchFormat2Config:
     slot_in_frame: int = 0
     nof_rx_ports: int = 1
     nof_grid_sc: int = 624
+    # Intra-slot frequency hopping (2-symbol F2 only): RB start of the
+    # second symbol (reference format2_configuration.second_hop_prb).
+    second_hop_rb_start: int | None = None
+
+    def rb_start_of(self, sym_rel: int) -> int:
+        if sym_rel > 0 and self.second_hop_rb_start is not None:
+            return self.second_hop_rb_start
+        return self.rb_start
 
     @property
     def nof_data_re(self) -> int:
@@ -50,7 +58,8 @@ class PucchFormat2Config:
 def _re_layout(cfg: PucchFormat2Config):
     data, dmrs = [], []
     for si, sym in enumerate(range(cfg.start_symbol, cfg.start_symbol + cfg.nof_symbols)):
-        for rb in range(cfg.rb_start, cfg.rb_start + cfg.rb_count):
+        rb0 = cfg.rb_start_of(si)
+        for rb in range(rb0, rb0 + cfg.rb_count):
             for re in range(NRE):
                 k = sym * cfg.nof_grid_sc + rb * NRE + re
                 (dmrs if re % 3 == 1 else data).append(k)
@@ -60,12 +69,13 @@ def _re_layout(cfg: PucchFormat2Config):
 def _dmrs_pilots(cfg: PucchFormat2Config) -> np.ndarray:
     """(nsym, 4*rb_count) QPSK pilots (TS 38.211 §6.4.1.3.2.1)."""
     out = []
-    for sym in range(cfg.start_symbol, cfg.start_symbol + cfg.nof_symbols):
+    for si, sym in enumerate(range(cfg.start_symbol, cfg.start_symbol + cfg.nof_symbols)):
         c_init = ((1 << 17) * (14 * cfg.slot_in_frame + sym + 1) * (2 * cfg.n_id0 + 1)
                   + 2 * cfg.n_id0) % (1 << 31)
-        # Pilot index counts 4 per PRB from CRB0.
-        n0 = cfg.rb_start * 4
-        n1 = (cfg.rb_start + cfg.rb_count) * 4
+        # Pilot index counts 4 per PRB from CRB0, at this symbol's hop.
+        rb0 = cfg.rb_start_of(si)
+        n0 = rb0 * 4
+        n1 = (rb0 + cfg.rb_count) * 4
         c = scrambling.gold_ref(c_init, 2 * n1)
         re = 1.0 - 2.0 * c[0::2].astype(np.float32)
         im = 1.0 - 2.0 * c[1::2].astype(np.float32)
@@ -103,11 +113,31 @@ def process(grid: jax.Array, cfg: PucchFormat2Config):
     pair_pos = tuple(
         float((3 * i + 1 + 3 * (i + 1) + 1) / 2 - 0) for i in range(0, y_p.shape[-1], 2)
     )  # pair centers in allocation subcarriers
-    h, nvar, metrics = estimate_channel(y_p, ref, wf, pair_pos, cfg.rb_count * NRE)
+    if cfg.second_hop_rb_start is None:
+        h, nvar, metrics = estimate_channel(y_p, ref, wf, pair_pos, cfg.rb_count * NRE)
+        h_per_sym = [h] * cfg.nof_symbols
+    else:
+        # Frequency hopping: each symbol sees a different channel segment;
+        # estimate per symbol from its own DM-RS.
+        h_per_sym, nvars = [], []
+        for si in range(cfg.nof_symbols):
+            h_s, nvar_s, metrics = estimate_channel(
+                y_p[:, si : si + 1], ref[:, si : si + 1], wf, pair_pos,
+                cfg.rb_count * NRE)
+            h_per_sym.append(h_s)
+            nvars.append(nvar_s)
+        nvar = jnp.stack(nvars).mean(axis=0)
 
-    # Equalize data REs (MRC across ports).
-    sc_of_data = (data_idx % cfg.nof_grid_sc) - cfg.rb_start * NRE
-    h_d = h[:, jnp.asarray(sc_of_data)]  # (P, Nd)
+    # Equalize data REs (MRC across ports), per symbol hop.
+    data_per_sym = cfg.rb_count * 8
+    sc_list = []
+    for si in range(cfg.nof_symbols):
+        seg = data_idx[si * data_per_sym : (si + 1) * data_per_sym]
+        sc_list.append((seg % cfg.nof_grid_sc) - cfg.rb_start_of(si) * NRE)
+    sc_of_data = np.concatenate(sc_list)
+    h_d = jnp.concatenate(
+        [h_per_sym[si][:, jnp.asarray(sc_list[si])] for si in range(cfg.nof_symbols)],
+        axis=1)  # (P, Nd)
     y_d = gflat[:, jnp.asarray(data_idx)]
     num = (jnp.conj(h_d) * y_d).sum(axis=0)
     den = (jnp.abs(h_d) ** 2).sum(axis=0) + 1e-12

@@ -83,7 +83,7 @@ def test_pucch_format2_golden():
     from srsran_project_tpu.phy import pucch_f2
 
     cases = load_suite("pucch_format2")
-    assert len(cases) == 6
+    assert len(cases) == 7
     for case in cases:
         subc = case["bwp_rb"] * 12
         grid = _load_grid("pucch_format2", case, case["ports"], subc)
@@ -95,7 +95,9 @@ def test_pucch_format2_golden():
             start_symbol=case["start_sym"], nof_symbols=case["nof_syms"],
             nof_uci_bits=nof_uci, rnti=case["rnti"], n_id=case["n_id"],
             n_id0=case["n_id0"], slot_in_frame=case["slot_idx"],
-            nof_rx_ports=case["ports"], nof_grid_sc=subc)
+            nof_rx_ports=case["ports"], nof_grid_sc=subc,
+            second_hop_rb_start=(case["second_hop_prb"]
+                                 if case.get("second_hop_prb", -1) >= 0 else None))
         bits, ok, snr_db = pucch_f2.process(grid, cfg)
         assert bool(ok) == bool(case["ref_valid"]), case
         got = np.asarray(bits)[:nof_uci]

@@ -581,6 +581,7 @@ void gen_pucch_format2() {
     unsigned nof_harq, nof_sr, nof_csi1;
     float snr_db;
     unsigned ports;
+    int second_hop_prb = -1;
   };
   std::vector<f2case> cases = {
       {52, 0, 1, 13, 1, 0x4601, 42, 17, 2, 3, 0, 0, 20.f, 1},
@@ -590,6 +591,8 @@ void gen_pucch_format2() {
       // Polar-coded UCI (A > 11): CRC6 regime and CRC11 regime.
       {52, 0, 4, 12, 2, 0x4601, 42, 17, 4, 16, 0, 0, 22.f, 1},
       {52, 20, 6, 12, 2, 0x1234, 301, 301, 6, 29, 1, 10, 22.f, 1},
+      // Intra-slot frequency hopping: second symbol at PRB 30.
+      {52, 2, 3, 12, 2, 0x77aa, 55, 55, 7, 7, 1, 0, 22.f, 1, 30},
   };
 
   short_block_encoder_impl sb_enc;
@@ -629,17 +632,19 @@ void gen_pucch_format2() {
     unsigned data_i = 0;
     for (unsigned s = 0; s != c.nof_syms; ++s) {
       unsigned sym = c.start_sym + s;
+      unsigned hop_prb = (s > 0 && c.second_hop_prb >= 0)
+                             ? (unsigned)c.second_hop_prb : c.prb;
       unsigned c_init =
           ((14ull * c.slot_idx + sym + 1) * (2ull * c.n_id0 + 1) * pow2(17) +
            2ull * c.n_id0) % pow2(31);
       dmrs_prg.init(c_init);
-      dmrs_prg.advance(c.prb * 4 * 2);
+      dmrs_prg.advance(hop_prb * 4 * 2);
       std::vector<cf_t> pil(c.nof_prb * 4);
       static_cast<pseudo_random_generator&>(dmrs_prg).generate(span<cf_t>(pil), (float)M_SQRT1_2);
       unsigned pi = 0;
       for (unsigned rb = 0; rb != c.nof_prb; ++rb) {
         for (unsigned re = 0; re != NRE; ++re) {
-          unsigned k = (c.prb + rb) * NRE + re;
+          unsigned k = (hop_prb + rb) * NRE + re;
           cf_t v = (re % 3 == 1) ? pil[pi++] : x[data_i++];
           for (unsigned p = 0; p != c.ports; ++p) {
             cf_t cur = to_cf(grid.at(p, sym, k));
@@ -658,7 +663,9 @@ void gen_pucch_format2() {
     cfg.bwp_size_rb = c.bwp_rb;
     cfg.bwp_start_rb = 0;
     cfg.starting_prb = c.prb;
-    cfg.second_hop_prb = std::nullopt;
+    cfg.second_hop_prb = (c.second_hop_prb >= 0)
+                             ? std::optional<unsigned>((unsigned)c.second_hop_prb)
+                             : std::nullopt;
     cfg.nof_prb = c.nof_prb;
     cfg.start_symbol_index = c.start_sym;
     cfg.nof_symbols = c.nof_syms;
@@ -698,6 +705,7 @@ void gen_pucch_format2() {
     m.field("nof_sr", (long long)c.nof_sr);
     m.field("nof_csi1", (long long)c.nof_csi1);
     m.field("ports", (long long)c.ports);
+    m.field("second_hop_prb", (long long)c.second_hop_prb);
     m.field("ref_valid", (long long)(valid ? 1 : 0));
     m.end_case();
     ++idx;
