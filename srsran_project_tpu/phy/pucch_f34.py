@@ -22,9 +22,12 @@ from ..ops.modulation import Modulation, demap_soft, map_bits
 from ..ran.constants import NRE
 
 # DM-RS symbol indices within the PUCCH allocation (TS 38.211
-# Table 6.4.1.3.3.2-1, no hopping, no additional DM-RS).
+# Table 6.4.1.3.3.2-1, no additional DM-RS).  Frequency hopping only
+# changes the 4-symbol entry (reference
+# get_pucch_formats3_4_dmrs_symbol_mask).
 _DMRS_POS = {4: (1,), 5: (0, 3), 6: (1, 4), 7: (1, 4), 8: (1, 5), 9: (1, 6),
              10: (2, 7), 11: (2, 7), 12: (2, 8), 13: (2, 9), 14: (3, 10)}
+_DMRS_POS_HOP = {**_DMRS_POS, 4: (0, 2)}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -41,15 +44,24 @@ class PucchFormat34Config:
     slot_in_frame: int = 0
     nof_rx_ports: int = 1
     nof_grid_sc: int = 624
+    # Intra-slot frequency hopping: PRB start of the second hop (relative
+    # symbols nof_symbols//2 onward).
+    second_hop_prb: int | None = None
 
     @property
     def data_symbols(self) -> tuple[int, ...]:
-        dm = _DMRS_POS[self.nof_symbols]
+        dm = self.dmrs_symbols
         return tuple(i for i in range(self.nof_symbols) if i not in dm)
 
     @property
     def dmrs_symbols(self) -> tuple[int, ...]:
-        return _DMRS_POS[self.nof_symbols]
+        table = _DMRS_POS_HOP if self.second_hop_prb is not None else _DMRS_POS
+        return table[self.nof_symbols]
+
+    def prb_of(self, sym_rel: int) -> int:
+        if self.second_hop_prb is not None and sym_rel >= self.nof_symbols // 2:
+            return self.second_hop_prb
+        return self.prb_start
 
     @property
     def nof_data_sc(self) -> int:
@@ -105,13 +117,15 @@ def generate(cfg: PucchFormat34Config, bits: np.ndarray) -> np.ndarray:
     blocks = syms.reshape(len(cfg.data_symbols), per_sym)
     occ = _occ(cfg)
     grid = np.zeros((14, cfg.nof_grid_sc), np.complex64)
-    sc = slice(cfg.prb_start * NRE, cfg.prb_start * NRE + m)
+    def sc_of(rel):
+        k0 = cfg.prb_of(rel) * NRE
+        return slice(k0, k0 + m)
     for i, rel in enumerate(cfg.data_symbols):
         # Pre-DFT OCC spreading: repeat the block occ_length times, weighted.
         x = np.concatenate([blocks[i] * occ[k] for k in range(cfg.occ_length)])
-        grid[cfg.start_symbol + rel, sc] = np.asarray(tp.precode(x))
+        grid[cfg.start_symbol + rel, sc_of(rel)] = np.asarray(tp.precode(x))
     for rel in cfg.dmrs_symbols:
-        grid[cfg.start_symbol + rel, sc] = _dmrs_seq(cfg, rel)
+        grid[cfg.start_symbol + rel, sc_of(rel)] = _dmrs_seq(cfg, rel)
     return grid
 
 
@@ -119,29 +133,43 @@ def generate(cfg: PucchFormat34Config, bits: np.ndarray) -> np.ndarray:
 def process(grid: jax.Array, cfg: PucchFormat34Config):
     """(P, 14, nsc) received grid -> (uci bits, ok, snr_db)."""
     m = cfg.nof_data_sc
-    sc0 = cfg.prb_start * NRE
     p = cfg.nof_rx_ports
 
-    # Channel estimate per port from DM-RS symbols (frequency-flat per sc).
-    h_acc = 0.0
-    for rel in cfg.dmrs_symbols:
-        y = grid[:, cfg.start_symbol + rel, sc0 : sc0 + m]
-        h_acc = h_acc + y * jnp.conj(jnp.asarray(_dmrs_seq(cfg, rel)))
-    h = h_acc / len(cfg.dmrs_symbols)  # (P, m)
-    # Noise: residual across DM-RS symbols.
+    # Channel estimate per port per HOP from that hop's DM-RS symbols
+    # (frequency-flat per sc); one hop when hopping is off.
+    half = cfg.nof_symbols // 2
+
+    def hop_of(rel):
+        return 1 if (cfg.second_hop_prb is not None and rel >= half) else 0
+
+    hops = sorted({hop_of(rel) for rel in range(cfg.nof_symbols)})
+    h_by_hop = {}
     resid = 0.0
-    for rel in cfg.dmrs_symbols:
-        y = grid[:, cfg.start_symbol + rel, sc0 : sc0 + m]
-        resid = resid + jnp.abs(y * jnp.conj(jnp.asarray(_dmrs_seq(cfg, rel))) - h) ** 2
-    denom = max(len(cfg.dmrs_symbols) - 1, 1)
-    nvar = jnp.maximum(resid.mean() / denom, 1e-10)
+    nresid = 0
+    for hop in hops:
+        dm = [rel for rel in cfg.dmrs_symbols if hop_of(rel) == hop]
+        sc0 = cfg.prb_of(dm[0]) * NRE
+        h_acc = 0.0
+        for rel in dm:
+            y = grid[:, cfg.start_symbol + rel, sc0 : sc0 + m]
+            h_acc = h_acc + y * jnp.conj(jnp.asarray(_dmrs_seq(cfg, rel)))
+        h_by_hop[hop] = h_acc / len(dm)
+        for rel in dm:
+            y = grid[:, cfg.start_symbol + rel, sc0 : sc0 + m]
+            resid = resid + (jnp.abs(
+                y * jnp.conj(jnp.asarray(_dmrs_seq(cfg, rel))) - h_by_hop[hop]) ** 2).mean()
+            nresid += 1
+    denom = max(nresid - len(hops), 1)
+    nvar = jnp.maximum(resid / denom, 1e-10)
 
     # Equalize each data symbol (MRC), inverse transform precoding, OCC despread.
     occ = jnp.asarray(_occ(cfg))
     per_sym = m // cfg.occ_length
     parts = []
-    gain = (jnp.abs(h) ** 2).sum(axis=0).mean()
+    gain = sum((jnp.abs(h_by_hop[hop]) ** 2).sum(axis=0).mean() for hop in hops) / len(hops)
     for rel in cfg.data_symbols:
+        h = h_by_hop[hop_of(rel)]
+        sc0 = cfg.prb_of(rel) * NRE
         y = grid[:, cfg.start_symbol + rel, sc0 : sc0 + m]
         z = (jnp.conj(h) * y).sum(axis=0) / ((jnp.abs(h) ** 2).sum(axis=0) + 1e-12)
         x = tp.deprecode(z)  # (m,)

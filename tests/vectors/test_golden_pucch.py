@@ -109,7 +109,7 @@ def test_pucch_format34_golden():
     from srsran_project_tpu.phy import pucch_f34
 
     cases = load_suite("pucch_format34")
-    assert len(cases) == 6
+    assert len(cases) == 8
     for case in cases:
         subc = case["bwp_rb"] * 12
         grid = _load_grid("pucch_format34", case, case["ports"], subc)
@@ -122,7 +122,9 @@ def test_pucch_format34_golden():
             nof_uci_bits=nof_uci, rnti=case["rnti"], n_id=case["n_id"],
             occ_length=case["occ_length"], occ_index=case["occ_index"],
             slot_in_frame=case["slot_idx"], nof_rx_ports=case["ports"],
-            nof_grid_sc=subc)
+            nof_grid_sc=subc,
+            second_hop_prb=(case["second_hop_prb"]
+                            if case.get("second_hop_prb", -1) >= 0 else None))
         bits, ok, snr_db = pucch_f34.process(grid, cfg)
         assert bool(ok) == bool(case["ref_valid"]), case
         got = np.asarray(bits)[:nof_uci]

@@ -732,6 +732,7 @@ void gen_pucch_format34() {
     unsigned occ_length, occ_index;  // occ_length 1 => format 3
     float snr_db;
     unsigned ports;
+    int second_hop_prb = -1;
   };
   std::vector<f34case> cases = {
       // Format 3.
@@ -743,6 +744,10 @@ void gen_pucch_format34() {
       {52, 5, 1, 0, 14, 0x77aa, 55, 8, 3, 0, 0, 4, 3, 22.f, 1},
       // Format 3 with polar-coded UCI (A = 25, CRC11).
       {52, 12, 2, 0, 14, 0x2468, 77, 4, 20, 1, 4, 1, 0, 22.f, 1},
+      // Format 3 with intra-slot frequency hopping (second hop PRB 40),
+      // and the hopping DM-RS table for the 4-symbol case.
+      {52, 2, 2, 0, 14, 0x1357, 99, 5, 6, 1, 0, 1, 0, 22.f, 1, 40},
+      {52, 6, 1, 10, 4, 0x9bdf, 11, 9, 5, 0, 0, 1, 0, 22.f, 1, 30},
   };
 
   int idx = 0;
@@ -755,8 +760,9 @@ void gen_pucch_format34() {
     chan_model ch{rng, nstd, c.ports};
     slot_point slot(to_numerology_value(subcarrier_spacing::kHz30), c.slot_idx);
 
+    bool hopping = (c.second_hop_prb >= 0);
     symbol_slot_mask dmrs_mask = get_pucch_formats3_4_dmrs_symbol_mask(
-        c.nof_syms, /*frequency_hopping=*/false, /*additional_dmrs=*/false);
+        c.nof_syms, hopping, /*additional_dmrs=*/false);
     unsigned nof_data_syms = c.nof_syms - dmrs_mask.count();
     unsigned E = nof_data_syms * m_sc * 2 / c.occ_length;  // QPSK
 
@@ -798,6 +804,8 @@ void gen_pucch_format34() {
     unsigned i_data_sym = 0;
     for (unsigned s = 0; s != c.nof_syms; ++s) {
       unsigned sym = c.start_sym + s;
+      unsigned hop_prb = (hopping && s >= c.nof_syms / 2)
+                             ? (unsigned)c.second_hop_prb : c.prb;
       std::vector<cf_t> x(m_sc);
       if (dmrs_mask.test(s)) {
         unsigned alpha_idx = helper.get_alpha_index(slot, cyclic_prefix::NORMAL,
@@ -817,8 +825,8 @@ void gen_pucch_format34() {
       }
       for (unsigned p = 0; p != c.ports; ++p)
         for (unsigned k = 0; k != m_sc; ++k) {
-          cf_t cur = to_cf(grid.at(p, sym, c.prb * NRE + k));
-          grid.at(p, sym, c.prb * NRE + k) = to_cbf16(cur * 0.0f + x[k] * ch.h(p, k % NRE) + ch.noise());
+          cf_t cur = to_cf(grid.at(p, sym, hop_prb * NRE + k));
+          grid.at(p, sym, hop_prb * NRE + k) = to_cbf16(cur * 0.0f + x[k] * ch.h(p, k % NRE) + ch.noise());
         }
     }
 
@@ -833,7 +841,8 @@ void gen_pucch_format34() {
       cfg.bwp_size_rb = c.bwp_rb;
       cfg.bwp_start_rb = 0;
       cfg.starting_prb = c.prb;
-      cfg.second_hop_prb = std::nullopt;
+      cfg.second_hop_prb = hopping ? std::optional<unsigned>((unsigned)c.second_hop_prb)
+                                   : std::nullopt;
       cfg.nof_prb = c.nof_prb;
       cfg.start_symbol_index = c.start_sym;
       cfg.nof_symbols = c.nof_syms;
@@ -855,7 +864,8 @@ void gen_pucch_format34() {
       cfg.bwp_size_rb = c.bwp_rb;
       cfg.bwp_start_rb = 0;
       cfg.starting_prb = c.prb;
-      cfg.second_hop_prb = std::nullopt;
+      cfg.second_hop_prb = hopping ? std::optional<unsigned>((unsigned)c.second_hop_prb)
+                                   : std::nullopt;
       cfg.start_symbol_index = c.start_sym;
       cfg.nof_symbols = c.nof_syms;
       cfg.rnti = c.rnti;
@@ -898,6 +908,7 @@ void gen_pucch_format34() {
     m.field("occ_length", (long long)c.occ_length);
     m.field("occ_index", (long long)c.occ_index);
     m.field("ports", (long long)c.ports);
+    m.field("second_hop_prb", (long long)c.second_hop_prb);
     m.field("ref_valid", (long long)(valid ? 1 : 0));
     m.end_case();
     ++idx;
