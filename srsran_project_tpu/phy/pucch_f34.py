@@ -28,6 +28,9 @@ from ..ran.constants import NRE
 _DMRS_POS = {4: (1,), 5: (0, 3), 6: (1, 4), 7: (1, 4), 8: (1, 5), 9: (1, 6),
              10: (2, 7), 11: (2, 7), 12: (2, 8), 13: (2, 9), 14: (3, 10)}
 _DMRS_POS_HOP = {**_DMRS_POS, 4: (0, 2)}
+# additionalDMRS doubles the DM-RS density for >= 10 symbols.
+_DMRS_POS_ADD = {**_DMRS_POS, 10: (1, 3, 6, 8), 11: (1, 3, 6, 9),
+                 12: (1, 4, 7, 10), 13: (1, 4, 7, 11), 14: (1, 5, 8, 12)}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,6 +50,9 @@ class PucchFormat34Config:
     # Intra-slot frequency hopping: PRB start of the second hop (relative
     # symbols nof_symbols//2 onward).
     second_hop_prb: int | None = None
+    # additionalDMRS (TS 38.331): 4 DM-RS symbols for >= 10-symbol
+    # allocations.
+    additional_dmrs: bool = False
 
     @property
     def data_symbols(self) -> tuple[int, ...]:
@@ -55,6 +61,8 @@ class PucchFormat34Config:
 
     @property
     def dmrs_symbols(self) -> tuple[int, ...]:
+        if self.additional_dmrs and self.nof_symbols >= 10:
+            return _DMRS_POS_ADD[self.nof_symbols]
         table = _DMRS_POS_HOP if self.second_hop_prb is not None else _DMRS_POS
         return table[self.nof_symbols]
 

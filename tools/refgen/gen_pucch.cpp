@@ -733,6 +733,7 @@ void gen_pucch_format34() {
     float snr_db;
     unsigned ports;
     int second_hop_prb = -1;
+    bool additional_dmrs = false;
   };
   std::vector<f34case> cases = {
       // Format 3.
@@ -748,6 +749,8 @@ void gen_pucch_format34() {
       // and the hopping DM-RS table for the 4-symbol case.
       {52, 2, 2, 0, 14, 0x1357, 99, 5, 6, 1, 0, 1, 0, 22.f, 1, 40},
       {52, 6, 1, 10, 4, 0x9bdf, 11, 9, 5, 0, 0, 1, 0, 22.f, 1, 30},
+      // additionalDMRS: 4 DM-RS symbols on a 14-symbol Format 3.
+      {52, 8, 2, 0, 14, 0x2460, 33, 1, 8, 1, 0, 1, 0, 22.f, 1, -1, true},
   };
 
   int idx = 0;
@@ -762,7 +765,7 @@ void gen_pucch_format34() {
 
     bool hopping = (c.second_hop_prb >= 0);
     symbol_slot_mask dmrs_mask = get_pucch_formats3_4_dmrs_symbol_mask(
-        c.nof_syms, hopping, /*additional_dmrs=*/false);
+        c.nof_syms, hopping, c.additional_dmrs);
     unsigned nof_data_syms = c.nof_syms - dmrs_mask.count();
     unsigned E = nof_data_syms * m_sc * 2 / c.occ_length;  // QPSK
 
@@ -853,7 +856,7 @@ void gen_pucch_format34() {
       cfg.nof_sr = c.nof_sr;
       cfg.nof_csi_part1 = c.nof_csi1;
       cfg.nof_csi_part2 = 0;
-      cfg.additional_dmrs = false;
+      cfg.additional_dmrs = c.additional_dmrs;
       cfg.pi2_bpsk = false;
       res = proc->process(grid, cfg);
     } else {
@@ -909,6 +912,7 @@ void gen_pucch_format34() {
     m.field("occ_index", (long long)c.occ_index);
     m.field("ports", (long long)c.ports);
     m.field("second_hop_prb", (long long)c.second_hop_prb);
+    m.field("additional_dmrs", (long long)(c.additional_dmrs ? 1 : 0));
     m.field("ref_valid", (long long)(valid ? 1 : 0));
     m.end_case();
     ++idx;
