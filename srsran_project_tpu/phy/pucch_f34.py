@@ -53,6 +53,8 @@ class PucchFormat34Config:
     # additionalDMRS (TS 38.331): 4 DM-RS symbols for >= 10-symbol
     # allocations.
     additional_dmrs: bool = False
+    # pi/2-BPSK data modulation instead of QPSK (TS 38.211 6.3.2.6.2).
+    pi2_bpsk: bool = False
 
     @property
     def data_symbols(self) -> tuple[int, ...]:
@@ -76,9 +78,15 @@ class PucchFormat34Config:
         return self.nof_prb * NRE
 
     @property
+    def modulation(self) -> Modulation:
+        return Modulation.PI_2_BPSK if self.pi2_bpsk else Modulation.QPSK
+
+    @property
     def nof_coded_bits(self) -> int:
-        # QPSK over data symbols; OCC divides the payload capacity.
-        return 2 * len(self.data_symbols) * self.nof_data_sc // self.occ_length
+        # QPSK (2 bits/RE) or pi/2-BPSK (1) over data symbols; OCC divides
+        # the payload capacity.
+        qm = 1 if self.pi2_bpsk else 2
+        return qm * len(self.data_symbols) * self.nof_data_sc // self.occ_length
 
 
 def _c_init(cfg: PucchFormat34Config) -> int:
@@ -119,7 +127,7 @@ def generate(cfg: PucchFormat34Config, bits: np.ndarray) -> np.ndarray:
     """UE-side contribution: (14, nof_grid_sc) grid."""
     coded = np.asarray(uci_mod.encode_uci(bits, cfg.nof_coded_bits))
     scr = np.asarray(scrambling.scramble_bits(coded, np.uint32(_c_init(cfg))))
-    syms = np.asarray(map_bits(scr, Modulation.QPSK))  # (nof_coded/2,)
+    syms = np.asarray(map_bits(scr, cfg.modulation))  # (nof data REs,)
     m = cfg.nof_data_sc
     per_sym = m // cfg.occ_length
     blocks = syms.reshape(len(cfg.data_symbols), per_sym)
@@ -186,7 +194,7 @@ def process(grid: jax.Array, cfg: PucchFormat34Config):
         parts.append(despread)
     x_all = jnp.concatenate(parts)  # (nof_coded/2,)
     eq_nvar = jnp.broadcast_to(nvar / jnp.maximum(gain, 1e-9), x_all.shape)
-    llr = demap_soft(x_all, eq_nvar, Modulation.QPSK)
+    llr = demap_soft(x_all, eq_nvar, cfg.modulation)
     seq = scrambling.gold_sequence(jnp.uint32(_c_init(cfg)), llr.shape[-1])
     llr = jnp.where(seq == 1, -llr, llr)
     bits, ok = uci_mod.decode_uci(llr, cfg.nof_uci_bits)

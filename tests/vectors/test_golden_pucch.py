@@ -109,7 +109,7 @@ def test_pucch_format34_golden():
     from srsran_project_tpu.phy import pucch_f34
 
     cases = load_suite("pucch_format34")
-    assert len(cases) == 9
+    assert len(cases) == 10
     for case in cases:
         subc = case["bwp_rb"] * 12
         grid = _load_grid("pucch_format34", case, case["ports"], subc)
@@ -125,7 +125,8 @@ def test_pucch_format34_golden():
             nof_grid_sc=subc,
             second_hop_prb=(case["second_hop_prb"]
                             if case.get("second_hop_prb", -1) >= 0 else None),
-            additional_dmrs=bool(case.get("additional_dmrs", 0)))
+            additional_dmrs=bool(case.get("additional_dmrs", 0)),
+            pi2_bpsk=bool(case.get("pi2_bpsk", 0)))
         bits, ok, snr_db = pucch_f34.process(grid, cfg)
         assert bool(ok) == bool(case["ref_valid"]), case
         got = np.asarray(bits)[:nof_uci]

@@ -734,6 +734,7 @@ void gen_pucch_format34() {
     unsigned ports;
     int second_hop_prb = -1;
     bool additional_dmrs = false;
+    bool pi2_bpsk = false;
   };
   std::vector<f34case> cases = {
       // Format 3.
@@ -751,6 +752,8 @@ void gen_pucch_format34() {
       {52, 6, 1, 10, 4, 0x9bdf, 11, 9, 5, 0, 0, 1, 0, 22.f, 1, 30},
       // additionalDMRS: 4 DM-RS symbols on a 14-symbol Format 3.
       {52, 8, 2, 0, 14, 0x2460, 33, 1, 8, 1, 0, 1, 0, 22.f, 1, -1, true},
+      // pi/2-BPSK data modulation on Format 3.
+      {52, 16, 1, 0, 14, 0x8642, 21, 3, 7, 0, 0, 1, 0, 22.f, 1, -1, false, true},
   };
 
   int idx = 0;
@@ -767,7 +770,8 @@ void gen_pucch_format34() {
     symbol_slot_mask dmrs_mask = get_pucch_formats3_4_dmrs_symbol_mask(
         c.nof_syms, hopping, c.additional_dmrs);
     unsigned nof_data_syms = c.nof_syms - dmrs_mask.count();
-    unsigned E = nof_data_syms * m_sc * 2 / c.occ_length;  // QPSK
+    unsigned qm = c.pi2_bpsk ? 1 : 2;
+    unsigned E = nof_data_syms * m_sc * qm / c.occ_length;
 
     // Encode + scramble + modulate.
     std::vector<uint8_t> payload(A);
@@ -778,8 +782,10 @@ void gen_pucch_format34() {
     scr.apply_xor(coded, coded);
     dynamic_bit_buffer packed(E);
     srsvec::bit_pack(packed, coded);
-    std::vector<cf_t> d(E / 2);
-    mapper.modulate(d, packed, modulation_scheme::QPSK);
+    std::vector<cf_t> d(E / qm);
+    mapper.modulate(d, packed,
+                    c.pi2_bpsk ? modulation_scheme::PI_2_BPSK
+                               : modulation_scheme::QPSK);
 
     // Forward DFT (transform precoding TX side: 1/sqrt(M_sc) scaling).
     dft_processor_generic_impl dft(
@@ -857,7 +863,7 @@ void gen_pucch_format34() {
       cfg.nof_csi_part1 = c.nof_csi1;
       cfg.nof_csi_part2 = 0;
       cfg.additional_dmrs = c.additional_dmrs;
-      cfg.pi2_bpsk = false;
+      cfg.pi2_bpsk = c.pi2_bpsk;
       res = proc->process(grid, cfg);
     } else {
       pucch_processor::format4_configuration cfg;
@@ -913,6 +919,7 @@ void gen_pucch_format34() {
     m.field("ports", (long long)c.ports);
     m.field("second_hop_prb", (long long)c.second_hop_prb);
     m.field("additional_dmrs", (long long)(c.additional_dmrs ? 1 : 0));
+    m.field("pi2_bpsk", (long long)(c.pi2_bpsk ? 1 : 0));
     m.field("ref_valid", (long long)(valid ? 1 : 0));
     m.end_case();
     ++idx;
