@@ -50,6 +50,11 @@ class PdschConfig:
     # k_RB_ref = rnti mod K_PTRS (TS 38.211 7.4.1.2.2; rnti is a runtime
     # value in this API, so callers fold it into the config).
     ptrs_k_rb_ref: int = 0
+    # Transform precoding (DFT-s-OFDM uplink; used by the PUSCH TX twin):
+    # data is DFT-precoded per symbol and the DM-RS is a low-PAPR sequence
+    # seeded by n_rs_id (TS 38.211 6.3.1.4 / 6.4.1.1.1.2).
+    transform_precoding: bool = False
+    n_rs_id: int = 0
 
     @functools.cached_property
     def sch(self) -> SchConfig:
@@ -108,6 +113,13 @@ def _grid_chain(cw: jax.Array, precoding: jax.Array, cfg: PdschConfig) -> jax.Ar
 
     grid_l = jnp.zeros((nl, cfg.nof_grid_symbols * cfg.nof_grid_sc), dtype=jnp.complex64)
     didx = jnp.asarray(alloc_mod.data_re_indices(a, cfg.nof_grid_symbols, cfg.nof_grid_sc))
+    if cfg.transform_precoding:
+        # DFT-s-OFDM: precode each data symbol's M_sc block (1 layer; data
+        # symbols carry full PRBs with cdm2, so blocks are contiguous).
+        m_sc = a.nof_sc
+        blocks = layered.reshape(nl, -1, m_sc)
+        blocks = jnp.fft.fft(blocks, axis=-1) / np.sqrt(m_sc)
+        layered = blocks.reshape(nl, -1).astype(jnp.complex64)
     grid_l = grid_l.at[:, didx].set(layered)
 
     # DM-RS: each layer maps to DM-RS port = layer index (v1 convention).
@@ -116,8 +128,17 @@ def _grid_chain(cw: jax.Array, precoding: jax.Array, cfg: PdschConfig) -> jax.Ar
     beta = dmrs_mod.sch_to_dmrs_beta(a.nof_cdm_groups_without_data)
     for layer in range(nl):
         idx, wf, _, seq_idx = alloc_mod.pilot_re_indices(a, layer, cfg.nof_grid_sc)
-        nof_pilots_total = int(seq_idx[-1]) + 1
-        r = dmrs_pilots(cfg, nof_pilots_total)[:, jnp.asarray(seq_idx)]
+        if cfg.transform_precoding:
+            # Low-PAPR DM-RS, identical on every DM-RS symbol, indexed from
+            # the allocation start (reference
+            # dmrs_pusch_estimator_impl.cpp:86-91).
+            from ..ops import sequences as seq_mod
+            rl = np.asarray(seq_mod.base_sequence(cfg.n_rs_id % 30, 0, len(seq_idx)),
+                            np.complex64)
+            r = jnp.asarray(np.broadcast_to(rl, (len(a.dmrs_symbols), len(seq_idx))))
+        else:
+            nof_pilots_total = int(seq_idx[-1]) + 1
+            r = dmrs_pilots(cfg, nof_pilots_total)[:, jnp.asarray(seq_idx)]
         vals = np.float32(beta) * r * jnp.asarray(wf, dtype=jnp.complex64)
         grid_l = grid_l.at[layer, jnp.asarray(idx)].set(vals)
 

@@ -87,6 +87,12 @@ class PuschConfig:
     ptrs_k: int = 2
     ptrs_re_offset: int = 0
     ptrs_k_rb_ref: int = 0  # rnti mod K_PTRS, folded in by the caller
+    # Transform precoding (DFT-s-OFDM): data deprecoded per symbol after
+    # equalization; DM-RS is the low-PAPR sequence seeded by n_rs_id
+    # (reference pusch_processor_impl.cpp:194-199 /
+    # pusch_demodulator_impl.cpp:345-351).  Single layer only.
+    transform_precoding: bool = False
+    n_rs_id: int = 0
 
     @functools.cached_property
     def g_total(self) -> int:
@@ -167,10 +173,21 @@ def _estimate_constants(cfg: PuschConfig):
     wf_all = np.stack(wf_l).astype(np.float32)  # (nl, Np)
     n_total = int(max(s[-1] for s in seq_l)) + 1
     pil = []
-    for sym in a.dmrs_symbols:
-        c_init = dmrs_mod.dmrs_c_init(cfg.slot_in_frame, sym, cfg.dmrs_scrambling_id, cfg.n_scid)
-        c = scrambling.gold_ref(int(c_init), 2 * n_total).astype(np.float32)
-        pil.append(((1.0 - 2.0 * c[0::2]) + 1j * (1.0 - 2.0 * c[1::2])) / np.sqrt(2))
+    if cfg.transform_precoding:
+        # Low-PAPR DM-RS: one sequence for every DM-RS symbol, indexed from
+        # the allocation start (dmrs_pusch_estimator_impl.cpp:86-91).
+        from ..ops import sequences as seq_mod
+        base = np.zeros(n_total, np.complex64)
+        first = int(min(s[0] for s in seq_l))
+        rl = np.asarray(seq_mod.base_sequence(cfg.n_rs_id % 30, 0, n_total - first),
+                        np.complex64)
+        base[first:] = rl
+        pil = [base for _ in a.dmrs_symbols]
+    else:
+        for sym in a.dmrs_symbols:
+            c_init = dmrs_mod.dmrs_c_init(cfg.slot_in_frame, sym, cfg.dmrs_scrambling_id, cfg.n_scid)
+            c = scrambling.gold_ref(int(c_init), 2 * n_total).astype(np.float32)
+            pil.append(((1.0 - 2.0 * c[0::2]) + 1j * (1.0 - 2.0 * c[1::2])) / np.sqrt(2))
     # The transmitter boosts DM-RS by the SCH-to-DMRS power offset beta
     # (+3 dB for 2 CDM groups, TS 38.214); the LS step multiplies the
     # received pilots by conj(r)/beta so the estimate h is referenced to
@@ -289,6 +306,8 @@ def _front_end(grid: jax.Array, rnti: jax.Array, cfg: PuschConfig):
     """
     gflat, h, noise_var, snr_acc = checkpoint(_estimate_stage(grid, cfg))
     x_hat, eq_nvar = checkpoint(_equalize_stage(gflat, h, noise_var, cfg))
+    if cfg.transform_precoding:
+        x_hat, eq_nvar = _deprecode_stage(x_hat, eq_nvar, cfg)
     llr_i8, sinr_post_eq = checkpoint(
         _demap_stage(x_hat, eq_nvar, jnp.asarray(rnti), cfg)
     )
@@ -322,6 +341,22 @@ def _ptrs_bit_positions(cfg: PuschConfig) -> np.ndarray:
         if i is not None:
             out.extend(range(i * bits_per_re, (i + 1) * bits_per_re))
     return np.asarray(sorted(out), np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _deprecode_stage(x_hat: jax.Array, eq_nvar: jax.Array, cfg: PuschConfig):
+    """Revert transform precoding: per data symbol, IDFT the equalized
+    M_sc block and replace its noise variances by their mean (reference
+    pusch_demodulator_impl.cpp:345-351 +
+    transform_precoder_dft_impl::deprecode_ofdm_symbol_noise)."""
+    m_sc = cfg.alloc.nof_sc
+    # x_hat is (ndata, nl), RE-major in (symbol, subcarrier) order.
+    xb = x_hat.reshape(-1, m_sc, x_hat.shape[-1])
+    xb = jnp.fft.ifft(xb, axis=1) * np.sqrt(m_sc)
+    nb = eq_nvar.reshape(-1, m_sc, eq_nvar.shape[-1])
+    nb = jnp.broadcast_to(nb.mean(axis=1, keepdims=True), nb.shape)
+    return (xb.reshape(x_hat.shape).astype(jnp.complex64),
+            nb.reshape(eq_nvar.shape))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

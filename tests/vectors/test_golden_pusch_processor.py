@@ -20,7 +20,7 @@ MODS = {2: Modulation.QPSK, 4: Modulation.QAM16, 6: Modulation.QAM64, 8: Modulat
 
 def test_pusch_processor_golden():
     cases = load_suite("pusch_processor_rx")
-    assert len(cases) == 4
+    assert len(cases) == 5
     for case in cases:
         nof_subc = case["nof_prb"] * 12
         grid = read_vector(suite_path("pusch_processor_rx", f"grid{case['idx']}.dat"),
@@ -43,6 +43,8 @@ def test_pusch_processor_golden():
             n_id=case["n_id"],
             slot_in_frame=case["slot_idx"],
             dmrs_scrambling_id=case["scrambling_id"],
+            transform_precoding=bool(case.get("transform_precoding", 0)),
+            n_rs_id=case.get("n_rs_id", 0),
         )
         out = pusch.process(np.asarray(grid, np.complex64),
                             np.uint32(case["rnti"]), cfg)

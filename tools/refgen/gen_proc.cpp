@@ -647,7 +647,7 @@ std::unique_ptr<time_alignment_estimator> make_ta_estimator_proc() {
 
 std::unique_ptr<transform_precoder> make_tp_precoder_proc() {
   transform_precoder_dft_impl::collection_dft_processors tp_dfts;
-  for (unsigned rb : {1u, 2u, 4u}) {
+  for (unsigned rb : {1u, 2u, 3u, 4u, 6u, 12u, 24u}) {
     tp_dfts.emplace(rb, std::make_unique<dft_processor_generic_impl>(
                             dft_processor::configuration{rb * NRE, dft_processor::direction::INVERSE}));
   }
@@ -728,6 +728,8 @@ void gen_pusch_processor() {
     modulation_scheme mod;
     unsigned dmrs_mask, slot_idx;
     float snr_db;
+    bool transform_precoding = false;
+    unsigned n_rs_id = 0;
   };
   std::vector<pcase> cases = {
       {24, 1, 0x4601, 1, 17, 320, 0.40f, modulation_scheme::QPSK,
@@ -738,6 +740,9 @@ void gen_pusch_processor() {
        (1u << 2) | (1u << 7) | (1u << 11), 8, 28.f},
       {24, 4, 0x17a1, 1007, 3, 480, 0.45f, modulation_scheme::QAM16,
        (1u << 2) | (1u << 11), 5, 24.f},
+      // Transform-precoded PUSCH (DFT-s-OFDM, low-PAPR DM-RS).
+      {12, 1, 0x4601, 42, 0, 160, 0.35f, modulation_scheme::QPSK,
+       (1u << 2) | (1u << 11), 4, 24.f, true, 17},
   };
 
   int idx = 0;
@@ -787,6 +792,19 @@ void gen_pusch_processor() {
     crb_bitmap rb_mask(MAX_RB);
     rb_mask.fill(0, c.nof_prb);
     pseudo_random_generator_impl dmrs_prg;
+    low_papr_sequence_generator_impl tp_dmrs_gen;
+    // DFT-precode each data symbol when transform precoding is on.
+    if (c.transform_precoding) {
+      dft_processor_generic_impl tp_dft(
+          dft_processor::configuration{nof_subc, dft_processor::direction::DIRECT});
+      for (unsigned s = 0; s != x.size() / nof_subc; ++s) {
+        srsvec::copy(tp_dft.get_input(),
+                     span<const cf_t>(x).subspan(s * nof_subc, nof_subc));
+        span<const cf_t> out_dft = tp_dft.run();
+        for (unsigned k = 0; k != nof_subc; ++k)
+          x[s * nof_subc + k] = out_dft[k] / std::sqrt((float)nof_subc);
+      }
+    }
 
     demod_grid grid(c.ports, 14, nof_subc);
     std::vector<cf_t> grid_dump;
@@ -807,7 +825,11 @@ void gen_pusch_processor() {
                (2 * c.scrambling_id + 0)) % 2147483648u;
           dmrs_prg.init(c_init);
           std::vector<cf_t> pil(c.nof_prb * 6);
-          dmrs_sequence_generate(pil, dmrs_prg, (float)M_SQRT1_2, 0, 6, rb_mask);
+          if (c.transform_precoding) {
+            tp_dmrs_gen.generate(pil, c.n_rs_id % 30, 0, 0, 1);
+          } else {
+            dmrs_sequence_generate(pil, dmrs_prg, (float)M_SQRT1_2, 0, 6, rb_mask);
+          }
           for (unsigned j = 0; j != pil.size(); ++j) {
             unsigned k = 2 * j;  // type-1, layer 0, delta 0
             cf_t v = beta_dmrs * pil[j] * h[k] +
@@ -919,12 +941,18 @@ void gen_pusch_processor() {
     pdu.dmrs_symbol_mask = symbol_slot_mask(14);
     for (unsigned s = 0; s != 14; ++s)
       if (c.dmrs_mask & (1u << s)) pdu.dmrs_symbol_mask.set(s);
-    pusch_processor::dmrs_configuration dmrs_cfg;
-    dmrs_cfg.dmrs = dmrs_type::TYPE1;
-    dmrs_cfg.scrambling_id = c.scrambling_id;
-    dmrs_cfg.n_scid = false;
-    dmrs_cfg.nof_cdm_groups_without_data = 2;
-    pdu.dmrs = dmrs_cfg;
+    if (c.transform_precoding) {
+      pusch_processor::dmrs_transform_precoding_configuration tp_dmrs_cfg;
+      tp_dmrs_cfg.n_rs_id = c.n_rs_id;
+      pdu.dmrs = tp_dmrs_cfg;
+    } else {
+      pusch_processor::dmrs_configuration dmrs_cfg;
+      dmrs_cfg.dmrs = dmrs_type::TYPE1;
+      dmrs_cfg.scrambling_id = c.scrambling_id;
+      dmrs_cfg.n_scid = false;
+      dmrs_cfg.nof_cdm_groups_without_data = 2;
+      pdu.dmrs = dmrs_cfg;
+    }
     pdu.freq_alloc = rb_allocation::make_type1(0, c.nof_prb);
     pdu.start_symbol_index = 0;
     pdu.nof_symbols = 14;
@@ -962,6 +990,8 @@ void gen_pusch_processor() {
     m.field("dmrs_mask", (long long)c.dmrs_mask);
     m.field("slot_idx", (long long)c.slot_idx);
     m.field("snr_db", (double)c.snr_db);
+    m.field("transform_precoding", (long long)(c.transform_precoding ? 1 : 0));
+    m.field("n_rs_id", (long long)c.n_rs_id);
     m.field("ref_crc_ok", (long long)(notifier.tb_crc_ok ? 1 : 0));
     m.field("ref_sinr_db", (double)notifier.sinr_db);
     m.field("ref_ldpc_iters", (long long)notifier.ldpc_iters);
