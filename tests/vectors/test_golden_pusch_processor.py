@@ -15,12 +15,12 @@ from conftest import load_suite, suite_path
 
 pytestmark = pytest.mark.vectortest
 
-MODS = {2: Modulation.QPSK, 4: Modulation.QAM16, 6: Modulation.QAM64, 8: Modulation.QAM256}
+MODS = {1: Modulation.PI_2_BPSK, 2: Modulation.QPSK, 4: Modulation.QAM16, 6: Modulation.QAM64, 8: Modulation.QAM256}
 
 
 def test_pusch_processor_golden():
     cases = load_suite("pusch_processor_rx")
-    assert len(cases) == 5
+    assert len(cases) == 6
     for case in cases:
         nof_subc = case["nof_prb"] * 12
         grid = read_vector(suite_path("pusch_processor_rx", f"grid{case['idx']}.dat"),

@@ -743,6 +743,9 @@ void gen_pusch_processor() {
       // Transform-precoded PUSCH (DFT-s-OFDM, low-PAPR DM-RS).
       {12, 1, 0x4601, 42, 0, 160, 0.35f, modulation_scheme::QPSK,
        (1u << 2) | (1u << 11), 4, 24.f, true, 17},
+      // pi/2-BPSK with transform precoding (power-limited DFT-s-OFDM).
+      {12, 1, 0x1357, 99, 0, 96, 0.30f, modulation_scheme::PI_2_BPSK,
+       (1u << 2) | (1u << 11), 6, 24.f, true, 5},
   };
 
   int idx = 0;
