@@ -28,11 +28,16 @@ def _check_alloc_bounds(alloc, nof_grid_sc: int, what: str, first_rb=None):
 def validate_dl_tti(req: fapi.DlTtiRequest, tx_data: fapi.TxDataRequest, nof_grid_sc: int) -> None:
     if req.slot != tx_data.slot:
         raise ValidationError("DL_TTI and TX_Data slots differ")
+    from ..phy import validators as phy_validators
+
     occupied = []
     for pdu in req.pdsch:
         cfg = pdu.config
         grid_sc = nof_grid_sc if pdu.first_rb is not None else cfg.nof_grid_sc
         _check_alloc_bounds(cfg.alloc, grid_sc, f"PDSCH rnti={pdu.rnti:#x}", pdu.first_rb)
+        err = phy_validators.validate_pdsch(cfg)
+        if err is not None:
+            raise ValidationError(f"PDSCH rnti={pdu.rnti:#x}: {err}")
         if pdu.tb_index >= len(tx_data.payloads):
             raise ValidationError(f"PDSCH rnti={pdu.rnti:#x}: tb_index out of range")
         if len(tx_data.payloads[pdu.tb_index]) != cfg.tbs:
@@ -63,11 +68,16 @@ def validate_dl_tti(req: fapi.DlTtiRequest, tx_data: fapi.TxDataRequest, nof_gri
 
 
 def validate_ul_tti(req: fapi.UlTtiRequest, nof_grid_sc: int) -> None:
+    from ..phy import validators as phy_validators
+
     occupied = []
     for pdu in req.pusch:
         cfg = pdu.config
         grid_sc = nof_grid_sc if pdu.first_rb is not None else cfg.nof_grid_sc
         _check_alloc_bounds(cfg.alloc, grid_sc, f"PUSCH rnti={pdu.rnti:#x}", pdu.first_rb)
+        err = phy_validators.validate_pusch(cfg)
+        if err is not None:
+            raise ValidationError(f"PUSCH rnti={pdu.rnti:#x}: {err}")
         rb0 = pdu.first_rb if pdu.first_rb is not None else cfg.alloc.rb_start
         span = (rb0, rb0 + cfg.alloc.rb_count, cfg.alloc.sym_start,
                 cfg.alloc.sym_start + cfg.alloc.sym_count)
