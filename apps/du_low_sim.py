@@ -51,6 +51,10 @@ def main() -> int:
     ap.add_argument("--remote-port", type=int, default=None,
                     help="serve the remote-control WebSocket endpoint here "
                          "(reference apps/services/remote_control; 0 = ephemeral)")
+    ap.add_argument("--ru", default="none", choices=["none", "generic"],
+                    help="route DL/UL through the RU abstraction layer: "
+                         "'generic' OFDM-modulates to baseband, loops it back "
+                         "as uplink and demodulates through RuGeneric")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--dump-config", action="store_true")
     args = ap.parse_args()
@@ -105,6 +109,34 @@ def main() -> int:
     print(f"# cell: {cell.nof_rb} PRB, {cell.nof_ports}x{cell.nof_layers}, "
           f"tbs={cell.tbs} bits, channel={args.channel}@{args.snr_db}dB", file=sys.stderr)
 
+    ru = None
+    if args.ru == "generic":
+        # DL grid -> RU (OFDM modulate -> baseband) -> loopback -> RU
+        # (demodulate) -> upper PHY: the reference's ru_generic role with
+        # the sample stream looped in-process (ZMQ-sim analogue).
+        from srsran_project_tpu.ru import (ResourceGridContext, RuGeneric,
+                                           RuGenericConfig)
+
+        ru_rx = {}
+
+        class _RuCollector:
+            def on_new_uplink_symbol(self, context, grid_, is_valid):
+                if is_valid:
+                    ru_rx[context.slot] = grid_
+
+            def on_new_prach_window_data(self, context, buffer):
+                pass
+
+        ru_tx = {}
+        ru = RuGeneric(RuGenericConfig(scs=SubcarrierSpacing(cell.scs),
+                                       dft_size=cell.dft_size,
+                                       nof_rb=cell.nof_rb),
+                       _RuCollector(),
+                       transmit_cb=lambda s, x: ru_tx.__setitem__(s, x))
+        ru.start()
+        ru_ctx = {"tx": ru_tx, "rx": ru_rx,
+                  "ResourceGridContext": ResourceGridContext}
+
     def run_slot(i: int) -> bool:
         nonlocal key
         slot = SlotPoint.from_sfn_slot(SubcarrierSpacing(cell.scs), i // 20, i % 20)
@@ -113,7 +145,26 @@ def main() -> int:
         with tracing.l1_tracer.span(f"dl_slot_{i}"):
             grid = phy.process_dl_tti(dl, fapi.TxDataRequest(slot=slot, payloads=[tb]))
         key, sub = jax.random.split(key)
-        rx_grid, _, _ = chem.apply_channel(grid, sub, ch_cfg)
+        if ru is not None:
+            Ctx = ru_ctx["ResourceGridContext"]
+            ru.handle_dl_data(Ctx(slot=slot), np.asarray(grid))
+            ru.handle_new_uplink_slot(Ctx(slot=slot))
+            # Modulate + transmit; loop the baseband back with AWGN at the
+            # configured SNR, demodulate through the RU's uplink plane.
+            ru.advance_slot(slot)
+            samples = np.asarray(ru_ctx["tx"].pop(slot))
+            sig_pow = float(np.mean(np.abs(samples) ** 2))
+            nstd = np.sqrt(sig_pow * 10.0 ** (-args.snr_db / 10.0) / 2.0)
+            samples = samples + nstd * (
+                rng.standard_normal(samples.shape)
+                + 1j * rng.standard_normal(samples.shape)).astype(np.complex64)
+            ru.push_ul_samples(slot, samples)
+            ru.handle_new_uplink_slot(Ctx(slot=slot))
+            ru.advance_slot(slot)
+            import jax.numpy as jnp
+            rx_grid = jnp.asarray(ru_ctx["rx"].pop(slot))
+        else:
+            rx_grid, _, _ = chem.apply_channel(grid, sub, ch_cfg)
         ul = fapi.UlTtiRequest(slot=slot, pusch=[fapi.UlPuschPdu(cell.pusch_cfg, 0x4601)])
         with tracing.l1_tracer.span(f"ul_slot_{i}"):
             res = phy.process_ul_tti(ul, rx_grid)
