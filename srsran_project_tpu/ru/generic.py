@@ -184,7 +184,34 @@ class RuGeneric:
                                       symbol_id=i_symbol)
                 self.symbol_notifier.on_new_uplink_symbol(ctx, grid, valid)
         if prach_ctx is not None:
-            self.symbol_notifier.on_new_prach_window_data(prach_ctx, ul_samples)
+            buffer = None
+            if ul_samples is not None:
+                # Demodulate the PRACH occasion per TS 38.211 5.3.2 using
+                # the full window math (16-kappa extensions etc.; the
+                # reference's prach processor role in ru_generic's lower
+                # PHY).  The notified buffer is (nof_symbols, L_RA)
+                # frequency-domain, like the reference prach_buffer.
+                scs_hz = {0: 15000, 1: 30000, 2: 60000, 3: 120000}[int(self.cfg.scs)]
+                srate = self.cfg.dft_size * scs_hz
+                l_ra = 839 if prach_ctx.format in ("0", "1", "2", "3") else 139
+                from ..ops import lower_phy
+                wp = lower_phy.prach_window_params(
+                    fmt=prach_ctx.format, pusch_scs_hz=scs_hz,
+                    slot_in_subframe=slot.slot_in_subframe,
+                    start_symbol=prach_ctx.start_symbol, td_occasion=0,
+                    srate_hz=srate, rb_offset=prach_ctx.rb_offset,
+                    fd_occasion=0, nof_prb_ul_grid=self.cfg.nof_rb, l_ra=l_ra)
+                rx = np.asarray(ul_samples)
+                window = rx[..., wp["sample_offset"]:]
+                syms = []
+                for s in range(wp["nof_symbols"]):
+                    syms.append(np.asarray(lower_phy.prach_demodulate(
+                        window, l_ra=l_ra, dft_size=wp["dft_size"],
+                        nof_symbols=1,
+                        cp_samples=wp["cp_samples"] + s * wp["dft_size"],
+                        k_offset=wp["k_offset"])))
+                buffer = np.stack(syms, axis=-2)
+            self.symbol_notifier.on_new_prach_window_data(prach_ctx, buffer)
         if self.timing_notifier is not None:
             self.timing_notifier.on_ul_half_slot_boundary(slot)
             self.timing_notifier.on_ul_full_slot_boundary(slot)

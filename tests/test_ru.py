@@ -296,3 +296,39 @@ def test_ofh_cplane_ud_comp_hdr_static_vs_dynamic():
     assert native.ofh_cplane_comp_hdr(msg) == 0x91
     hdr, secs = native.ofh_cplane_parse(msg)
     assert hdr["section_type"] == 1 and secs[0].num_prbc == 24
+
+
+def test_generic_ru_demodulates_prach_occasion():
+    """A PRACH occasion request returns the TS 38.211 5.3.2 frequency-
+    domain buffer: a preamble synthesized at the window's DFT bins comes
+    back at the right buffer indices."""
+    from srsran_project_tpu.ops import lower_phy
+
+    col = Collector()
+    cfg = RuGenericConfig(scs=SCS, dft_size=2048, nof_rb=51)
+    ru = RuGeneric(cfg, col)
+    slot = SlotPoint.from_sfn_slot(SCS, 0, 1)
+    ctx = PrachBufferContext(slot=slot, start_symbol=0, format="B4")
+    wp = lower_phy.prach_window_params(
+        fmt="B4", pusch_scs_hz=30000, slot_in_subframe=slot.slot_in_subframe,
+        start_symbol=0, td_occasion=0, srate_hz=2048 * 30000,
+        rb_offset=0, fd_occasion=0, nof_prb_ul_grid=51, l_ra=139)
+
+    # Synthesize: preamble values on the window's bins, OFDM'd with CP.
+    rng = np.random.default_rng(5)
+    pre = np.exp(2j * np.pi * rng.random(139)).astype(np.complex64)
+    spec = np.zeros(wp["dft_size"], np.complex64)
+    spec[(wp["k_offset"] + np.arange(139)) % wp["dft_size"]] = pre
+    sym = np.fft.ifft(spec) * np.sqrt(wp["dft_size"])
+    body = np.tile(sym, wp["nof_symbols"])
+    cp = body[-wp["cp_samples"]:]
+    samples = np.zeros(wp["sample_offset"], np.complex64)
+    samples = np.concatenate([samples, cp, body]).astype(np.complex64)[None]
+
+    ru.handle_prach_occasion(ctx)
+    ru.push_ul_samples(slot, samples)
+    ru.advance_slot(slot)
+    assert len(col.prach) == 1
+    _, buffer = col.prach[0]
+    assert buffer.shape[-2:] == (wp["nof_symbols"], 139)
+    assert np.allclose(buffer[0, 0], pre, atol=1e-3)
