@@ -266,3 +266,70 @@ def format1_detect(grid: jax.Array, cfg: PucchFormat1Config):
         bits = jnp.asarray([corr.real < 0, corr.imag < 0], jnp.uint8)
         llrs = jnp.stack([corr.real, corr.imag]) / np.sqrt(2)
     return bits, llrs, rho
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def format1_detect_batch(grid: jax.Array, cfg: PucchFormat1Config):
+    """Detect ALL multiplexed F1 transmissions on one resource at once.
+
+    Counterpart of the reference's format1_batch_configuration path
+    (pucch_detector_format1.cpp): despreading every initial cyclic shift
+    is a 12-point DFT across subcarrier phase (spreading in frequency uses
+    DFT columns) and despreading every time-domain OCC is a DFT across the
+    hop's symbols — so the whole (12 x N_occ) candidate bank is two small
+    batched FFTs, a naturally TPU-shaped program (the per-UE API calls one
+    jit per UE; this runs one program for the whole resource).
+
+    cfg's initial_cyclic_shift/occ_index are ignored.  Returns dict with
+    ``corr`` (12, max_occ) complex correlations, ``rho`` (12, max_occ) DTX
+    statistics, and ``bits2`` (12, max_occ, 2) hard bits (use [..., :1]
+    for 1-bit candidates).  Like the reference batch API, consume only the
+    entries the scheduler actually allocated: rho discriminates signal
+    from noise per entry, but sidelobes of OTHER active transmissions can
+    raise rho on unallocated cells.
+    """
+    u, v = sequences.group_hopping_params(cfg.n_id, cfg.slot_in_frame, cfg.start_symbol)
+    syms = list(range(cfg.start_symbol, cfg.start_symbol + cfg.nof_symbols))
+    ncs = dict(zip(syms, _ncs_values(cfg.n_id, cfg.slot_in_frame, syms)))
+
+    hops = _f1_hops(cfg)
+    max_occ = max(len(h[2]) for h in hops)  # data symbols bound the OCC set
+
+    corr = 0.0
+    h_pow = 0.0
+    z_pow = 0.0
+    for hop_syms, dmrs_syms, data_syms, prb in hops:
+        sc = slice(prb * NRE, (prb + 1) * NRE)
+
+        def shift_bank(l_list):
+            """(P, nsym_part, 12): per-symbol LS against every cyclic
+            shift = 12-point DFT of y * conj(r_alpha0) over subcarriers."""
+            zs = []
+            for l in l_list:
+                alpha = _alpha(0, 0, ncs[l])
+                seq = sequences.generate(u, v, NRE, jnp.float32(alpha))
+                y = grid[:, l, sc]  # (P, 12)
+                z = y * jnp.conj(seq)
+                zs.append(jnp.fft.fft(z, axis=-1) / NRE)  # (P, 12 shifts)
+            return jnp.stack(zs, axis=1)  # (P, nsym_part, 12)
+
+        # OCC despreading across symbols of the hop = DFT over symbol index
+        # (w_i(m) = e^{j2pi i m / n_sf}); pad with zeros to max_occ rows.
+        def occ_bank(bank, n_sf):
+            f = jnp.fft.fft(bank, axis=1) / max(n_sf, 1)  # (P, n_sf, 12)
+            pad = max_occ - f.shape[1]
+            if pad > 0:
+                f = jnp.concatenate(
+                    [f, jnp.zeros(f.shape[:1] + (pad,) + f.shape[2:], f.dtype)], axis=1)
+            return f  # (P, max_occ, 12)
+
+        hb = occ_bank(shift_bank(dmrs_syms), len(dmrs_syms))
+        zb = occ_bank(shift_bank(data_syms), len(data_syms))
+        corr = corr + (zb * jnp.conj(hb)).sum(axis=0)  # (max_occ, 12)
+        h_pow = h_pow + (jnp.abs(hb) ** 2).sum(axis=0)
+        z_pow = z_pow + (jnp.abs(zb) ** 2).sum(axis=0)
+
+    corr = corr.T  # (12 shifts, max_occ)
+    rho = jnp.abs(corr) / jnp.sqrt((h_pow * z_pow).T + 1e-24)
+    bits2 = jnp.stack([(corr.real < 0), (corr.imag < 0)], axis=-1).astype(jnp.uint8)
+    return {"corr": corr, "rho": rho, "bits2": bits2}

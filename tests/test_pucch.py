@@ -109,3 +109,43 @@ def test_group_sequence_hopping_params():
         assert len(seen_u) > 3, (n_id, seen_u)
     # Deterministic.
     assert group_hopping_params(123, 3, 5, "enable") == group_hopping_params(123, 3, 5, "enable")
+
+
+def test_format1_batch_matches_single_detectors():
+    """The batched (all-ICS x all-OCC) F1 detector reproduces every
+    per-candidate single detection in one program."""
+    import json
+    import os
+
+    golden = os.path.join(os.path.dirname(__file__), "golden", "pucch_format1")
+    if not os.path.exists(os.path.join(golden, "manifest.json")):
+        pytest.skip("pucch_format1 goldens not generated")
+    from srsran_project_tpu.support.file_vector import read_vector
+
+    cases = json.load(open(os.path.join(golden, "manifest.json")))
+    case = next(c for c in cases if c["nof_ues"] == 2)
+    subc = case["bwp_rb"] * 12
+    grid = read_vector(os.path.join(golden, f"grid{case['idx']}.dat"),
+                       "cf32").reshape(case["ports"], 14, subc)
+    common = dict(prb=case["prb"], start_symbol=case["start_sym"],
+                  nof_symbols=case["nof_syms"], n_id=case["n_id"],
+                  slot_in_frame=case["slot_idx"], nof_grid_sc=subc)
+    batch = {k: np.asarray(v) for k, v in pucch.format1_detect_batch(
+        grid, pucch.PucchFormat1Config(initial_cyclic_shift=0, occ_index=0,
+                                       **common)).items()}
+    for iu in range(case["nof_ues"]):
+        p = f"ue{iu}_"
+        m0, occ, nb = case[p + "m0"], case[p + "occi"], case[p + "nof_harq"]
+        cfg = pucch.PucchFormat1Config(initial_cyclic_shift=m0, occ_index=occ,
+                                       nof_harq_bits=nb, **common)
+        bits, _, rho = pucch.format1_detect(grid, cfg)
+        c = batch["corr"][m0, occ]
+        if nb == 1:
+            assert int((c.real + c.imag) < 0) == int(np.asarray(bits)[0])
+        else:
+            assert np.array_equal(batch["bits2"][m0, occ], np.asarray(bits))
+        assert abs(float(batch["rho"][m0, occ]) - float(rho)) < 0.05
+        # And the golden's reference verdict agrees.
+        harq = sum(int(b) << i for i, b in enumerate(
+            np.asarray(batch["bits2"][m0, occ][:nb])))
+        assert harq == case[p + "ref_harq"]
