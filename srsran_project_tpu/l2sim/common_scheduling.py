@@ -84,13 +84,18 @@ class PagingScheduler:
 class CellScheduler:
     """run_slot = common occasions + UE data (the reference's cell_scheduler)."""
 
-    def __init__(self, common: CommonSchedulingConfig, ue_scheduler):
+    def __init__(self, common: CommonSchedulingConfig, ue_scheduler,
+                 fallback=None):
         self.common = common
         self.ue_scheduler = ue_scheduler
+        # Optional l2sim.fallback.FallbackScheduler, run between common
+        # occasions and UE data like the reference's run_slot order
+        # (... -> ra -> FALLBACK -> UE data).
+        self.fallback = fallback
         self.paging = PagingScheduler()
         self.cbs = CbsScheduler()
         self.counters = {"ssb": 0, "sib1": 0, "paging": 0, "csi_rs": 0,
-                         "prach": 0, "cbs": 0}
+                         "prach": 0, "cbs": 0, "fallback": 0}
 
     def _pbch_payload(self, slot: SlotPoint) -> np.ndarray:
         # 32-bit BCH payload: MIB-ish content (sfn + fixed fields), sim fidelity
@@ -104,6 +109,10 @@ class CellScheduler:
         dl, tx, ul, grants = self.ue_scheduler.run_slot(slot, rng)
         pdsch = list(dl.pdsch)
         payloads = list(tx.payloads)
+        fallback_grants = []
+        if self.fallback is not None:
+            fallback_grants = self.fallback.run_slot(count)
+            self.counters["fallback"] += len(fallback_grants)
         ssb, csi_rs, prach = [], [], []
 
         broadcast = None
@@ -146,6 +155,13 @@ class CellScheduler:
         if count % c.prach_period_slots == c.prach_slot_offset:
             prach.append(fapi.UlPrachPdu(c.prach_config))
             self.counters["prach"] += 1
+
+        for g in fallback_grants:
+            cfg, bits = _bcast_pdsch(g.rb_count, c.nof_grid_sc, g.payload)
+            pdsch.append(fapi.DlPdschPdu(cfg, g.rnti,
+                                         np.eye(1, dtype=np.complex64),
+                                         len(payloads), first_rb=g.rb_start))
+            payloads.append(bits)
 
         dl2 = fapi.DlTtiRequest(slot=slot, pdsch=pdsch, pdcch=dl.pdcch,
                                 ssb=ssb, csi_rs=csi_rs)

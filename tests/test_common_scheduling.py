@@ -127,3 +127,31 @@ def test_cbs_etws_warning_broadcast_and_reassembly():
     assert cell.counters["cbs"] >= 1 and payloads
     done = reassemble_cbs(payloads)
     assert done[(0x1100, serial)] == body
+
+
+def test_cell_scheduler_runs_fallback_stage():
+    """The fallback stage runs inside the cell scheduler's run_slot order
+    and its SRB0 grants ride the DL_TTI as PDSCH PDUs."""
+    import numpy as np
+
+    from srsran_project_tpu.l2sim import fallback, pdcch_alloc
+    from srsran_project_tpu.l2sim.scheduler import RoundRobinScheduler, SchedulerConfig
+
+    fb = fallback.FallbackScheduler(
+        {0: pdcch_alloc.CoresetConfig(id=0, rb_start=0, nof_rbs=48, duration=1)},
+        {0: pdcch_alloc.SearchSpaceConfig(id=0, coreset_id=0, is_common=True)},
+        nof_rb=52)
+    fb.add_ue(0x4601, conres_id=b"abcdef")
+    fb.handle_dl_buffer_state(0x4601, b"\x20" * 24, is_srb0=True)
+
+    ue = RoundRobinScheduler(SchedulerConfig(nof_rb=52, max_ues_per_slot=1))
+    from srsran_project_tpu.l2sim.common_scheduling import (
+        CellScheduler, CommonSchedulingConfig)
+    cs = CellScheduler(CommonSchedulingConfig(nof_rb=52, nof_grid_sc=624),
+                       ue, fallback=fb)
+    rng = np.random.default_rng(0)
+    slot = SlotPoint.from_sfn_slot(SubcarrierSpacing.KHZ30, 1, 3)
+    dl, tx, ul, grants = cs.run_slot(slot, rng)
+    fb_pdus = [p for p in dl.pdsch if p.rnti == 0x4601]
+    assert len(fb_pdus) == 1
+    assert cs.counters["fallback"] == 1
