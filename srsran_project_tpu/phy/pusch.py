@@ -36,6 +36,11 @@ class UciOnPuschConfig:
     beta_harq_ack_index: int = 9
     beta_csi_index: int = 9
     beta_csi2_index: int = 9
+    # Two-step CSI: when a report configuration is attached, part 1 is
+    # decoded first and the part-2 payload size follows the decoded RI
+    # (reference uci_part2_size_calculator flow); nof_csi1/2_bits must then
+    # equal part1_bitwidth / max part-2 size for the G split.
+    csi_report_cfg: object | None = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -481,10 +486,20 @@ def finish(llr_i8, noise_var, snr_acc, cfg: PuschConfig, harq_buffer=None):
 
         data_llrs, ack_llrs, csi_llrs, csi2_llrs = ulsch_demux.demultiplex(
             llr_i8, cfg.uci_mux)
-        parts = ulsch_demux.decode_uci_parts(
-            ack_llrs, csi_llrs, cfg.uci.nof_harq_ack_bits, cfg.uci.nof_csi1_bits,
-            csi2_llrs=csi2_llrs, nof_csi2_bits=cfg.uci.nof_csi2_bits,
-        )
+        if cfg.uci.csi_report_cfg is not None and cfg.uci.nof_csi1_bits:
+            parts = ulsch_demux.decode_uci_parts(
+                ack_llrs, None, cfg.uci.nof_harq_ack_bits, 0)
+            two = ulsch_demux.decode_csi_two_step(
+                csi_llrs, csi2_llrs, cfg.uci.csi_report_cfg)
+            parts.update(two)
+            if "rank" in two:
+                uci_out["csi_rank"] = two["rank"]
+                uci_out["nof_csi2_bits"] = two["nof_csi2_bits"]
+        else:
+            parts = ulsch_demux.decode_uci_parts(
+                ack_llrs, csi_llrs, cfg.uci.nof_harq_ack_bits, cfg.uci.nof_csi1_bits,
+                csi2_llrs=csi2_llrs, nof_csi2_bits=cfg.uci.nof_csi2_bits,
+            )
         if "ack" in parts:
             uci_out["harq_ack_bits"], uci_out["harq_ack_ok"] = parts["ack"]
         if "csi1" in parts:

@@ -286,3 +286,58 @@ def ack_placeholder_descramble(ack_llrs: jax.Array, scr_bits: jax.Array, qm: int
         flip = flip.at[..., 2:].set(c[..., 2:])
     out = jnp.where(flip == 1, -grp, grp)
     return out.reshape(ack_llrs.shape)
+
+
+def decode_csi_two_step(csi1_llrs, csi2_llrs, csi_cfg):
+    """Two-step CSI decode with part-1-dependent part-2 sizing.
+
+    The reference decodes CSI part 1, feeds it through
+    uci_part2_size_calculator, and only then decodes part 2 at the derived
+    size (pusch_processor_impl's on_csi_part1 -> part2 flow).  TPU-first
+    equivalent: part 2 is decoded for EVERY size the correspondence allows
+    (one tiny short-block/polar detect per distinct size, all in one
+    program) and the decoded RI selects the result — branch-free instead
+    of host round-tripping on the part-1 payload.
+
+    Returns dict with csi1 (bits, ok), csi2 (bits padded to the max size,
+    ok), rank (traced int32), and nof_csi2_bits (traced int32).
+    """
+    import jax.numpy as jnp
+
+    from ..ran import csi as csi_mod
+
+    n1 = csi_mod.part1_bitwidth(csi_cfg)
+    bits1, ok1 = uci_mod.decode_uci(csi1_llrs.astype(jnp.float32), n1)
+    out = {"csi1": (bits1, ok1)}
+
+    corr = csi_mod.part2_correspondence(csi_cfg)
+    if corr is None or csi2_llrs is None:
+        return out
+    ri_off, ri_w, sizes = corr
+    # RI field value (MSB-first) from the decoded part-1 payload.
+    v = jnp.int32(0)
+    for j in range(ri_w):
+        v = (v << 1) | bits1[ri_off + j].astype(jnp.int32)
+    v = jnp.clip(v, 0, len(sizes) - 1)
+
+    max_size = max(sizes)
+    cand_bits = []
+    cand_ok = []
+    for s in sorted(set(sizes)):
+        b, ok = uci_mod.decode_uci(csi2_llrs.astype(jnp.float32), s)
+        pad = max_size - s
+        if pad:
+            b = jnp.concatenate([b, jnp.zeros((pad,), b.dtype)])
+        cand_bits.append(b)
+        cand_ok.append(ok)
+    distinct = sorted(set(sizes))
+    size_of_v = jnp.asarray([sizes[i] for i in range(len(sizes))], jnp.int32)
+    idx_of_v = jnp.asarray([distinct.index(sizes[i]) for i in range(len(sizes))],
+                           jnp.int32)
+    sel = idx_of_v[v]
+    bits2 = jnp.select([sel == i for i in range(len(distinct))], cand_bits)
+    ok2 = jnp.select([sel == i for i in range(len(distinct))], cand_ok)
+    out["csi2"] = (bits2, ok2)
+    out["rank"] = v + 1
+    out["nof_csi2_bits"] = size_of_v[v]
+    return out

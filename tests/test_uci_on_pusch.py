@@ -141,3 +141,50 @@ def test_all_three_uci_streams_end_to_end():
     np.testing.assert_array_equal(np.asarray(out["harq_ack_bits"]), ack)
     np.testing.assert_array_equal(np.asarray(out["csi1_bits"]), csi1)
     np.testing.assert_array_equal(np.asarray(out["csi2_bits"]), csi2)
+
+
+@pytest.mark.parametrize("rank", [1, 2, 4])
+def test_two_step_csi_part2_sizing(rank):
+    """CSI part 2 size follows the decoded part-1 RI (reference
+    uci_part2_size_calculator flow): the receiver is configured only with
+    the report config; the rank and part-2 payload come out right for
+    every allowed rank."""
+    from srsran_project_tpu.ran import csi as csi_mod
+
+    report = csi_mod.CsiReportConfig(nof_csi_rs_ports=4)
+    n1 = csi_mod.part1_bitwidth(report)
+    ri_off, ri_w, sizes = csi_mod.part2_correspondence(report)
+    v = report.allowed_ranks.index(rank)
+    n2 = sizes[v]
+
+    alloc = Allocation(rb_start=0, rb_count=24, sym_start=0, sym_count=14,
+                       dmrs_symbols=(2, 11))
+    cfg = pusch.PuschConfig(
+        tbs=2048, target_code_rate=0.3, modulation=Modulation.QAM16, alloc=alloc,
+        nof_layers=1, nof_rx_ports=1, nof_grid_sc=288,
+        uci=pusch.UciOnPuschConfig(
+            nof_harq_ack_bits=1, nof_csi1_bits=n1,
+            nof_csi2_bits=max(sizes),  # G reservation covers the max size
+            csi_report_cfg=report))
+
+    rng = np.random.default_rng(rank)
+    tb = rng.integers(0, 2, size=(cfg.tbs,), dtype=np.uint8)
+    csi1 = np.zeros(n1, np.uint8)
+    for j in range(ri_w):
+        csi1[ri_off + j] = (v >> (ri_w - 1 - j)) & 1
+    csi1[ri_w:] = rng.integers(0, 2, n1 - ri_w)
+    csi2 = rng.integers(0, 2, size=(n2,), dtype=np.uint8)
+    # Pad TX part 2 to the reserved size the receiver rate-matched for.
+    csi2_tx = np.concatenate([csi2, np.zeros(max(sizes) - n2, np.uint8)])
+    rnti = np.uint32(0x2468)
+    grid = pusch.transmit(tb, rnti, cfg, ack_bits=np.asarray([1], np.uint8),
+                          csi1_bits=csi1, csi2_bits=csi2)
+    noisy = np.asarray(grid) + (
+        rng.standard_normal(grid.shape) + 1j * rng.standard_normal(grid.shape)
+    ).astype(np.complex64) * 0.02
+    out = pusch.process(noisy.astype(np.complex64), rnti, cfg)
+    assert bool(np.asarray(out["tb_crc_ok"]))
+    assert int(out["csi_rank"]) == rank
+    assert int(out["nof_csi2_bits"]) == n2
+    np.testing.assert_array_equal(np.asarray(out["csi1_bits"]), csi1)
+    np.testing.assert_array_equal(np.asarray(out["csi2_bits"])[:n2], csi2)
