@@ -144,3 +144,40 @@ def apply_channel(grid: jax.Array, key: jax.Array, cfg: ChannelConfig, slot_inde
     noise = jax.random.normal(kn, rx.shape + (2,), dtype=jnp.float32)
     noise = (noise[..., 0] + 1j * noise[..., 1]) * jnp.sqrt(nvar / 2)
     return rx + noise.astype(jnp.complex64), h, nvar
+
+
+def apply_channel_time(samples, key, cfg: ChannelConfig, srate_hz: float):
+    """Time-domain TDL channel for BASEBAND sample streams (the RU/lower-
+    PHY path): per-tap Rayleigh gains at the TS 38.104 delay profile are
+    applied as a sparse FIR (delays rounded to the sample grid) per
+    (rx, tx) pair, then AWGN at the configured SINR.
+
+    samples: (nof_tx_ports, nsamples) complex64 -> (nof_rx_ports, nsamples).
+    The frequency-domain `apply_channel` is the per-slot-grid equivalent;
+    this variant exercises true multipath through the OFDM CP.
+    """
+    import jax
+
+    samples = jnp.asarray(samples, jnp.complex64)
+    taps = PROFILES[cfg.profile]
+    delays_s = np.asarray([t[0] for t in taps], np.float64) * 1e-9
+    powers_db = np.asarray([t[1] for t in taps], np.float64)
+    p = 10.0 ** (powers_db / 10.0)
+    p = p / p.sum()
+    delay_samples = np.round(delays_s * srate_hz).astype(np.int32)
+
+    kg, kn = jax.random.split(key)
+    g = (jax.random.normal(kg, (cfg.nof_rx_ports, cfg.nof_tx_ports, len(taps), 2))
+         @ jnp.asarray([1.0, 1j], jnp.complex64)) * jnp.asarray(
+        np.sqrt(p / 2.0), jnp.complex64)
+
+    n = samples.shape[-1]
+    out = jnp.zeros((cfg.nof_rx_ports, n), jnp.complex64)
+    for ti, d in enumerate(delay_samples):
+        shifted = jnp.pad(samples, ((0, 0), (int(d), 0)))[:, :n]
+        out = out + jnp.einsum("rt,ts->rs", g[:, :, ti], shifted)
+    sig_pow = jnp.mean(jnp.abs(out) ** 2)
+    nstd = jnp.sqrt(sig_pow * 10.0 ** (-cfg.sinr_db / 10.0) / 2.0)
+    noise = (jax.random.normal(kn, out.shape + (2,))
+             @ jnp.asarray([1.0, 1j], jnp.complex64)) * nstd
+    return (out + noise).astype(jnp.complex64)

@@ -332,3 +332,44 @@ def test_generic_ru_demodulates_prach_occasion():
     _, buffer = col.prach[0]
     assert buffer.shape[-2:] == (wp["nof_symbols"], 139)
     assert np.allclose(buffer[0, 0], pre, atol=1e-3)
+
+
+def test_generic_ru_through_time_domain_tdl_channel():
+    """Full lower-PHY realism: RU-modulated baseband through a sparse-FIR
+    TDL-A channel (true multipath within the CP) decodes CRC-OK."""
+    import jax
+    import jax.numpy as jnp
+
+    from srsran_project_tpu.ops.modulation import Modulation
+    from srsran_project_tpu.phy import channel_emulator as chem
+    from srsran_project_tpu.phy import pdsch, pusch
+    from srsran_project_tpu.phy.allocation import Allocation
+
+    alloc = Allocation(rb_start=0, rb_count=24, sym_start=0, sym_count=14,
+                       dmrs_symbols=(2, 11))
+    common = dict(tbs=1200, target_code_rate=0.3, modulation=Modulation.QPSK,
+                  alloc=alloc, nof_layers=1, nof_grid_symbols=14, nof_grid_sc=288)
+    txc = pdsch.PdschConfig(nof_ports=1, **common)
+    rxc = pusch.PuschConfig(nof_rx_ports=1, **common)
+    rng = np.random.default_rng(0)
+    tb = rng.integers(0, 2, (1200,), np.uint8)
+    grid = np.asarray(pdsch.process(jnp.asarray(tb), jnp.uint32(9),
+                                    jnp.eye(1, dtype=jnp.complex64), txc))
+
+    col = Collector()
+    cfg = RuGenericConfig(scs=SCS, dft_size=512, nof_rb=24)
+    tx = {}
+    ru = RuGeneric(cfg, col, transmit_cb=lambda s, x: tx.__setitem__(s, x))
+    slot = SlotPoint.from_sfn_slot(SCS, 0, 0)
+    ru.handle_dl_data(ResourceGridContext(slot=slot), grid)
+    ru.advance_slot(slot)
+    ch = chem.ChannelConfig(profile="tdla", sinr_db=20.0, nof_tx_ports=1,
+                            nof_rx_ports=1, nof_sc=288)
+    rx = np.asarray(chem.apply_channel_time(np.asarray(tx[slot]),
+                                            jax.random.PRNGKey(3), ch,
+                                            srate_hz=512 * 30e3))
+    ru.push_ul_samples(slot, rx)
+    ru.handle_new_uplink_slot(ResourceGridContext(slot=slot))
+    ru.advance_slot(slot)
+    out = pusch.process(jnp.asarray(col.symbols[-1][1]), jnp.uint32(9), rxc)
+    assert bool(out["tb_crc_ok"])
