@@ -140,6 +140,9 @@ class CrcIndicationPdu:
     rnti: int
     harq_id: int
     tb_crc_ok: bool
+    # Post-equalization SINR measured on this PUSCH (drives closed-loop
+    # power control; reference crc_indication.ul_sinr_metric).
+    snr_db: float | None = None
 
 
 @dataclasses.dataclass

@@ -104,6 +104,11 @@ class RoundRobinScheduler:
         from . import srs_alloc as _srs
 
         self.srs_sched = _srs.SrsScheduler()
+        # Closed-loop UL power control (reference pusch_power_controller,
+        # enterprise-stubbed there; real loop in l2sim.power_control).
+        from .power_control import PuschPowerController
+
+        self.power_control = PuschPowerController()
         if cfg.use_pdcch_alloc:
             from . import pdcch_alloc as pa
 
@@ -360,6 +365,9 @@ class RoundRobinScheduler:
             ue = self.ues.get(crc.rnti)
             if ue is None:
                 continue
+            if self.power_control is not None and crc.snr_db is not None:
+                self.power_control.handle_pusch_snr(crc.rnti, res.slot.count,
+                                                    crc.snr_db)
             hp = ue.harqs[crc.harq_id]
             if crc.tb_crc_ok:
                 if hp.tb is not None:

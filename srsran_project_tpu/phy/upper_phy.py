@@ -204,7 +204,9 @@ class UpperPhy:
                 res.uci.append(fapi.UciIndicationPdu(
                     pdu.rnti, np.asarray(out["csi2_bits"]),
                     bool(np.asarray(out["csi2_ok"])), 0.0))
-            res.crc.append(fapi.CrcIndicationPdu(pdu.rnti, pdu.harq_id, ok))
+            res.crc.append(fapi.CrcIndicationPdu(
+                pdu.rnti, pdu.harq_id, ok,
+                snr_db=float(np.asarray(out["snr_db"]))))
             if ok:
                 res.rx_data.append(
                     fapi.RxDataIndicationPdu(pdu.rnti, pdu.harq_id, np.asarray(out["tb_bits"]))
