@@ -108,3 +108,15 @@ class PuschPowerController:
     def closed_loop_db(self, rnti: int) -> float:
         ue = self.ues.get(rnti)
         return ue.f_db if ue is not None else 0.0
+
+
+class PucchPowerController(PuschPowerController):
+    """PUCCH closed loop: same machinery against the PUCCH SINR/detection
+    metrics (the reference pucch_power_controller is likewise an
+    enterprise stub).  Feed `handle_pusch_snr` with the F0/F1 detection
+    metric in dB or the F2+ post-equalization SINR; the TPC rides DCI
+    1_0/1_1's 2-bit PUCCH TPC field."""
+
+    def __init__(self, cfg: PowerControlConfig = PowerControlConfig(
+            target_sinr_db=10.0)):
+        super().__init__(cfg)

@@ -71,3 +71,14 @@ def test_scheduler_feeds_power_control_from_crc_snr():
     sched.handle_results(res)
     # Far below the 20 dB default target: a +3 dB command follows.
     assert sched.power_control.compute_tpc(0x4601, slot.count) == 3
+
+
+def test_pucch_controller_uses_its_own_target():
+    from srsran_project_tpu.l2sim.power_control import PucchPowerController
+
+    pc = PucchPowerController()
+    pc.handle_pusch_snr(5, 0, 4.0)   # 6 dB under the 10 dB PUCCH target
+    assert pc.compute_tpc(5, 0) == 3
+    pc2 = PucchPowerController()
+    pc2.handle_pusch_snr(5, 0, 10.5)
+    assert pc2.compute_tpc(5, 0) == 1
