@@ -49,8 +49,8 @@ class _UeState:
 
 
 class PuschPowerController:
-    def __init__(self, cfg: PowerControlConfig = PowerControlConfig()):
-        self.cfg = cfg
+    def __init__(self, cfg: PowerControlConfig | None = None):
+        self.cfg = cfg if cfg is not None else PowerControlConfig()
         self.ues: Dict[int, _UeState] = {}
 
     def _ue(self, rnti: int) -> _UeState:
@@ -117,6 +117,6 @@ class PucchPowerController(PuschPowerController):
     metric in dB or the F2+ post-equalization SINR; the TPC rides DCI
     1_0/1_1's 2-bit PUCCH TPC field."""
 
-    def __init__(self, cfg: PowerControlConfig = PowerControlConfig(
-            target_sinr_db=10.0)):
-        super().__init__(cfg)
+    def __init__(self, cfg: PowerControlConfig | None = None):
+        super().__init__(cfg if cfg is not None
+                         else PowerControlConfig(target_sinr_db=10.0))
