@@ -109,6 +109,11 @@ class RoundRobinScheduler:
         from .power_control import PuschPowerController
 
         self.power_control = PuschPowerController()
+        # CSI-driven link adaptation: attach a LinkAdaptor + the CSI report
+        # config to close the CQI -> MCS loop (reference ue_link_adapter +
+        # csi_report consumption in ue_context).
+        self.link_adaptor = None
+        self.csi_report_cfg = None
         if cfg.use_pdcch_alloc:
             from . import pdcch_alloc as pa
 
@@ -368,6 +373,8 @@ class RoundRobinScheduler:
             if self.power_control is not None and crc.snr_db is not None:
                 self.power_control.handle_pusch_snr(crc.rnti, res.slot.count,
                                                     crc.snr_db)
+            if self.link_adaptor is not None:
+                self.link_adaptor.handle_crc(crc.rnti, crc.tb_crc_ok)
             hp = ue.harqs[crc.harq_id]
             if crc.tb_crc_ok:
                 if hp.tb is not None:
@@ -375,6 +382,18 @@ class RoundRobinScheduler:
                 hp.active, hp.tb, hp.nof_tx = False, None, 0
             elif hp.nof_tx >= 3:
                 hp.active, hp.tb, hp.nof_tx = False, None, 0  # drop after 4 tx
+        if self.link_adaptor is not None and self.csi_report_cfg is not None:
+            from ..ran import csi as _csi
+
+            n1 = _csi.part1_bitwidth(self.csi_report_cfg)
+            for uci in res.uci:
+                bits = getattr(uci, "uci_bits", None)
+                if (uci.valid and bits is not None and len(bits) == n1
+                        and uci.rnti in self.ues):
+                    _cri, _rank, cqi = _csi.unpack_part1(self.csi_report_cfg, bits)
+                    self.link_adaptor.handle_csi(uci.rnti, cqi)
+                    ue = self.ues[uci.rnti]
+                    ue.mcs = self.link_adaptor.select_mcs(uci.rnti, fallback=ue.mcs)
 
     def report(self) -> dict:
         return {

@@ -66,3 +66,38 @@ def test_scheduler_uses_adapted_mcs():
     la.handle_csi(0x10, 14)
     ue.mcs = la.select_mcs(0x10)
     assert ue.mcs > 4  # CQI 14 raises the grant MCS
+
+
+def test_scheduler_closes_csi_to_mcs_loop():
+    """CSI part-1 UCI indications drive the UE's MCS through the link
+    adaptor (CQI -> MCS + OLLA), closing the reporting loop end-to-end."""
+    import numpy as np
+
+    from srsran_project_tpu.fapi import messages as fapi
+    from srsran_project_tpu.l2sim.link_adaptation import LinkAdaptor
+    from srsran_project_tpu.l2sim.scheduler import RoundRobinScheduler, SchedulerConfig
+    from srsran_project_tpu.ran import csi as csi_mod
+    from srsran_project_tpu.ran.constants import SubcarrierSpacing
+    from srsran_project_tpu.ran.slot_point import SlotPoint
+
+    report = csi_mod.CsiReportConfig(nof_csi_rs_ports=4)
+    sched = RoundRobinScheduler(SchedulerConfig(nof_rb=24, max_ues_per_slot=1))
+    sched.link_adaptor = LinkAdaptor()
+    sched.csi_report_cfg = report
+    sched.add_ue(0x4601, mcs=10)
+
+    n1 = csi_mod.part1_bitwidth(report)
+    bits = np.zeros(n1, np.uint8)
+    csi_mod._deposit(bits, n1 - 4, 4, 14)  # wideband CQI 14 (last field)
+    slot = SlotPoint.from_sfn_slot(SubcarrierSpacing.KHZ30, 0, 0)
+    res = fapi.SlotResults(slot=slot, uci=[
+        fapi.UciIndicationPdu(0x4601, bits, True, 20.0)])
+    sched.handle_results(res)
+    high = sched.ues[0x4601].mcs
+    assert high > 10  # CQI 14 pushes above the starting MCS
+
+    bits2 = np.zeros(n1, np.uint8)
+    csi_mod._deposit(bits2, n1 - 4, 4, 3)  # CQI 3
+    sched.handle_results(fapi.SlotResults(slot=slot, uci=[
+        fapi.UciIndicationPdu(0x4601, bits2, True, 20.0)]))
+    assert sched.ues[0x4601].mcs < high
