@@ -106,15 +106,11 @@ class CellScheduler:
     def run_slot(self, slot: SlotPoint, rng: np.random.Generator):
         c = self.common
         count = slot.count
-        dl, tx, ul, grants = self.ue_scheduler.run_slot(slot, rng)
-        pdsch = list(dl.pdsch)
-        payloads = list(tx.payloads)
-        fallback_grants = []
-        if self.fallback is not None:
-            fallback_grants = self.fallback.run_slot(count)
-            self.counters["fallback"] += len(fallback_grants)
         ssb, csi_rs, prach = [], [], []
 
+        # Broadcast decision first: on SIB1/paging/CBS slots the broadcast
+        # PDSCH takes the band and neither fallback nor UE data run
+        # (cell_scheduler.cpp run_slot priority order).
         broadcast = None
         if count % c.sib1_period_slots == c.sib1_slot_offset:
             broadcast = (SI_RNTI, c.sib1_payload)
@@ -130,6 +126,38 @@ class CellScheduler:
             if recs is not None:
                 broadcast = (CBS_RNTI, recs)
                 self.counters["cbs"] += 1
+
+        # Fallback (SRB0/SRB1) runs before UE data — reference run_slot order
+        # (... -> ra -> fallback -> UE data) — allocating PRBs from 0 and
+        # CCEs from the slot's shared PdcchSlotAllocator so the stages never
+        # collide (shared per-slot resource map, cell_resource_allocator
+        # role).
+        fallback_grants = []
+        fb_span = 0
+        shared_pdcch = None
+        if self.fallback is not None and broadcast is None:
+            ue_cfg = getattr(self.ue_scheduler, "cfg", None)
+            if ue_cfg is not None and getattr(ue_cfg, "use_pdcch_alloc", False):
+                from . import pdcch_alloc as pa
+
+                shared_pdcch = pa.PdcchSlotAllocator(
+                    self.ue_scheduler.coresets, self.ue_scheduler.search_spaces)
+            fallback_grants = self.fallback.run_slot(count, pdcch=shared_pdcch)
+            self.counters["fallback"] += len(fallback_grants)
+            fb_span = max((g.rb_start + g.rb_count for g in fallback_grants),
+                          default=0)
+
+        dl, tx, ul, grants = self.ue_scheduler.run_slot(
+            slot, rng, rb_offset=fb_span, pdcch_slot=shared_pdcch)
+        pdsch = list(dl.pdsch)
+        payloads = list(tx.payloads)
+        for g in fallback_grants:
+            cfg, bits = _bcast_pdsch(g.rb_count, c.nof_grid_sc, g.payload)
+            pdsch.append(fapi.DlPdschPdu(cfg, g.rnti,
+                                         np.eye(1, dtype=np.complex64),
+                                         len(payloads), first_rb=g.rb_start))
+            payloads.append(bits)
+
         if broadcast is not None:
             # broadcast PDSCH takes the band this slot (priority order)
             rnti, payload = broadcast
@@ -155,13 +183,6 @@ class CellScheduler:
         if count % c.prach_period_slots == c.prach_slot_offset:
             prach.append(fapi.UlPrachPdu(c.prach_config))
             self.counters["prach"] += 1
-
-        for g in fallback_grants:
-            cfg, bits = _bcast_pdsch(g.rb_count, c.nof_grid_sc, g.payload)
-            pdsch.append(fapi.DlPdschPdu(cfg, g.rnti,
-                                         np.eye(1, dtype=np.complex64),
-                                         len(payloads), first_rb=g.rb_start))
-            payloads.append(bits)
 
         dl2 = fapi.DlTtiRequest(slot=slot, pdsch=pdsch, pdcch=dl.pdcch,
                                 ssb=ssb, csi_rs=csi_rs)

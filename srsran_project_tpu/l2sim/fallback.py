@@ -109,17 +109,20 @@ class FallbackScheduler:
 
     # -- per-slot scheduling ------------------------------------------------
     def run_slot(self, slot: int,
-                 pdcch: Optional[pdcch_alloc.PdcchSlotAllocator] = None
-                 ) -> List[FallbackGrant]:
+                 pdcch: Optional[pdcch_alloc.PdcchSlotAllocator] = None,
+                 rb_start: int = 0) -> List[FallbackGrant]:
         """Allocate this slot's fallback grants.  Pass the slot's shared
         PdcchSlotAllocator so the main scheduler sees the CCEs this stage
         consumed (the reference shares cell_resource_allocator the same
-        way); a fresh one is created when standalone."""
+        way); a fresh one is created when standalone.  ``rb_start`` is the
+        first PRB this stage may use — the cell scheduler passes the end of
+        the UE-data grants' span so fallback never overlaps them (shared
+        per-slot resource map, cell_resource_allocator role)."""
         if pdcch is None:
             pdcch = pdcch_alloc.PdcchSlotAllocator(self.coresets, self.search_spaces)
         self.pdcch = pdcch
         grants: List[FallbackGrant] = []
-        rb_cursor = 0
+        rb_cursor = rb_start
         for rnti, ue in self.ues.items():
             if not ue.in_fallback:
                 continue

@@ -189,26 +189,32 @@ class RoundRobinScheduler:
         return (PdschConfig(nof_ports=c.nof_ports, **common),
                 PuschConfig(nof_rx_ports=c.nof_ports, **common), tbs)
 
-    def run_slot(self, slot: SlotPoint, rng: np.random.Generator):
+    def run_slot(self, slot: SlotPoint, rng: np.random.Generator,
+                 rb_offset: int = 0, pdcch_slot=None):
         """Produce (DlTtiRequest, TxDataRequest, UlTtiRequest, grants).
 
         With a TDD pattern, DL slots carry only PDSCH and UL slots only
         PUSCH; the special slot is idle in this simulator.
+
+        ``rb_offset`` reserves PRBs [0, rb_offset) for earlier run_slot
+        stages (fallback), and ``pdcch_slot`` is the slot's shared CCE
+        allocator when one exists — together they form the per-slot shared
+        resource map (the reference's cell_resource_allocator).
         """
         c = self.cfg
         tdd_dir = c.tdd_pattern.direction(slot.count) if c.tdd_pattern else None
         active = list(self.ues.values())
-        if not active:
+        if not active or c.nof_rb - rb_offset < c.max_ues_per_slot:
+            self.last_pdcch_slot = pdcch_slot
             return (fapi.DlTtiRequest(slot=slot), fapi.TxDataRequest(slot=slot),
                     fapi.UlTtiRequest(slot=slot), [])
         n = min(len(active), c.max_ues_per_slot)
         sel = self._select_ues(active, n)
-        rb_each = c.nof_rb // n
+        rb_each = (c.nof_rb - rb_offset) // n
 
         pdsch_pdus, payloads, pusch_pdus, grants = [], [], [], []
         pdcch_pdus = []
-        pdcch_slot = None
-        if c.use_pdcch_alloc:
+        if c.use_pdcch_alloc and pdcch_slot is None:
             from . import pdcch_alloc as pa
 
             pdcch_slot = pa.PdcchSlotAllocator(self.coresets, self.search_spaces)
@@ -225,7 +231,7 @@ class RoundRobinScheduler:
                 new_data = True
                 tb = None
             dl_cfg, ul_cfg, tbs = self._grant_configs(ue, rb_each, rv,
-                                                      first_rb=i * rb_each)
+                                                      first_rb=rb_offset + i * rb_each)
             dl_pdcch = ul_pdcch = None
             if pdcch_slot is not None and tdd_dir != SlotDirection.UPLINK:
                 # Aggregation level from link quality: poor MCS -> more CCEs.
@@ -248,13 +254,13 @@ class RoundRobinScheduler:
                 hp.active, hp.tb, hp.nof_tx = True, tb, 0
             w = np.eye(c.nof_layers, c.nof_ports, dtype=np.complex64)
             pdsch_pdus.append(fapi.DlPdschPdu(dl_cfg, ue.rnti, w, len(payloads),
-                                              first_rb=i * rb_each))
+                                              first_rb=rb_offset + i * rb_each))
             payloads.append(tb)
             if c.emit_dci:
                 from ..phy.pdcch import PdcchConfig
                 from ..ran import dci as dci_mod
 
-                d = dci_mod.Dci10(rb_start=i * rb_each, rb_count=rb_each,
+                d = dci_mod.Dci10(rb_start=rb_offset + i * rb_each, rb_count=rb_each,
                                   mcs=ue.mcs, new_data=new_data, rv=rv,
                                   harq_id=harq_id)
                 bits = dci_mod.pack_dci_1_0(d, c.nof_rb)
@@ -277,7 +283,7 @@ class RoundRobinScheduler:
             if ul_wanted and (pdcch_slot is None or ul_pdcch is not None
                               or tdd_dir == SlotDirection.UPLINK):
                 pusch_pdus.append(fapi.UlPuschPdu(ul_cfg, ue.rnti, harq_id=harq_id,
-                                                  new_data=new_data, first_rb=i * rb_each))
+                                                  new_data=new_data, first_rb=rb_offset + i * rb_each))
                 grants.append((ue.rnti, harq_id, tbs))
                 ue.sr_pending = False
                 ue.ul_buffer_bytes = max(0, ue.ul_buffer_bytes - tbs // 8)
@@ -346,6 +352,9 @@ class RoundRobinScheduler:
                     nof_grid_sc=c.nof_grid_sc), rnti=rnti))
         ul_slot = slot if not c.ntn_koffset else dataclasses.replace(
             slot, count=slot.count + c.ntn_koffset)
+        # Expose this slot's PDCCH allocator so later stages (fallback) share
+        # the CCE map instead of re-deriving a fresh, colliding one.
+        self.last_pdcch_slot = pdcch_slot
         return (fapi.DlTtiRequest(slot=slot, pdsch=pdsch_pdus, pdcch=pdcch_pdus),
                 fapi.TxDataRequest(slot=slot, payloads=payloads),
                 fapi.UlTtiRequest(slot=ul_slot, pusch=pusch_pdus,

@@ -314,14 +314,17 @@ def format1_detect_batch(grid: jax.Array, cfg: PucchFormat1Config):
             return jnp.stack(zs, axis=1)  # (P, nsym_part, 12)
 
         # OCC despreading across symbols of the hop = DFT over symbol index
-        # (w_i(m) = e^{j2pi i m / n_sf}); pad with zeros to max_occ rows.
+        # (w_i(m) = e^{j2pi i m / n_sf}); pad with zeros / truncate to
+        # max_occ rows.  Truncation matters for odd nof_symbols (5,7,...):
+        # the DM-RS part then has more symbols than the data part, but the
+        # OCC candidate set is bounded by the data-symbol count.
         def occ_bank(bank, n_sf):
             f = jnp.fft.fft(bank, axis=1) / max(n_sf, 1)  # (P, n_sf, 12)
             pad = max_occ - f.shape[1]
             if pad > 0:
                 f = jnp.concatenate(
                     [f, jnp.zeros(f.shape[:1] + (pad,) + f.shape[2:], f.dtype)], axis=1)
-            return f  # (P, max_occ, 12)
+            return f[:, :max_occ]  # (P, max_occ, 12)
 
         hb = occ_bank(shift_bank(dmrs_syms), len(dmrs_syms))
         zb = occ_bank(shift_bank(data_syms), len(data_syms))

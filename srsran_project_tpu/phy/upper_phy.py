@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fapi import messages as fapi
+from ..support import hostio
 from . import csi_rs as csi_rs_mod
 from . import pdcch as pdcch_mod
 from . import pdsch as pdsch_mod
@@ -103,7 +104,7 @@ class UpperPhy:
         for pdu in request.pdsch:
             tb = jnp.asarray(tx_data.payloads[pdu.tb_index], jnp.uint8)
             sub = pdsch_mod.process(
-                tb, jnp.uint32(pdu.rnti), jnp.asarray(pdu.precoding, jnp.complex64), pdu.config
+                tb, jnp.uint32(pdu.rnti), hostio.to_device(np.asarray(pdu.precoding, np.complex64)), pdu.config
             )
             if pdu.first_rb is None:
                 grid = grid + sub
@@ -175,7 +176,7 @@ class UpperPhy:
 
             file_vector.write_vector(
                 f"{self.cfg.rx_symbols_filename}.{request.slot.count}",
-                np.asarray(rx_grid).reshape(-1),
+                hostio.to_host(rx_grid).reshape(-1),
                 "cbf16",
             )
         for pdu in request.pusch:
@@ -191,25 +192,25 @@ class UpperPhy:
                     (rx_grid.shape[0], rx_grid.shape[1], w),
                 )
             out = pusch_mod.process(pdu_grid, jnp.uint32(pdu.rnti), pdu.config, harq_buffer=harq)
-            ok = bool(np.asarray(out["tb_crc_ok"]))
+            ok = bool(hostio.to_host(out["tb_crc_ok"]))
             if "harq_ack_bits" in out:
                 res.uci.append(fapi.UciIndicationPdu(
-                    pdu.rnti, np.asarray(out["harq_ack_bits"]),
-                    bool(np.asarray(out["harq_ack_ok"])), 0.0))
+                    pdu.rnti, hostio.to_host(out["harq_ack_bits"]),
+                    bool(hostio.to_host(out["harq_ack_ok"])), 0.0))
             if "csi1_bits" in out:
                 res.uci.append(fapi.UciIndicationPdu(
-                    pdu.rnti, np.asarray(out["csi1_bits"]),
-                    bool(np.asarray(out["csi1_ok"])), 0.0))
+                    pdu.rnti, hostio.to_host(out["csi1_bits"]),
+                    bool(hostio.to_host(out["csi1_ok"])), 0.0))
             if "csi2_bits" in out:
                 res.uci.append(fapi.UciIndicationPdu(
-                    pdu.rnti, np.asarray(out["csi2_bits"]),
-                    bool(np.asarray(out["csi2_ok"])), 0.0))
+                    pdu.rnti, hostio.to_host(out["csi2_bits"]),
+                    bool(hostio.to_host(out["csi2_ok"])), 0.0))
             res.crc.append(fapi.CrcIndicationPdu(
                 pdu.rnti, pdu.harq_id, ok,
                 snr_db=float(np.asarray(out["snr_db"]))))
             if ok:
                 res.rx_data.append(
-                    fapi.RxDataIndicationPdu(pdu.rnti, pdu.harq_id, np.asarray(out["tb_bits"]))
+                    fapi.RxDataIndicationPdu(pdu.rnti, pdu.harq_id, hostio.to_host(out["tb_bits"]))
                 )
                 self.harq_pool.release(pdu.rnti, pdu.harq_id)
             else:
@@ -229,19 +230,19 @@ class UpperPhy:
                 res.uci.append(
                     fapi.UciIndicationPdu(
                         pdu.rnti, np.asarray(bits, np.uint8),
-                        bool(metric > pucch_mod.F0_DTX_THRESHOLD), float(metric))
+                        float(metric) > pucch_mod.F0_DTX_THRESHOLD, float(metric))
                 )
             elif isinstance(c, pucch_mod.PucchFormat1Config):
                 bits, _, metric = pucch_mod.format1_detect(rx_grid, c)
                 res.uci.append(
                     fapi.UciIndicationPdu(
                         pdu.rnti, np.asarray(bits),
-                        bool(metric > pucch_mod.F1_DTX_THRESHOLD), float(metric))
+                        float(metric) > pucch_mod.F1_DTX_THRESHOLD, float(metric))
                 )
             elif isinstance(c, pucch_f2_mod.PucchFormat2Config):
                 bits, ok, snr = pucch_f2_mod.process(rx_grid, c)
                 res.uci.append(
-                    fapi.UciIndicationPdu(pdu.rnti, np.asarray(bits), bool(np.asarray(ok)), float(snr))
+                    fapi.UciIndicationPdu(pdu.rnti, np.asarray(bits), bool(hostio.to_host(ok)), float(snr))
                 )
             else:
                 res.errors.append(fapi.ErrorIndication(request.slot, f"unsupported PUCCH {type(c)}"))
@@ -253,7 +254,7 @@ class UpperPhy:
                     pdu.rnti,
                     10.0 * np.log10(max(snr, 1e-12)),
                     float(np.asarray(est["phase_slope"]).mean()),
-                    np.asarray(est["h"]),
+                    hostio.to_host(est["h"]),
                 )
             )
         for pdu in request.prach:
@@ -261,7 +262,7 @@ class UpperPhy:
                 res.errors.append(fapi.ErrorIndication(request.slot, "PRACH requested, no buffer"))
                 continue
             out = prach_mod.detect(prach_fd, pdu.config)
-            det = np.asarray(out["detected"])
+            det = hostio.to_host(out["detected"])
             for idx in np.nonzero(det)[0]:
                 res.rach.append(
                     fapi.RachIndicationPdu(

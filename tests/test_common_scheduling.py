@@ -155,3 +155,48 @@ def test_cell_scheduler_runs_fallback_stage():
     fb_pdus = [p for p in dl.pdsch if p.rnti == 0x4601]
     assert len(fb_pdus) == 1
     assert cs.counters["fallback"] == 1
+
+
+def test_fallback_grants_share_the_slot_resource_map():
+    """Regression (round-3 advice): a data UE and a fallback UE in the same
+    slot must not both land at PRB 0 — fallback allocates after the UE-data
+    span, shares the slot's PdcchSlotAllocator, and skips broadcast slots —
+    so validate_dl_tti accepts the merged DL_TTI."""
+    import numpy as np
+
+    from srsran_project_tpu.fapi import validators as fv
+    from srsran_project_tpu.l2sim import fallback, pdcch_alloc
+    from srsran_project_tpu.l2sim.common_scheduling import (
+        CellScheduler, CommonSchedulingConfig)
+    from srsran_project_tpu.l2sim.scheduler import RoundRobinScheduler, SchedulerConfig
+
+    ue = RoundRobinScheduler(SchedulerConfig(nof_rb=52, max_ues_per_slot=1,
+                                             use_pdcch_alloc=True))
+    ue.add_ue(0x10, mcs=20)  # good link -> AL 2, leaving CCEs for fallback
+    fb = fallback.FallbackScheduler(ue.coresets, ue.search_spaces,
+                                    common_ss_id=2, nof_rb=52)
+    fb.add_ue(0x4601, conres_id=b"abcdef")
+    fb.handle_dl_buffer_state(0x4601, b"\x20" * 24, is_srb0=True)
+    cs = CellScheduler(CommonSchedulingConfig(nof_rb=52, nof_grid_sc=624,
+                                              sib1_period_slots=16,
+                                              sib1_slot_offset=1),
+                       ue, fallback=fb)
+    rng = np.random.default_rng(0)
+    slot = SlotPoint.from_sfn_slot(SubcarrierSpacing.KHZ30, 1, 3)
+    dl, tx, ul, _ = cs.run_slot(slot, rng)
+    rntis = [p.rnti for p in dl.pdsch]
+    assert 0x10 in rntis and 0x4601 in rntis
+    # no overlap: the validator accepts the merged request
+    fv.validate_dl_tti(dl, tx, 624)
+    # fallback ran first (reference run_slot priority); data starts after it
+    fb_pdu = [p for p in dl.pdsch if p.rnti == 0x4601][0]
+    data_pdu = [p for p in dl.pdsch if p.rnti == 0x10][0]
+    assert fb_pdu.first_rb == 0
+    assert data_pdu.first_rb >= fb_pdu.first_rb + fb_pdu.config.alloc.rb_count
+
+    # broadcast slot: fallback yields the band entirely
+    fb.handle_dl_buffer_state(0x4601, b"\x21" * 24, is_srb0=False)
+    slot2 = SlotPoint.from_sfn_slot(SubcarrierSpacing.KHZ30, 0, 1)
+    dl2, tx2, _, _ = cs.run_slot(slot2, rng)
+    assert [p.rnti for p in dl2.pdsch] == [SI_RNTI]
+    fv.validate_dl_tti(dl2, tx2, 624)

@@ -149,3 +149,29 @@ def test_format1_batch_matches_single_detectors():
         harq = sum(int(b) << i for i, b in enumerate(
             np.asarray(batch["bits2"][m0, occ][:nb])))
         assert harq == case[p + "ref_harq"]
+
+
+@pytest.mark.parametrize("nof_symbols", [4, 5, 7, 9, 11, 13, 14])
+def test_format1_batch_odd_symbol_counts(nof_symbols):
+    """Regression (round-3 advice): the batched F1 detector must handle odd
+    nof_symbols, where the DM-RS part has one more symbol than the data part
+    and the OCC bank must truncate to the data-symbol count."""
+    cfg = pucch.PucchFormat1Config(
+        prb=2, start_symbol=14 - nof_symbols, nof_symbols=nof_symbols,
+        initial_cyclic_shift=6, occ_index=1, n_id=9, slot_in_frame=3,
+        nof_harq_bits=2,
+    )
+    bits = np.asarray([1, 0], np.uint8)
+    sig = pucch.format1_generate(cfg, bits)
+    grid = _grid()
+    grid[0, cfg.start_symbol : cfg.start_symbol + nof_symbols,
+         2 * 12 : 3 * 12] = sig * 0.8 * np.exp(1j * 0.5)
+    rng = np.random.default_rng(nof_symbols)
+    grid += (rng.standard_normal(grid.shape)
+             + 1j * rng.standard_normal(grid.shape)).astype(np.complex64) * 0.01
+    out = {k: np.asarray(v) for k, v in pucch.format1_detect_batch(grid, cfg).items()}
+    single_bits, _, single_rho = pucch.format1_detect(grid, cfg)
+    assert np.array_equal(out["bits2"][6, 1], np.asarray(single_bits))
+    assert np.array_equal(out["bits2"][6, 1], bits)
+    assert float(out["rho"][6, 1]) > 0.8
+    assert abs(float(out["rho"][6, 1]) - float(single_rho)) < 0.05
