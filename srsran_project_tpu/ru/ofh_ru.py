@@ -57,6 +57,9 @@ class RuOfhConfig:
     # Reception window in symbols relative to OTA time (Ta4 window).
     rx_window_early_symbols: int = 28
     rx_window_late_symbols: int = 2
+    # eAxC base for PRACH U-plane streams (the reference configures
+    # separate prach_eaxc vs ul_eaxc port lists; ru_ofh_configuration).
+    prach_eaxc: int = 8
 
 
 class RuOfh:
@@ -108,8 +111,8 @@ class RuOfh:
         return self
 
     def get_metrics(self) -> RuMetrics:
-        m = self.metrics
-        m.late_ul_requests = self.window.stats.late
+        m = dataclasses.replace(self.metrics)
+        m.late_ul_requests += self.window.stats.late
         return m
 
     # -- helpers -----------------------------------------------------------
@@ -185,17 +188,26 @@ class RuOfh:
             self.send_frame(cpl)
 
     def handle_prach_occasion(self, context: PrachBufferContext) -> None:
+        from ..phy.prach import _LONG_FORMATS, _PREAMBLE_INFO
+
         frame, subframe, slot_id = self._timestamp(context.slot)
+        l_ra = 839 if context.format in _LONG_FORMATS else 139
+        nof_symbols = _PREAMBLE_INFO[context.format][1]
         with self._lock:
             self.metrics.total_prach_requests += 1
-            self._prach_pending[context.slot] = context
+            self._prach_pending[context.slot] = (
+                context,
+                np.zeros((self.cfg.nof_ports, nof_symbols, l_ra), np.complex64),
+                np.zeros((self.cfg.nof_ports, nof_symbols), bool))
         # Type 3: mixed-numerology / PRACH scheduling (ofh_cuplane_constants).
         cpl = native.ofh_cplane_build(
             [native.CplaneSection(section_id=0, start_prbc=context.rb_offset,
-                                  num_prbc=12, num_symbol=12, freq_offset=0)],
-            rtc_id=0, seq_id=self._next_seq(0x300), direction=0,
-            frame_id=frame, subframe_id=subframe, slot_id=slot_id,
-            start_symbol=context.start_symbol, section_type=3)
+                                  num_prbc=(l_ra + 11) // 12,
+                                  num_symbol=nof_symbols, freq_offset=0)],
+            rtc_id=self.cfg.prach_eaxc, seq_id=self._next_seq(0x300),
+            direction=0, frame_id=frame, subframe_id=subframe,
+            slot_id=slot_id, start_symbol=context.start_symbol,
+            section_type=3)
         self.send_frame(cpl)
 
     # -- RU→DU ingress ------------------------------------------------------
@@ -227,6 +239,9 @@ class RuOfh:
             return
         if not self.seqid.check(hdr["pc_id"], hdr["seq_id"]):
             return
+        if hdr["pc_id"] >= self.cfg.prach_eaxc:
+            self._push_prach_frame(hdr, iq)
+            return
         spsf = nof_slots_per_subframe(self.cfg.scs)
         complete = None
         with self._lock:
@@ -255,11 +270,72 @@ class RuOfh:
                 ctx = RxSymbolContext(slot=complete, symbol_id=i_symbol)
                 self.symbol_notifier.on_new_uplink_symbol(ctx, grid, True)
 
-    def ota_tick(self, slot: SlotPoint, symbol: int = 0) -> None:
-        """Advance the OTA clock for the reception-window checker."""
+    def _push_prach_frame(self, hdr: dict, iq: np.ndarray) -> None:
+        """PRACH-eAxC U-plane ingress: fill the pending occasion buffer and
+        notify on_new_prach_window_data when every (port, symbol) arrived
+        (reference prach_uplane_rx_symbol data flow)."""
+        complete = None
+        with self._lock:
+            target = None
+            for slot, (ctx, _, _) in self._prach_pending.items():
+                f, sf, sl = self._timestamp(slot)
+                if (f, sf, sl) == (hdr["frame_id"], hdr["subframe_id"],
+                                   hdr["slot_id"]):
+                    target = slot
+                    break
+            if target is None:
+                return
+            ctx, buffer, filled = self._prach_pending[target]
+            port = hdr["pc_id"] - self.cfg.prach_eaxc
+            sym = hdr["symbol_id"] - ctx.start_symbol
+            if not (0 <= port < buffer.shape[0] and 0 <= sym < buffer.shape[1]):
+                return
+            res = (iq[0::2].astype(np.float32) + 1j * iq[1::2].astype(np.float32))
+            res = res.astype(np.complex64) / self.cfg.iq_scale
+            re0 = hdr["start_prb"] * 12
+            n = min(res.size, buffer.shape[2] - re0)
+            buffer[port, sym, re0 : re0 + n] = res[:n]
+            filled[port, sym] = True
+            if filled.all():
+                complete = (ctx, buffer)
+                del self._prach_pending[target]
+        if complete is not None:
+            self.symbol_notifier.on_new_prach_window_data(*complete)
+
+    def _slot_symbols(self, slot: SlotPoint) -> int:
         spsf = nof_slots_per_subframe(self.cfg.scs)
         frame, subframe, slot_id = self._timestamp(slot)
-        slots = (frame * 10 + subframe) * spsf + slot_id
-        self.window.tick(slots * SYMBOLS_PER_SLOT + symbol)
+        return ((frame * 10 + subframe) * spsf + slot_id) * SYMBOLS_PER_SLOT
+
+    def _evict_stale(self, now_symbols: int) -> None:
+        """Purge pending UL/PRACH contexts whose reception window closed
+        (frames lost on the wire); count them late so a long run cannot
+        grow the pending maps without bound (reference
+        uplink_context_repository expiry + rx window stats)."""
+        horizon = SYMBOLS_PER_SLOT + self.cfg.rx_window_late_symbols
+        stale_ul, stale_prach = [], []
+        with self._lock:
+            for slot in list(self._ul_pending):
+                if now_symbols - self._slot_symbols(slot) > horizon:
+                    del self._ul_pending[slot]
+                    del self._ul_filled[slot]
+                    stale_ul.append(slot)
+                    self.metrics.late_ul_requests += 1
+            for slot in list(self._prach_pending):
+                if now_symbols - self._slot_symbols(slot) > horizon:
+                    del self._prach_pending[slot]
+                    stale_prach.append(slot)
+                    self.metrics.late_prach_requests += 1
+        if self.error_notifier is not None:
+            for slot in stale_ul:
+                self.error_notifier.on_late_uplink_message(slot, 0)
+            for slot in stale_prach:
+                self.error_notifier.on_late_prach_message(slot, 0)
+
+    def ota_tick(self, slot: SlotPoint, symbol: int = 0) -> None:
+        """Advance the OTA clock for the reception-window checker."""
+        now = self._slot_symbols(slot) + symbol
+        self.window.tick(now)
+        self._evict_stale(now)
         if self.timing_notifier is not None and symbol == 0:
             self.timing_notifier.on_tti_boundary(slot)

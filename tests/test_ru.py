@@ -373,3 +373,62 @@ def test_generic_ru_through_time_domain_tdl_channel():
     ru.advance_slot(slot)
     out = pusch.process(jnp.asarray(col.symbols[-1][1]), jnp.uint32(9), rxc)
     assert bool(out["tb_crc_ok"])
+
+
+@pytest.mark.skipif(native.get_lib() is None, reason="native lib unavailable")
+def test_ofh_ru_prach_ingress_completes_occasion():
+    """Regression (round-3 advice): PRACH-eAxC U-plane frames fill the
+    pending occasion buffer and notify on_new_prach_window_data."""
+    col = Collector()
+    cfg = RuOfhConfig(scs=SCS, nof_prb=12, nof_ports=1)
+    frames = []
+    ru = RuOfh(cfg, col, send_frame=frames.append)
+    slot = SlotPoint.from_sfn_slot(SCS, 3, 1)
+    ru.ota_tick(slot)
+    ctx = PrachBufferContext(slot=slot, start_symbol=0, format="B4")
+    ru.handle_prach_occasion(ctx)
+    assert len(frames) == 1  # type-3 C-plane request went out
+
+    # RU answers with one U-plane frame per occasion symbol on the PRACH
+    # eAxC carrying the 139-RE frequency-domain sequence.
+    rng = np.random.default_rng(9)
+    pre = np.exp(2j * np.pi * rng.random(139)).astype(np.complex64) * 0.4
+    frame_id, subframe_id, slot_id = ru._timestamp(slot)
+    padded = np.zeros(144, np.complex64)  # 139 REs padded to 12 PRBs
+    padded[:139] = pre
+    for sym in range(12):
+        iq = np.empty(144 * 2, np.int16)
+        scaled = padded * cfg.iq_scale
+        iq[0::2] = np.round(scaled.real).astype(np.int16)
+        iq[1::2] = np.round(scaled.imag).astype(np.int16)
+        msg = native.ofh_uplane_build(
+            iq, pc_id=cfg.prach_eaxc, seq_id=sym, direction=0,
+            frame_id=frame_id, subframe_id=subframe_id, slot_id=slot_id,
+            symbol_id=sym, start_prb=0, width=14)
+        ru.push_uplane_frame(msg)
+    assert len(col.prach) == 1
+    got_ctx, buffer = col.prach[0]
+    assert got_ctx is ctx
+    assert buffer.shape == (1, 12, 139)
+    assert np.allclose(buffer[0, 3], pre, atol=2e-2)
+    assert not ru._prach_pending
+
+
+@pytest.mark.skipif(native.get_lib() is None, reason="native lib unavailable")
+def test_ofh_ru_evicts_stale_pending_contexts():
+    """Regression (round-3 advice): pending UL slots / PRACH occasions whose
+    window closed are purged and counted late, so the maps cannot grow
+    without bound when frames are lost."""
+    col = Collector()
+    cfg = RuOfhConfig(scs=SCS, nof_prb=12)
+    ru = RuOfh(cfg, col, send_frame=lambda f: None)
+    slot = SlotPoint.from_sfn_slot(SCS, 1, 0)
+    ru.ota_tick(slot)
+    ru.handle_new_uplink_slot(ResourceGridContext(slot=slot))
+    ru.handle_prach_occasion(PrachBufferContext(slot=slot, format="B4"))
+    assert ru._ul_pending and ru._prach_pending
+    # No U-plane ever arrives; OTA time passes beyond the late window.
+    ru.ota_tick(slot + 3)
+    assert not ru._ul_pending and not ru._ul_filled and not ru._prach_pending
+    m = ru.get_metrics()
+    assert m.late_ul_requests >= 1 and m.late_prach_requests == 1
