@@ -79,18 +79,55 @@ def worker() -> None:
         jax.block_until_ready(out["tb_bits"])
         t_dec_c = time.time() - t0
         print(f"# warmup: decode done {t_dec_c:.1f}s", file=sys.stderr, flush=True)
-    # Device-side verification.  On some axon tunnels EVERY device->host
-    # transfer raises UNIMPLEMENTED (and poisons the client session), while
-    # host->device and pure execution keep working.  So the verdict is read
-    # through a TIMING channel instead of a transfer: a jitted program
-    # branches on the verdict between a trivial op and ~0.5 TFLOP of
-    # matmuls; its wall time, compared against the same executable fed
-    # literal True/False, reveals the verdict without a single d2h byte.
+    # Device-side verification.  Transfer rules for this tunnel (probed in
+    # round 3): bool and complex64 can NEVER cross host<->device, but
+    # int8/uint8/int32/float32/bfloat16 transfers usually work — and a d2h
+    # readback is the only REAL sync barrier (block_until_ready acks at
+    # enqueue).  So the verdict is an exact int32 readout whenever the
+    # transfer path is alive, and only falls back to the cond-branch TIMING
+    # channel (repeated samples + decision margin) when transfers raise.
     nof_bit_errors = (out["tb_bits"] != tb).astype(jnp.int32).sum()
     verdict_dev = jnp.logical_and(out["tb_crc_ok"], nof_bit_errors == 0)
     jax.block_until_ready(verdict_dev)
 
     from jax import lax
+
+    def d2h(x):
+        """Exact device->host readout via a transfer-safe dtype.  Raises on
+        tunnels whose transfer path is down."""
+        x = jnp.asarray(x)
+        if x.dtype == jnp.bool_:
+            x = x.astype(jnp.int32)
+        return np.asarray(x)
+
+    _tiny = jnp.float32(1.0) + jnp.float32(0.0)
+    _bump = jax.jit(lambda x: x + 1.0)
+
+    def _d2h_roundtrip_s():
+        """Median latency of a tiny completed-program readback: subtracted
+        from readback-barrier timings so the wire latency is not billed to
+        the kernels."""
+        ts = []
+        for _ in range(3):
+            y = _bump(_tiny)
+            time.sleep(0.005)  # let the trivial program complete
+            t0 = time.perf_counter()
+            float(np.asarray(y))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    transfer_alive = True
+    try:
+        v = int(d2h(verdict_dev))
+        be = int(d2h(nof_bit_errors))
+        crc_warmup = bool(v) and be == 0
+        print(f"# warmup verify (exact d2h): crc_ok={bool(v)} bit_errors={be}",
+              file=sys.stderr, flush=True)
+    except Exception as e:
+        transfer_alive = False
+        crc_warmup = None
+        print(f"# d2h readout unavailable ({str(e)[:60]}); timing-channel "
+              "fallback engaged", file=sys.stderr, flush=True)
 
     probe_x = jnp.asarray(rng.standard_normal((1024, 1024)).astype(np.float32))
 
@@ -106,11 +143,29 @@ def worker() -> None:
         jax.block_until_ready(_verdict_probe(ok_val, probe_x))
         return time.time() - t0
 
+    def _timing_channel_verdict(ok_dev):
+        """Fallback CRC readout without any d2h byte: repeated cond-branch
+        latency samples against literal True/False, accepted only with a
+        clear decision margin.  Returns (verdict|None, note)."""
+        t_true = sorted(_probe_time(jnp.asarray(True)) for _ in range(3))[1]
+        t_false = sorted(_probe_time(jnp.asarray(False)) for _ in range(3))[1]
+        contrast = t_false - t_true
+        if contrast < 5 * t_true:
+            return None, f"contrast too low ({t_true*1e3:.2f}/{t_false*1e3:.2f} ms)"
+        xs = sorted(_probe_time(ok_dev) for _ in range(3))
+        t_x = xs[1]
+        margin = contrast / 4
+        if abs(t_x - t_true) < margin and abs(t_x - t_false) > margin:
+            return True, f"t={t_x*1e3:.2f}ms vs ok {t_true*1e3:.2f}/fail {t_false*1e3:.2f}"
+        if abs(t_x - t_false) < margin and abs(t_x - t_true) > margin:
+            return False, f"t={t_x*1e3:.2f}ms vs ok {t_true*1e3:.2f}/fail {t_false*1e3:.2f}"
+        return None, f"ambiguous t={t_x*1e3:.2f}ms (ok {t_true*1e3:.2f}/fail {t_false*1e3:.2f})"
+
     # Sync-health probe: block_until_ready on a healthy backend scales with
     # the amount of chained work; a tunnel that merely acks the enqueue
-    # returns in constant time.  A 64x-deeper matmul chain that is not at
-    # least 4x slower means every timing below is dispatch-bound and the
-    # result is flagged accordingly.
+    # returns in constant time.  With a live transfer path the readback
+    # barrier below is the real sync regardless; this probe records whether
+    # block_until_ready alone could have been trusted.
     def _chain_time(n):
         f = jax.jit(lambda x: lax.fori_loop(0, n, lambda i, a: a @ x * 1e-3, x))
         jax.block_until_ready(f(probe_x))
@@ -121,38 +176,51 @@ def worker() -> None:
     try:
         t_short = _chain_time(64)
         t_long = _chain_time(4096)
-        sync_verified = t_long > 4 * t_short
+        block_sync_ok = t_long > 4 * t_short
         print(f"# sync health: 64-chain {t_short*1e3:.2f}ms vs 4096-chain "
-              f"{t_long*1e3:.2f}ms -> sync_verified={sync_verified}",
+              f"{t_long*1e3:.2f}ms -> block_until_ready trustworthy={block_sync_ok}",
               file=sys.stderr, flush=True)
     except Exception as e:
-        sync_verified = None
+        block_sync_ok = None
         print(f"# sync-health probe failed: {str(e)[:60]}", file=sys.stderr, flush=True)
+    # The headline timings are sync-verified when the d2h readback barrier
+    # is available (the device executes its stream in order, so reading a
+    # scalar derived from the LAST dispatched program proves every earlier
+    # one completed); otherwise only when block_until_ready itself held.
+    sync_verified = True if transfer_alive else block_sync_ok
+    sync_method = "d2h-readback-barrier" if transfer_alive else "block_until_ready"
 
-    crc_warmup = None
-    try:
-        t_true = _probe_time(jnp.asarray(True))
-        t_false = _probe_time(jnp.asarray(False))
-        t_x = _probe_time(verdict_dev)
-        if t_false > 3 * t_true:  # channel has measurable contrast
-            crc_warmup = abs(t_x - t_true) < abs(t_x - t_false)
-            print(f"# warmup verify (timing channel): crc_ok={crc_warmup} "
-                  f"(t_ok={t_true*1e3:.1f}ms t_fail={t_false*1e3:.1f}ms "
-                  f"t_verdict={t_x*1e3:.1f}ms)", file=sys.stderr, flush=True)
-        else:
-            print(f"# timing-channel contrast too low "
-                  f"(t_ok={t_true*1e3:.1f}ms t_fail={t_false*1e3:.1f}ms)",
-                  file=sys.stderr, flush=True)
-    except Exception as e:  # pragma: no cover - tunnel flake
-        print(f"# warmup verify probe failed: {str(e)[:60]}",
+    if crc_warmup is None:
+        v, note = _timing_channel_verdict(verdict_dev)
+        crc_warmup = v
+        print(f"# warmup verify (timing channel): crc_ok={v} ({note})",
               file=sys.stderr, flush=True)
 
     import contextlib
 
+    _scalarize = jax.jit(lambda x: jnp.sum(jnp.real(x).astype(jnp.float32)))
+
     def bench(fn, n, sync):
+        """Average seconds/call over n dispatches.
+
+        With a live transfer path: dispatch all n programs asynchronously,
+        then read back one f32 scalar derived from the last program's
+        output — an in-order stream makes that a barrier over all n — and
+        subtract the measured wire roundtrip.  Otherwise fall back to
+        block_until_ready (flagged via sync_verified)."""
         ctx = staging.sync_stages() if sync else contextlib.nullcontext()
         with ctx:
-            fn(0)
+            first = fn(0)
+            if transfer_alive and not sync:
+                leaf = jax.tree_util.tree_leaves(first)[0]
+                float(np.asarray(_scalarize(leaf)))  # warm scalarize + barrier
+                rt = _d2h_roundtrip_s()
+                t0 = time.perf_counter()
+                outs = [fn(i) for i in range(n)]
+                last_leaf = jax.tree_util.tree_leaves(outs[-1])[0]
+                float(np.asarray(_scalarize(last_leaf)))
+                dt = time.perf_counter() - t0 - rt
+                return max(dt, 1e-9) / n
             t0 = time.time()
             outs = [fn(i) for i in range(n)]
             jax.block_until_ready(outs)
@@ -197,12 +265,16 @@ def worker() -> None:
         "decode_snr_db": OPERATING_SNR_DB,
         "decode_fixed_iter_ms": round(t_dec_fixed * 1e3, 3) if t_dec_fixed else None,
         "crc_verified": crc_warmup,  # warmup verdict; benched readout upgrades
-        "crc_verified_source": "warmup" if crc_warmup is not None else None,
+        "crc_verified_source": ("warmup-d2h-exact" if transfer_alive
+                                else ("warmup-timing-channel"
+                                      if crc_warmup is not None else None)),
         # False means block_until_ready on this tunnel acks the enqueue
-        # without waiting for execution: every ms figure in this record is
-        # then a DISPATCH rate, not a compute rate.  Do not compare such a
-        # record against real-time budgets.
+        # without waiting for execution AND no readback barrier was
+        # available: every ms figure would then be a DISPATCH rate.  With
+        # sync_method "d2h-readback-barrier" the timings are real compute
+        # rates regardless of block_until_ready health.
         "sync_verified": sync_verified,
+        "sync_method": sync_method,
     }
 
     slot_ops_per_s = 1.0 / t_enc + 1.0 / t_dec
@@ -243,35 +315,52 @@ def worker() -> None:
                         vs_baseline=round(rate_a / 2000.0, 3), **extra)
         print("RESULT " + json.dumps(result_a), flush=True)
         try:
-            # Combine every benched decode's CRC on device, then read the
-            # verdict through the transfer-free timing channel.
+            # Combine every benched decode's CRC + bit errors on device.
+            # Exact d2h readout first (ADVICE r3); timing channel only as
+            # a margin-gated fallback when the transfer path is down.
             all_ok = dec_outs[0][1]
+            errs = (dec_outs[0][0] != tb).astype(jnp.int32).sum()
             for o in dec_outs[1:]:
                 all_ok = jnp.logical_and(all_ok, o[1])
-            t_x = _probe_time(all_ok)
-            t_true = _probe_time(jnp.asarray(True))
-            t_false = _probe_time(jnp.asarray(False))
-            if t_false > 3 * t_true:
-                extra["crc_verified"] = bool(abs(t_x - t_true) < abs(t_x - t_false))
-                extra["crc_verified_source"] = "benched-timing-channel"
+                errs = errs + (o[0] != tb).astype(jnp.int32).sum()
+            if transfer_alive:
+                ok_v = bool(int(d2h(all_ok)))
+                errs_v = int(d2h(errs))
+                extra["crc_verified"] = ok_v and errs_v == 0
+                extra["crc_verified_source"] = "benched-d2h-exact"
                 print(f"# crc verified on {len(dec_outs)} benched decodes "
-                      f"(timing channel): {extra['crc_verified']}",
+                      f"(exact d2h): crc_ok={ok_v} bit_errors={errs_v}",
                       file=sys.stderr, flush=True)
+            else:
+                v, note = _timing_channel_verdict(all_ok)
+                if v is not None:
+                    extra["crc_verified"] = v
+                    extra["crc_verified_source"] = "benched-timing-channel"
+                print(f"# crc on {len(dec_outs)} benched decodes "
+                      f"(timing channel): {v} ({note})", file=sys.stderr, flush=True)
         except Exception as e:
             print(f"# benched-crc probe failed ({str(e)[:60]}); warmup verdict stands",
                   file=sys.stderr, flush=True)
 
         # Per-slot latency percentiles (one slot in flight, round-trip
         # dispatch->ready), deadline model: 500 us slot, <= 5-slot pipeline
-        # (reference max_processing_delay_slots) => 2.5 ms budget.
+        # (reference max_processing_delay_slots) => 2.5 ms budget.  With a
+        # live transfer path each sample is dispatch + compute + readback
+        # minus the measured wire roundtrip; otherwise block_until_ready.
+        rt = _d2h_roundtrip_s() if transfer_alive else 0.0
+        def _lat_sample(fn, i):
+            if transfer_alive:
+                t0 = time.perf_counter()
+                leaf = jax.tree_util.tree_leaves(fn(i))[0]
+                float(np.asarray(_scalarize(leaf)))
+                return max(time.perf_counter() - t0 - rt, 0.0)
+            t0 = time.time()
+            jax.block_until_ready(fn(i))
+            return time.time() - t0
         lat_e, lat_d = [], []
         for i in range(30):
-            t0 = time.time()
-            jax.block_until_ready(enc_fn(i))
-            lat_e.append(time.time() - t0)
-            t0 = time.time()
-            jax.block_until_ready(dec_fn(i))
-            lat_d.append(time.time() - t0)
+            lat_e.append(_lat_sample(enc_fn, i))
+            lat_d.append(_lat_sample(dec_fn, i))
         lat = np.asarray(lat_e + lat_d)
         extra["latency_p50_ms"] = round(float(np.percentile(lat, 50)) * 1e3, 3)
         extra["latency_p99_ms"] = round(float(np.percentile(lat, 99)) * 1e3, 3)
@@ -308,27 +397,43 @@ def worker() -> None:
                 jax.block_until_ready(dec_b(iq_rx_b, rntis_dec))
             print("# batched warmup done", file=sys.stderr, flush=True)
             nb = 8
-            t0 = time.time()
-            outs = [enc_b(tbs_b, rntis_b) for _ in range(nb)]
-            jax.block_until_ready(outs)
-            t_enc_b = (time.time() - t0) / (nb * b)
-            t0 = time.time()
-            outs = [dec_b(iq_rx_b, rntis_dec) for _ in range(nb)]
-            jax.block_until_ready(outs)
-            t_dec_b = (time.time() - t0) / (nb * b)
+
+            def _timed_calls(call, n):
+                if transfer_alive:
+                    rt = _d2h_roundtrip_s()
+                    t0 = time.perf_counter()
+                    outs = [call() for _ in range(n)]
+                    leaf = jax.tree_util.tree_leaves(outs[-1])[0]
+                    float(np.asarray(_scalarize(leaf)))
+                    return max(time.perf_counter() - t0 - rt, 1e-9) / n
+                t0 = time.time()
+                outs = [call() for _ in range(n)]
+                jax.block_until_ready(outs)
+                return (time.time() - t0) / n
+
+            t_enc_b = _timed_calls(lambda: enc_b(tbs_b, rntis_b), nb) / b
+            t_dec_b = _timed_calls(lambda: dec_b(iq_rx_b, rntis_dec), nb) / b
             rate_b = 1.0 / t_enc_b + 1.0 / t_dec_b
             print(f"# batched x{b}: encode {t_enc_b*1e3:.2f} ms/slot, decode {t_dec_b*1e3:.2f} ms/slot",
                   file=sys.stderr, flush=True)
-            # CRC verdicts of the benched batch, via the timing channel.
+            # CRC verdicts of the benched batch: exact d2h first, timing
+            # channel fallback (margin-gated).
             try:
                 crc_b = jax.vmap(lambda x, r: cell_mod.decode_slot(x, r, cfg)["tb_crc_ok"])(
                     iq_rx_b, rntis_dec)
-                t_x = _probe_time(crc_b.all())
-                t_true = _probe_time(jnp.asarray(True))
-                t_false = _probe_time(jnp.asarray(False))
-                if t_false > 3 * t_true:
-                    extra["crc_verified"] = bool(abs(t_x - t_true) < abs(t_x - t_false))
-                    extra["crc_verified_source"] = f"batched-x{b}-timing-channel"
+                if transfer_alive:
+                    nof_fail = int(d2h((~crc_b).astype(jnp.int32).sum()))
+                    extra["crc_verified"] = nof_fail == 0
+                    extra["crc_verified_source"] = f"batched-x{b}-d2h-exact"
+                    print(f"# batched crc: {b - nof_fail}/{b} OK (exact d2h)",
+                          file=sys.stderr, flush=True)
+                else:
+                    v, note = _timing_channel_verdict(crc_b.all())
+                    if v is not None:
+                        extra["crc_verified"] = v
+                        extra["crc_verified_source"] = f"batched-x{b}-timing-channel"
+                    print(f"# batched crc (timing channel): {v} ({note})",
+                          file=sys.stderr, flush=True)
             except Exception:
                 pass
             result_b = dict(result, value=round(rate_b, 1),
@@ -338,15 +443,13 @@ def worker() -> None:
         except Exception as e:
             print(f"# batched x{b} failed ({str(e)[:80]})", file=sys.stderr, flush=True)
 
-    # Risky device->host readout last: RESULT is already out if this dies.
-    # (On tunnels with a working transfer path this gives the exact values;
-    # on broken ones the timing-channel verdicts above already stand.)
+    # Final readout (redundant when the exact path already ran above).
     try:
-        print(f"# verify: crc_ok={bool(np.asarray(verdict_dev))} "
-              f"bit_errors={int(np.asarray(nof_bit_errors))}", file=sys.stderr, flush=True)
+        print(f"# verify: crc_ok={bool(int(d2h(verdict_dev)))} "
+              f"bit_errors={int(d2h(nof_bit_errors))}", file=sys.stderr, flush=True)
     except Exception as e:
         print(f"# verify readout failed (transfer path): {str(e)[:80]}; "
-              "timing-channel verdict stands", file=sys.stderr, flush=True)
+              "earlier verdicts stand", file=sys.stderr, flush=True)
 
 
 def worker_ldpc_only() -> None:
