@@ -73,6 +73,14 @@ class PuschConfig:
     # despread residual (biased by |h_other|^2 when 2 layers share a CDM
     # group -- the co-layer appears as interference in the estimate).
     noise_method: str = "second_difference"
+    # Channel estimator kernel: "fast" = the TPU-optimized pipeline
+    # (9-tap RC smoothing, time average); "reference" = the jitted
+    # reference-parity estimator (ops/estimator_refjax.py — 31-tap
+    # resampled RC prototype with virtual edge pilots, exact interpolator,
+    # oracle noise/CFO semantics; golden-tested against
+    # tests/golden/estimator like mmse_ref / reference_i8).  The
+    # reference kernel supports one CDM group (nof_layers <= 2).
+    estimator: str = "fast"
     llr_range_limit: float = 20.0
     # Soft demapper: "float" = fused float max-log + quantize (throughput
     # path); "reference" = bit-exact int8 interval demapper
@@ -206,6 +214,49 @@ def _estimate_constants(cfg: PuschConfig):
     return idx_all, wf_all, r_all, pair_pos
 
 
+def _estimate_reference(grid: jax.Array, cfg: PuschConfig, idx_all, r_np, wf_np):
+    """Reference-parity estimate branch of _estimate_stage: the jitted
+    oracle-semantics kernel (ops/estimator_refjax.py) run per rx port, with
+    exact epoch-based CFO derotation of the data when configured.  One CDM
+    group (nof_layers <= 2) — the reference's own open-source coverage."""
+    from ..ops import estimator_refjax as refjax
+    from ..ops.estimator_ref import _symbol_start_epochs
+
+    a = cfg.alloc
+    nl, npr = cfg.nof_layers, cfg.nof_rx_ports
+    if nl > 2:
+        raise ValueError("estimator='reference' supports one CDM group (<=2 layers)")
+    beta = float(dmrs_mod.sch_to_dmrs_beta(a.nof_cdm_groups_without_data))
+    # Per-layer pilots with OCC, at true transmit amplitude (r_np is the
+    # beta-descaled LS sequence; the oracle expects raw pilots + scaling).
+    pilots = jnp.asarray((r_np * beta) * wf_np[:, None, :])
+
+    ks, _wf = dmrs_mod.pilot_subcarriers(a.dmrs_config_type, 0, a.rb_count, a.rb_start)
+    ppb = dmrs_mod.pilots_per_prb(a.dmrs_config_type)
+    pattern = tuple(int(k - a.sc_start) for k in ks[:ppb])
+    rcfg = refjax.RefEstimatorConfig(
+        scs_khz=30, nof_prb=a.rb_count, first_symbol=a.sym_start,
+        nof_symbols=a.sym_count,
+        dmrs_symbol_mask=sum(1 << s for s in a.dmrs_symbols),
+        re_pattern=pattern, nof_layers=nl, scaling=beta,
+        smoothing="filter", td_strategy="average",
+        compensate_cfo=cfg.cfo_compensation and len(a.dmrs_symbols) > 1)
+
+    window = grid[:, :, a.sc_start : a.sc_start + a.nof_sc]
+    outs = jax.vmap(lambda g: refjax.estimate_port_ref(g, pilots, rcfg))(window)
+    h = jnp.moveaxis(outs["freq_resp"][:, :, 0], 1, -1)  # (npr, nof_sc, nl)
+    nvar_acc = outs["noise_var"].mean()
+    snr_acc = outs["snr"].mean()
+    gflat = grid.reshape(npr, -1)
+    if rcfg.compensate_cfo:
+        cfo = outs["cfo"].mean()
+        epochs = jnp.asarray(_symbol_start_epochs(cfg.nof_grid_symbols, 1),
+                             jnp.float32)
+        derot = jnp.exp(-2j * np.pi * epochs * cfo).astype(jnp.complex64)
+        gflat = (grid * derot[None, :, None]).reshape(npr, -1)
+    return gflat, h, nvar_acc, snr_acc
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _estimate_stage(grid: jax.Array, cfg: PuschConfig):
     """Pilot gather + channel estimation (all port/layer pairs) + CFO
@@ -254,6 +305,9 @@ def _estimate_stage(grid: jax.Array, cfg: PuschConfig):
         beta2 = dmrs_mod.sch_to_dmrs_beta(a.nof_cdm_groups_without_data) ** 2
         nv = (jnp.abs(d2) ** 2).mean() * nsym_d / 3.0 * beta2
         return jnp.maximum(nv, 1e-10)
+
+    if cfg.estimator == "reference":
+        return _estimate_reference(grid, cfg, idx_all, r_np, wf_np)
 
     h, nvar_acc, snr_acc, cfo_acc = estimate_all(gflat)
     if cfg.cfo_compensation and len(a.dmrs_symbols) > 1:
