@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Multi-UE slot benchmark (BASELINE config #5).
+
+One 100 MHz carrier FDM-split across N UEs; the whole UL slot (N PUSCH
+grants) decodes in one batched device program pair (pusch.process_multi)
+and the DL twin encodes N PDSCH grants in one program
+(pdsch.process_multi).  Prints one JSON line per UE count with slots/s
+and aggregate Mbps, mirroring the reference's multi-PDU slot shape
+(uplink_processor_impl.h:149 PDU repository; benchmark modes
+pusch_processor_benchmark.cpp:57-91).
+
+Usage: python benchmarks/multi_ue_bench.py [--cpu] [--ues 4,8,16]
+       [--prb 273] [--ports 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from benchmarks.common import timeit_rb  # noqa: E402
+
+
+def run(nof_prb: int, ues: list[int], nof_ports: int) -> list[dict]:
+    import jax
+    import jax.numpy as jnp
+
+    from srsran_project_tpu.ops.modulation import Modulation
+    from srsran_project_tpu.phy import pdsch, pusch
+    from srsran_project_tpu.phy.allocation import Allocation
+    from srsran_project_tpu.ran import tbs as tbs_mod
+    from srsran_project_tpu.ran.constants import NRE
+
+    results = []
+    rng = np.random.default_rng(0)
+    nof_grid_sc = nof_prb * 12
+    for n in ues:
+        rb_each = nof_prb // n
+        alloc = Allocation(rb_start=0, rb_count=rb_each, sym_start=1,
+                           sym_count=12, dmrs_symbols=(2, 11))
+        qm, rate = tbs_mod.mcs_to_qm_rate(20, "qam64")
+        tbs = tbs_mod.calculate_tbs(rb_each, 12, NRE * 1, rate, qm, 1)
+        common = dict(tbs=tbs, target_code_rate=rate,
+                      modulation=Modulation(qm), nof_layers=1,
+                      nof_grid_symbols=14, slot_in_frame=3)
+        tx = pdsch.PdschConfig(alloc=alloc, nof_ports=nof_ports,
+                               nof_grid_sc=rb_each * 12, **common)
+        rx = pusch.PuschConfig(alloc=alloc, nof_rx_ports=nof_ports,
+                               nof_grid_sc=rb_each * 12, **common)
+        tbs_b = jnp.asarray(
+            rng.integers(0, 2, size=(n, tbs), dtype=np.uint8))
+        rntis = np.arange(n, dtype=np.uint32) + 0x4601
+        offs = [i * rb_each for i in range(n)]
+        w = np.eye(1, nof_ports, dtype=np.complex64)
+        grid0 = jnp.zeros((nof_ports, 14, nof_grid_sc), jnp.complex64)
+
+        grid = pdsch.process_multi(tbs_b, rntis, offs, w, tx, grid=grid0)
+        key = jax.random.PRNGKey(0)
+        noise = (jax.random.normal(key, grid.shape + (2,), jnp.float32)
+                 * np.float32(np.sqrt(0.5) * 10 ** (-25.0 / 20)))
+        rx_grid = grid + jax.lax.complex(noise[..., 0], noise[..., 1])
+
+        t_dl, sync_dl = timeit_rb(
+            lambda: pdsch.process_multi(tbs_b, rntis, offs, w, tx, grid=grid0))
+        t_ul, sync_ul = timeit_rb(
+            lambda: pusch.process_multi(rx_grid, rntis, offs, rx))
+        out = pusch.process_multi(rx_grid, rntis, offs, rx)
+        nof_fail = int(np.asarray((~out["tb_crc_ok"]).astype(jnp.int32).sum()))
+        rate_slots = 1.0 / t_dl + 1.0 / t_ul
+        results.append({
+            "metric": f"multi_ue_slot_rate_{nof_prb}prb_{n}ue",
+            "value": round(rate_slots, 1), "unit": "slots/s",
+            "ue_count": n, "tbs_per_ue": tbs,
+            "dl_ms_per_slot": round(t_dl * 1e3, 3),
+            "ul_ms_per_slot": round(t_ul * 1e3, 3),
+            "agg_mbps": round(n * tbs * rate_slots / 1e6, 1),
+            "crc_fail": nof_fail, "sync_method": sync_ul,
+        })
+        print(json.dumps(results[-1]), flush=True)
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--ues", default="4,8,16")
+    ap.add_argument("--prb", type=int, default=273)
+    ap.add_argument("--ports", type=int, default=1)
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    run(args.prb, [int(x) for x in args.ues.split(",")], args.ports)
+
+
+if __name__ == "__main__":
+    main()

@@ -101,7 +101,8 @@ def _bit_chain(tb_bits: jax.Array, rnti: jax.Array, cfg: PdschConfig) -> jax.Arr
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _grid_chain(cw: jax.Array, precoding: jax.Array, cfg: PdschConfig) -> jax.Array:
+def _grid_chain(cw: jax.Array, precoding: jax.Array, cfg: PdschConfig,
+                dmrs_override=None) -> jax.Array:
     """Modulate + layer map + DM-RS + precode: (G,) bits -> port grids.
 
     One jitted program: measured to compile in ~11 s at 273 PRB (unlike the
@@ -136,6 +137,10 @@ def _grid_chain(cw: jax.Array, precoding: jax.Array, cfg: PdschConfig) -> jax.Ar
             rl = np.asarray(seq_mod.base_sequence(cfg.n_rs_id % 30, 0, len(seq_idx)),
                             np.complex64)
             r = jnp.asarray(np.broadcast_to(rl, (len(a.dmrs_symbols), len(seq_idx))))
+        elif dmrs_override is not None:
+            # Batched multi-UE path: per-grant pilot values precomputed
+            # host-side (the Gold index follows the grant's absolute CRB).
+            r = dmrs_override[layer]
         else:
             nof_pilots_total = int(seq_idx[-1]) + 1
             r = dmrs_pilots(cfg, nof_pilots_total)[:, jnp.asarray(seq_idx)]
@@ -191,6 +196,81 @@ def ptrs_layout(cfg: PdschConfig):
             syms.append(sym)
     return (np.asarray(idx, np.int32), np.asarray(vals, np.complex64),
             np.asarray(syms, np.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _multi_encode(tbs, rntis, first_scs, dmrs_batch, precoding, grid,
+                  cfg: PdschConfig):
+    """One compiled program encoding N equal-config PDSCH grants and
+    accumulating their windows into the slot grid at per-grant offsets."""
+
+    def one(tb, rnti, r_ov, w_i):
+        cw = _bit_chain(tb, rnti, cfg)
+        return _grid_chain(cw, w_i, cfg, dmrs_override=r_ov)
+
+    subs = jax.vmap(one)(tbs, rntis, dmrs_batch, precoding)  # (N, P, S, w)
+    for i in range(tbs.shape[0]):
+        off = first_scs[i]
+        win = jax.lax.dynamic_slice(
+            grid, (0, 0, off), (grid.shape[0], grid.shape[1], subs.shape[-1]))
+        grid = jax.lax.dynamic_update_slice(grid, win + subs[i], (0, 0, off))
+    return grid
+
+
+@functools.lru_cache(maxsize=None)
+def _multi_dmrs_bank(cfg: PdschConfig, first_rbs: tuple) -> np.ndarray:
+    """(N, nl, nsym_d, Np) per-grant DM-RS pilot values: the only per-UE
+    constant of the shared compact encode program (Gold index follows the
+    absolute CRB)."""
+    banks = []
+    for rb0 in first_rbs:
+        cfg_i = dataclasses.replace(
+            cfg, alloc=dataclasses.replace(cfg.alloc, crb_start=int(rb0)))
+        a = cfg_i.alloc
+        per_layer = []
+        for layer in range(cfg.nof_layers):
+            _idx, _wf, _pp, seq_idx = alloc_mod.pilot_re_indices(
+                a, layer, cfg.nof_grid_sc)
+            ntot = int(seq_idx[-1]) + 1
+            rows = []
+            for sym in a.dmrs_symbols:
+                c_init = dmrs_mod.dmrs_c_init(
+                    cfg.slot_in_frame, sym, cfg.dmrs_scrambling_id, cfg.n_scid)
+                c = scrambling.gold_ref(int(c_init), 2 * ntot).astype(np.float32)
+                r = ((1.0 - 2.0 * c[0::2]) + 1j * (1.0 - 2.0 * c[1::2])) / np.sqrt(2)
+                rows.append(r[seq_idx])
+            per_layer.append(np.stack(rows))
+        banks.append(np.stack(per_layer))
+    return np.stack(banks).astype(np.complex64)
+
+
+def process_multi(tbs, rntis, first_rbs, precoding, cfg: PdschConfig,
+                  grid=None):
+    """Encode N equal-config PDSCH grants into one slot grid in ONE
+    batched device program (the DL twin of pusch.process_multi; BASELINE
+    config #5 multi-UE slot shape).
+
+    tbs: (N, A) payload bits; rntis: (N,); first_rbs: length-N PRB
+    offsets; precoding: (nl, P) shared weights or (N, nl, P) per-grant;
+    grid: optional existing (P, S, nof_grid_sc_slot) slot grid to
+    accumulate into.
+    """
+    if cfg.ptrs_enabled:
+        raise ValueError("process_multi: PT-RS PDUs take the per-PDU path")
+    first_rbs = tuple(int(r) for r in first_rbs)
+    dmrs_batch = jnp.asarray(_multi_dmrs_bank(cfg, first_rbs))
+    first_scs = jnp.asarray([12 * r for r in first_rbs], jnp.int32)
+    tbs = jnp.asarray(tbs, jnp.uint8)
+    if grid is None:
+        import math
+        nof_slot_sc = max(12 * (rb + cfg.alloc.rb_count) for rb in first_rbs)
+        grid = jnp.zeros((cfg.nof_ports, cfg.nof_grid_symbols, nof_slot_sc),
+                         jnp.complex64)
+    w = jnp.asarray(precoding, jnp.complex64)
+    if w.ndim == 2:
+        w = jnp.broadcast_to(w, (tbs.shape[0],) + w.shape)
+    return _multi_encode(tbs, jnp.asarray(rntis, jnp.uint32), first_scs,
+                         dmrs_batch, w, grid, cfg)
 
 
 def process(tb_bits: jax.Array, rnti: jax.Array, precoding: jax.Array, cfg: PdschConfig) -> jax.Array:

@@ -258,9 +258,15 @@ def _estimate_reference(grid: jax.Array, cfg: PuschConfig, idx_all, r_np, wf_np)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _estimate_stage(grid: jax.Array, cfg: PuschConfig):
+def _estimate_stage(grid: jax.Array, cfg: PuschConfig, r_override=None):
     """Pilot gather + channel estimation (all port/layer pairs) + CFO
     derotation + PT-RS common-phase-error tracking, ONE compiled program.
+
+    ``r_override`` substitutes the host-precomputed DM-RS pilot values
+    (same shape as the cached constants) — the batched multi-UE slot
+    program feeds per-UE pilots this way, since the Gold-sequence index
+    depends on each grant's absolute CRB while everything else about the
+    program is shared.
 
     Returns (gflat (npr, nsym*nsc) possibly derotated, h (npr, nof_sc, nl),
     noise_var, snr_acc)."""
@@ -269,7 +275,7 @@ def _estimate_stage(grid: jax.Array, cfg: PuschConfig):
     idx_np, wf_np, r_np, pair_pos = _estimate_constants(cfg)
     idx_all = jnp.asarray(idx_np)
     wf_all = jnp.asarray(wf_np)
-    r_all = jnp.asarray(r_np)
+    r_all = jnp.asarray(r_np) if r_override is None else r_override
     gflat = grid.reshape(npr, -1)
 
     def estimate_all(gf):
@@ -528,6 +534,79 @@ def process(
     """
     llr_i8, noise_var, snr_acc = _front_end(grid, jnp.asarray(rnti), cfg)
     return finish(llr_i8, noise_var, snr_acc, cfg, harq_buffer=harq_buffer)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _multi_front_end(grid, rntis, first_scs, r_batch, cfg: PuschConfig):
+    """Batched front end over N equal-shape grants of one slot grid: one
+    compiled program slices each grant's window and runs
+    estimate/equalize/demap under vmap."""
+    w = cfg.nof_grid_sc
+
+    def one(rnti, sc0, r_ov):
+        win = jax.lax.dynamic_slice(
+            grid, (0, 0, sc0), (grid.shape[0], grid.shape[1], w))
+        gflat, h, noise_var, snr_acc = _estimate_stage(win, cfg, r_override=r_ov)
+        x_hat, eq_nvar = _equalize_stage(gflat, h, noise_var, cfg)
+        if cfg.transform_precoding:
+            x_hat, eq_nvar = _deprecode_stage(x_hat, eq_nvar, cfg)
+        llr_i8, sinr_post_eq = _demap_stage(x_hat, eq_nvar, rnti, cfg)
+        if cfg.sinr_method == "post_equalization":
+            snr_acc = sinr_post_eq
+        return llr_i8, noise_var, snr_acc
+
+    return jax.vmap(one)(rntis, first_scs, r_batch)
+
+
+@functools.lru_cache(maxsize=None)
+def _multi_pilot_bank(cfg: PuschConfig, first_rbs: tuple) -> np.ndarray:
+    """Per-grant DM-RS pilot values for a batch of PRB offsets: the only
+    per-UE constant of the shared compact program (the Gold sequence index
+    follows the absolute CRB, TS 38.211 reference point = CRB0)."""
+    rs = []
+    for rb0 in first_rbs:
+        cfg_i = dataclasses.replace(
+            cfg, alloc=dataclasses.replace(cfg.alloc, crb_start=int(rb0)))
+        _, _, r_np, _ = _estimate_constants(cfg_i)
+        rs.append(r_np)
+    return np.stack(rs)
+
+
+def process_multi(grid, rntis, first_rbs, cfg: PuschConfig, harq_buffers=None):
+    """Decode N equal-config PUSCH grants of one UL slot in ONE batched
+    device program pair — the multi-UE slot as a device program rather
+    than a host loop over PDUs (BASELINE config #5; reference slot shape:
+    uplink_processor_impl.h:149's PDU repository, benchmark shape
+    pusch_processor_benchmark.cpp:57-91).
+
+    grid: the full (P, S, nof_grid_sc) slot grid; rntis: (N,) uint32;
+    first_rbs: length-N sequence of PRB offsets (grants are compact
+    rb_start=0 windows placed at these offsets, all sharing ``cfg``);
+    harq_buffers: optional (N, C, Ncb) int8 stack for retransmissions.
+
+    Returns dict of stacked outputs: tb_bits (N, A), tb_crc_ok (N,),
+    harq_buffer (N, C, Ncb), noise_var (N,), snr_db (N,).
+    """
+    if cfg.uci_mux is not None or cfg.ptrs_enabled:
+        raise ValueError("process_multi: UCI-on-PUSCH / PT-RS PDUs take the per-PDU path")
+    if cfg.estimator == "reference":
+        raise ValueError("process_multi: reference estimator takes the per-PDU path")
+    first_rbs = tuple(int(r) for r in first_rbs)
+    r_batch = jnp.asarray(_multi_pilot_bank(cfg, first_rbs))
+    first_scs = jnp.asarray([12 * r for r in first_rbs], jnp.int32)
+    llr_i8, noise_var, snr_acc = _multi_front_end(
+        grid, jnp.asarray(rntis, jnp.uint32), first_scs, r_batch, cfg)
+    tb, ok, harq = decode_transport_block(
+        llr_i8, cfg.sch, cfg.nof_ldpc_iterations, harq_buffers,
+        early_stop=cfg.ldpc_early_stop,
+    )
+    return {
+        "tb_bits": tb,
+        "tb_crc_ok": ok,
+        "harq_buffer": harq,
+        "noise_var": noise_var,
+        "snr_db": 10.0 * jnp.log10(jnp.maximum(snr_acc, 1e-12)),
+    }
 
 
 def finish(llr_i8, noise_var, snr_acc, cfg: PuschConfig, harq_buffer=None):

