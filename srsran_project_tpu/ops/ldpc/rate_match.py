@@ -170,6 +170,21 @@ def rate_dematch_combine(
 
 def combine_harq(old: jax.Array, new: jax.Array) -> jax.Array:
     """Saturating int8 LLR combine of a retransmission into the HARQ buffer
-    (reference: pusch_decoder_impl.cpp:336)."""
-    s = old.astype(jnp.int16) + new.astype(jnp.int16)
-    return jnp.clip(s, -LLR_MAX, LLR_MAX).astype(jnp.int8)
+    (reference: pusch_decoder_impl.cpp:336; log_likelihood_ratio
+    operator+= semantics, log_likelihood_ratio.cpp:40-73):
+
+    - a == -b               -> 0 (covers +inf + -inf)
+    - either operand ±127   -> that infinity (sign preserved)
+    - otherwise             -> sum saturated to ±LLR_MAX (±120)
+
+    Preserving the ±127 infinity marks matters: filler positions carry
+    +127 ("known zero") and must stay +127 through every retransmission,
+    bit-exact with the reference rx buffer."""
+    a = old.astype(jnp.int16)
+    b = new.astype(jnp.int16)
+    sat = jnp.clip(a + b, -LLR_MAX, LLR_MAX)
+    inf_a = jnp.abs(a) == LLR_INF
+    inf_b = jnp.abs(b) == LLR_INF
+    s = jnp.where(inf_a, a, jnp.where(inf_b, b, sat))
+    s = jnp.where(a == -b, 0, s)
+    return s.astype(jnp.int8)

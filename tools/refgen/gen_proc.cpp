@@ -1008,3 +1008,224 @@ void gen_pusch_processor() {
 } // namespace
 
 void gen_pusch_processor_suite() { gen_pusch_processor(); }
+
+// ------------------------------------------------ HARQ retransmissions ----
+// Drives the reference pusch_decoder through an RV sequence with a
+// persistent rx buffer: transmissions at low SNR fail until soft combining
+// (int8 saturating accumulation in the rate dematcher,
+// pusch_decoder_impl.cpp:336 / ldpc_rate_dematcher combine path) recovers
+// the block.  Captures, per transmission, the exact int8 LLR inputs, the
+// decoder verdict, and the combined codeblock soft-bit buffers so the TPU
+// side can assert bit-exact combine parity and verdict parity.
+
+namespace {
+
+class harq_dec_notifier : public pusch_decoder_notifier {
+public:
+  bool got = false;
+  pusch_decoder_result result;
+  void on_sch_data(const pusch_decoder_result& r) override {
+    got = true;
+    result = r;
+  }
+};
+
+void gen_harq_retx() {
+  start("harq_retx");
+  manifest m("manifest.json");
+  auto rng = make_rng(0x44A5u);
+  std::normal_distribution<float> gauss(0.0f, 1.0f);
+
+  struct hcase {
+    unsigned tbs_bytes;
+    float rate;         // K_total / G
+    float snr_db;       // per-transmission channel SNR for the LLR model
+    unsigned nof_tx;    // transmissions to run (RV sequence prefix)
+  };
+  // RV sequence is the standard 0,2,3,1.
+  const unsigned rv_seq[4] = {0, 2, 3, 1};
+  std::vector<hcase> cases = {
+      {289, 0.83f, 0.0f, 4},   // 2 CBs BG1: fails until combining wins
+      {97, 0.80f, 1.0f, 3},    // 1 CB
+      {49, 0.66f, -4.0f, 4},   // BG2 low rate, very low SNR: may fail all
+      {721, 0.75f, 1.5f, 2},   // larger TB, succeeds on 2nd tx
+      {1539, 0.78f, 0.5f, 3},  // multi-codeblock TB (2 CBs, CRC24B per CB)
+  };
+
+  ldpc_segmenter_tx_impl::sch_crc seg_crcs{
+      std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC16),
+      std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC24A),
+      std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC24B)};
+  ldpc_segmenter_tx_impl seg(seg_crcs);
+  ldpc_encoder_generic enc;
+  ldpc_rate_matcher_impl rm;
+
+  int idx = 0;
+  for (const auto& c : cases) {
+    auto tb = random_bytes(rng, c.tbs_bytes);
+    unsigned tbs = c.tbs_bytes * 8;
+    modulation_scheme mod = modulation_scheme::QPSK;
+    unsigned qm = 2;
+    ldpc_base_graph_type bg =
+        get_ldpc_base_graph(c.rate, units::bits(tbs));
+    unsigned k_total = 0;
+    {
+      // Probe segmentation to size G from the code rate.
+      segmenter_config scfg0;
+      scfg0.base_graph = bg;
+      scfg0.rv = 0;
+      scfg0.mod = mod;
+      scfg0.Nref = 0;
+      scfg0.nof_layers = 1;
+      scfg0.nof_ch_symbols = 128;  // dummy
+      const ldpc_segmenter_buffer& p = seg.new_transmission(tb, scfg0);
+      k_total = p.get_nof_codeblocks() * p.get_segment_length().value();
+    }
+    unsigned g_bits = (unsigned)(k_total / c.rate);
+    unsigned nof_ch_symbols = (g_bits + qm - 1) / qm;
+    g_bits = nof_ch_symbols * qm;
+
+    // Persistent rx buffer across the RV sequence.
+    unsigned nof_cbs = ldpc::compute_nof_codeblocks(units::bits(tbs), bg);
+    test_rx_buffer buffer(nof_cbs);
+
+    pusch_decoder_impl::sch_crc rx_crcs{
+        std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC16),
+        std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC24A),
+        std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC24B)};
+    std::vector<std::unique_ptr<pusch_codeblock_decoder>> cb_decoders;
+    pusch_codeblock_decoder::sch_crc cb_crcs{
+        std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC16),
+        std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC24A),
+        std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC24B)};
+    cb_decoders.push_back(std::make_unique<pusch_codeblock_decoder>(
+        std::make_unique<ldpc_rate_dematcher_impl>(),
+        std::make_unique<ldpc_decoder_generic>(/*force_decoding=*/false),
+        cb_crcs));
+    auto cb_pool =
+        std::make_shared<pusch_decoder_impl::codeblock_decoder_pool>(cb_decoders);
+    pusch_decoder_impl decoder(std::make_unique<ldpc_segmenter_rx_impl>(),
+                               cb_pool, std::move(rx_crcs), nullptr, 106, 1);
+
+    const float snr_lin = std::pow(10.0f, c.snr_db / 10.0f);
+    const float sigma = std::sqrt(1.0f / snr_lin);
+    const float llr_scale = 8.0f;  // int8 quantization gain
+
+    std::string ftb = "tb" + std::to_string(idx) + ".dat";
+    write_dat(ftb, tb);
+    std::vector<long long> verdicts;
+    unsigned full_len = 0;
+    for (unsigned t = 0; t != c.nof_tx; ++t) {
+      unsigned rv = rv_seq[t];
+      segmenter_config scfg;
+      scfg.base_graph = bg;
+      scfg.rv = rv;
+      scfg.mod = mod;
+      scfg.Nref = 0;
+      scfg.nof_layers = 1;
+      scfg.nof_ch_symbols = nof_ch_symbols;
+      const ldpc_segmenter_buffer& sbuf = seg.new_transmission(tb, scfg);
+      // Encode + rate match every codeblock; concatenate to the codeword.
+      std::vector<uint8_t> cw_bits;
+      cw_bits.reserve(g_bits);
+      for (unsigned cb = 0; cb != sbuf.get_nof_codeblocks(); ++cb) {
+        unsigned seg_len = sbuf.get_segment_length().value();
+        dynamic_bit_buffer cb_bits(seg_len);
+        sbuf.read_codeblock(cb_bits, tb, cb);
+        auto md = sbuf.get_cb_metadata(cb);
+        full_len = md.cb_specific.full_length;
+        ldpc_encoder::configuration ecfg;
+        ecfg.base_graph = bg;
+        ecfg.lifting_size =
+            (ldpc::lifting_size_t)md.tb_common.lifting_size;
+        ecfg.Nref = 0;
+        const ldpc_encoder_buffer& ebuf = enc.encode(cb_bits, ecfg);
+        unsigned e = md.cb_specific.rm_length;
+        dynamic_bit_buffer rmed(e);
+        rm.rate_match(rmed, ebuf, md);
+        std::vector<uint8_t> rmb(e);
+        srsvec::bit_unpack(rmb, rmed);
+        cw_bits.insert(cw_bits.end(), rmb.begin(), rmb.end());
+      }
+      // BPSK LLR channel at the case SNR, quantized to int8 (+-120 sat).
+      std::vector<log_likelihood_ratio> llrs(cw_bits.size());
+      std::vector<int8_t> llr_raw(cw_bits.size());
+      for (size_t i = 0; i != cw_bits.size(); ++i) {
+        float x = cw_bits[i] ? -1.0f : 1.0f;
+        float y = x + sigma * gauss(rng);
+        int v = (int)std::lround(y * llr_scale);
+        v = std::max(-120, std::min(120, v));
+        llrs[i] = (int8_t)v;
+        llr_raw[i] = (int8_t)v;
+      }
+      write_dat("llr" + std::to_string(idx) + "_" + std::to_string(t) + ".dat",
+                llr_raw);
+
+      pusch_decoder::configuration dcfg;
+      dcfg.base_graph = bg;
+      dcfg.rv = rv;
+      dcfg.mod = mod;
+      dcfg.Nref = 0;
+      dcfg.nof_layers = 1;
+      dcfg.nof_ldpc_iterations = 6;
+      dcfg.use_early_stop = true;
+      dcfg.new_data = (t == 0);
+      std::vector<uint8_t> rx_tb(c.tbs_bytes);
+      harq_dec_notifier notifier;
+      pusch_decoder_buffer& in =
+          decoder.new_data(rx_tb, unique_rx_buffer(buffer), notifier, dcfg);
+      span<log_likelihood_ratio> block = in.get_next_block_view(llrs.size());
+      std::copy(llrs.begin(), llrs.end(), block.begin());
+      in.on_new_softbits(block.first(llrs.size()));
+      in.on_end_softbits();
+      if (!notifier.got) {
+        fprintf(stderr, "harq_retx case %d tx %u: no decoder callback\n", idx, t);
+        std::abort();
+      }
+      verdicts.push_back(notifier.result.tb_crc_ok ? 1 : 0);
+      // Combined soft-bit buffer after this transmission, per codeblock.
+      for (unsigned cb = 0; cb != nof_cbs; ++cb) {
+        span<log_likelihood_ratio> soft =
+            buffer.get_codeblock_soft_bits(cb, full_len);
+        std::vector<int8_t> raw(soft.size());
+        for (size_t i = 0; i != soft.size(); ++i) raw[i] = soft[i].to_int();
+        write_dat("soft" + std::to_string(idx) + "_" + std::to_string(t) +
+                      "_" + std::to_string(cb) + ".dat",
+                  raw);
+      }
+      if (notifier.result.tb_crc_ok &&
+          std::memcmp(rx_tb.data(), tb.data(), tb.size()) == 0 &&
+          t + 1 == c.nof_tx) {
+        // final success with matching payload: good trajectory
+      }
+    }
+    m.begin_case();
+    m.field("idx", (long long)idx);
+    m.field("tbs_bytes", (long long)c.tbs_bytes);
+    m.field("bg", (long long)(bg == ldpc_base_graph_type::BG1 ? 1 : 2));
+    m.field("qm", (long long)qm);
+    m.field("g_bits", (long long)g_bits);
+    m.field("nof_cbs", (long long)nof_cbs);
+    m.field("full_length", (long long)full_len);
+    m.field("snr_db", (double)c.snr_db);
+    m.field("nof_tx", (long long)c.nof_tx);
+    {
+      std::string rvs = "", vs = "";
+      for (unsigned t = 0; t != c.nof_tx; ++t) {
+        rvs += std::to_string(rv_seq[t]);
+        vs += std::to_string(verdicts[t]);
+        if (t + 1 != c.nof_tx) { rvs += ","; vs += ","; }
+      }
+      m.field("rv_seq", rvs);
+      m.field("verdicts", vs);
+    }
+    m.field("tb", ftb);
+    m.end_case();
+    ++idx;
+  }
+  m.flush();
+}
+
+}  // namespace
+
+void gen_harq_retx_suite() { gen_harq_retx(); }

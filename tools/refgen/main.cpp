@@ -69,6 +69,7 @@ void gen_csi_rs_generator_suite();
 void gen_prs_generator_suite();
 void gen_srs_estimator_suite();
 void gen_prach_demodulator_suite();
+void gen_harq_retx_suite();
 
 namespace {
 
@@ -668,6 +669,7 @@ int main(int argc, char** argv) {
       {"prs_generator", gen_prs_generator_suite},
       {"srs_estimator", gen_srs_estimator_suite},
       {"prach_demodulator", gen_prach_demodulator_suite},
+      {"harq_retx", gen_harq_retx_suite},
   };
   if (argc == 2) {
     for (auto& [name, fn] : suites) fn();
