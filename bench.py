@@ -92,12 +92,15 @@ def worker() -> None:
 
     from jax import lax
 
+    _to_i32 = jax.jit(lambda v: v.astype(jnp.int32))
+
     def d2h(x):
-        """Exact device->host readout via a transfer-safe dtype.  Raises on
-        tunnels whose transfer path is down."""
+        """Exact device->host readout via a transfer-safe dtype (bool
+        converted on device inside a jit — nothing unusual on the wire).
+        Raises on tunnels whose transfer path is down."""
         x = jnp.asarray(x)
         if x.dtype == jnp.bool_:
-            x = x.astype(jnp.int32)
+            x = _to_i32(x)
         return np.asarray(x)
 
     _tiny = jnp.float32(1.0) + jnp.float32(0.0)
@@ -129,7 +132,13 @@ def worker() -> None:
         print(f"# d2h readout unavailable ({str(e)[:60]}); timing-channel "
               "fallback engaged", file=sys.stderr, flush=True)
 
-    probe_x = jnp.asarray(rng.standard_normal((1024, 1024)).astype(np.float32))
+    # Probe constants are device-GENERATED (no host->device transfer: the
+    # tunnel's wire can die mid-run while compute stays healthy).
+    probe_x = jax.jit(lambda: (jnp.sin(
+        jnp.arange(1024 * 1024, dtype=jnp.float32).reshape(1024, 1024) * 0.37)
+        * 0.1))()
+    _true_dev = jax.jit(lambda: jnp.asarray(0, jnp.int32) == 0)()
+    _false_dev = jax.jit(lambda: jnp.asarray(0, jnp.int32) == 1)()
 
     @jax.jit
     def _verdict_probe(ok, x):
@@ -145,10 +154,10 @@ def worker() -> None:
 
     def _timing_channel_verdict(ok_dev):
         """Fallback CRC readout without any d2h byte: repeated cond-branch
-        latency samples against literal True/False, accepted only with a
-        clear decision margin.  Returns (verdict|None, note)."""
-        t_true = sorted(_probe_time(jnp.asarray(True)) for _ in range(3))[1]
-        t_false = sorted(_probe_time(jnp.asarray(False)) for _ in range(3))[1]
+        latency samples against device-resident True/False, accepted only
+        with a clear decision margin.  Returns (verdict|None, note)."""
+        t_true = sorted(_probe_time(_true_dev) for _ in range(3))[1]
+        t_false = sorted(_probe_time(_false_dev) for _ in range(3))[1]
         contrast = t_false - t_true
         if contrast < 5 * t_true:
             return None, f"contrast too low ({t_true*1e3:.2f}/{t_false*1e3:.2f} ms)"
@@ -231,14 +240,19 @@ def worker() -> None:
     cfg_fixed = _dc.replace(cfg, ldpc_early_stop=False)
 
     n = 20
-    enc_fn = lambda i: cell_mod.encode_slot(tb, jnp.uint32(0x4601 + i), w, cfg)
+    # All rnti scalars pre-staged on device in ONE early transfer; the
+    # timed loops then never touch the wire except the readback barrier.
+    rnti_pool = jnp.asarray(np.arange(64, dtype=np.uint32) + 0x4601)
+    rnti_dec = jnp.asarray(np.uint32(0x4601))
+    jax.block_until_ready((rnti_pool, rnti_dec))
+    enc_fn = lambda i: cell_mod.encode_slot(tb, rnti_pool[i % 64], w, cfg)
 
     def dec_fn(i):
-        out = cell_mod.decode_slot(iq_rx, jnp.uint32(0x4601), cfg)
+        out = cell_mod.decode_slot(iq_rx, rnti_dec, cfg)
         return (out["tb_bits"], out["tb_crc_ok"])
 
     def dec_fn_fixed(i):
-        out = cell_mod.decode_slot(iq_rx, jnp.uint32(0x4601), cfg_fixed)
+        out = cell_mod.decode_slot(iq_rx, rnti_dec, cfg_fixed)
         return (out["tb_bits"], out["tb_crc_ok"])
     # Guaranteed measurement first: per-stage sync (adds tunnel round trips
     # per stage, so it UNDERSTATES throughput but always completes).  A few

@@ -183,7 +183,6 @@ def sharded_front_end(grid: jax.Array, cfg: PuschConfig, mesh: Mesh,
             nv = jnp.maximum(jax.lax.pmean(nv_loc, axis), 1e-10)
         rsrp_loc = (jnp.abs(h_pair_sym) ** 2).mean()
         rsrp = jax.lax.pmean(rsrp_loc, axis)
-        snr = rsrp / nv
 
         # Equalize + demap the local data REs (all sc of data symbols).
         y_d = g[:, jnp.asarray(data_syms)]  # (npr, nsym_data, local_sc)
@@ -194,6 +193,17 @@ def sharded_front_end(grid: jax.Array, cfg: PuschConfig, mesh: Mesh,
         x_hat, eq_nvar = equalize(jnp.moveaxis(y_flat, 0, -1),
                                   jnp.moveaxis(h_full, 0, 1), nv,
                                   method=cfg.equalizer)
+        # SNR metric following cfg.sinr_method like the unsharded chain:
+        # decision-directed EVM of the equalized symbols (default), or the
+        # pilot-domain rsrp/nv.
+        if cfg.sinr_method == "post_equalization":
+            from ..ops.modulation.evm import evm
+
+            e = evm(x_hat.reshape(-1), cfg.modulation)
+            e2 = jax.lax.pmean(e * e, axis)
+            snr = 1.0 / jnp.maximum(e2, 1e-12)
+        else:
+            snr = rsrp / nv
         llr_layers = demap_soft(x_hat.T, eq_nvar.T, cfg.modulation)  # (nl, nd*qm)
         nd = llr_layers.shape[-1] // qm
         llr = jnp.moveaxis(llr_layers.reshape(nl, nd, qm), 0, 1)  # (nd, nl, qm)
@@ -212,9 +222,13 @@ def sharded_front_end(grid: jax.Array, cfg: PuschConfig, mesh: Mesh,
 
 
 def sharded_decode(grid: jax.Array, rnti, cfg: PuschConfig, mesh: Mesh,
-                   axis: str = "sp", sharded_ldpc: bool = False):
+                   axis: str = "sp", sharded_ldpc: bool = False,
+                   decode_axis: str | tuple[str, ...] | None = None):
     """Full sp-sharded PUSCH decode: sharded front end -> descramble ->
-    LDPC decode (optionally codeblock-sharded over the same devices)."""
+    LDPC decode (optionally codeblock-sharded over ``decode_axis``, which
+    defaults to the front end's subcarrier axis; pass a tuple like
+    ("sp", "dp") on a 2-D mesh to spread codeblocks over every device —
+    the sp x dp composition of the two parallel axes)."""
     from ..phy.sch import decode_transport_block
 
     llr, nv, snr = sharded_front_end(grid, cfg, mesh, axis)
@@ -223,15 +237,20 @@ def sharded_decode(grid: jax.Array, rnti, cfg: PuschConfig, mesh: Mesh,
         from . import sharded_decode as sd
         from ..phy.sch import _dematch_stage, _desegment_stage
 
+        if decode_axis is None:
+            decode_axis = axis
+        nof_shards = (int(np.prod([mesh.shape[a] for a in decode_axis]))
+                      if isinstance(decode_axis, tuple) else mesh.shape[decode_axis])
         seg = cfg.sch.seg
         _, flat = _dematch_stage(llr, None, cfg.sch)
         c = flat.shape[0]
-        pad = (-c) % mesh.shape[axis]
+        pad = (-c) % nof_shards
         flat_p = jax.device_put(
-            jnp.pad(flat, ((0, pad), (0, 0))), NamedSharding(mesh, P(axis, None)))
+            jnp.pad(flat, ((0, pad), (0, 0))),
+            NamedSharding(mesh, P(decode_axis, None)))
         bits, _bad = sd.decode_codeblocks_sharded(
             flat_p, seg.base_graph, seg.lifting_size, mesh,
-            nof_iterations=cfg.nof_ldpc_iterations, axis=axis)
+            nof_iterations=cfg.nof_ldpc_iterations, axis=decode_axis)
         tb, ok = _desegment_stage(bits[:c], cfg.sch, ())
         return {"tb_bits": tb, "tb_crc_ok": ok, "noise_var": nv,
                 "snr_db": 10.0 * jnp.log10(jnp.maximum(snr, 1e-12))}
