@@ -34,6 +34,10 @@ class HarqProcess:
     active: bool = False
     tb: np.ndarray | None = None
     nof_tx: int = 0
+    # DL rank/precoding captured at first transmission: retransmissions
+    # must reuse them (the TBS is rank-dependent).
+    dl_layers: int = 0
+    w: np.ndarray | None = None
 
 
 @dataclasses.dataclass
@@ -45,6 +49,11 @@ class UeContext:
     ul_buffer_bytes: int = 0  # last BSR-reported UL backlog
     sr_pending: bool = False  # scheduling request seen
     harqs: list = dataclasses.field(default_factory=lambda: [HarqProcess() for _ in range(NOF_HARQ)])
+    # Closed-loop spatial adaptation from CSI part-2 reports: the reported
+    # rank and the Type-I codebook weights of the reported PMI
+    # (ran/precoding.pmi_to_weights); None until a report arrives.
+    dl_rank: int | None = None
+    dl_precoding: np.ndarray | None = None
     dl_bits_acked: int = 0
     ul_bits_ok: int = 0
     avg_rate: float = 1.0  # EWMA served rate (bits/slot) for PF
@@ -167,7 +176,8 @@ class RoundRobinScheduler:
             ue.avg_rate = (1 - a) * ue.avg_rate + a * served
         return sel
 
-    def _grant_configs(self, ue: UeContext, rb_count: int, rv: int, first_rb: int = 0):
+    def _grant_configs(self, ue: UeContext, rb_count: int, rv: int, first_rb: int = 0,
+                       dl_layers: int | None = None):
         """Compact rb_start=0 configs: the grant is encoded on a window grid
         and placed at the PDU's first_rb with a dynamic slice.  crb_start
         repoints the window's DM-RS/PT-RS sequence index to the absolute CRB
@@ -181,13 +191,19 @@ class RoundRobinScheduler:
         alloc = Allocation(rb_start=0, rb_count=rb_count, sym_start=c.sym_start,
                            sym_count=c.sym_count, dmrs_symbols=c.dmrs_symbols,
                            crb_start=first_rb)
-        tbs = tbs_mod.calculate_tbs(rb_count, c.sym_count, NRE * len(c.dmrs_symbols),
-                                    rate, qm, c.nof_layers)
-        common = dict(tbs=tbs, target_code_rate=rate, modulation=mod, alloc=alloc,
-                      nof_layers=c.nof_layers, nof_grid_symbols=14,
-                      nof_grid_sc=rb_count * NRE, rv=rv)
-        return (PdschConfig(nof_ports=c.nof_ports, **common),
-                PuschConfig(nof_rx_ports=c.nof_ports, **common), tbs)
+        if dl_layers is None:
+            dl_layers = c.nof_layers
+        dl_tbs = tbs_mod.calculate_tbs(rb_count, c.sym_count, NRE * len(c.dmrs_symbols),
+                                       rate, qm, dl_layers)
+        ul_tbs = tbs_mod.calculate_tbs(rb_count, c.sym_count, NRE * len(c.dmrs_symbols),
+                                       rate, qm, c.nof_layers)
+        common = dict(target_code_rate=rate, modulation=mod, alloc=alloc,
+                      nof_grid_symbols=14, nof_grid_sc=rb_count * NRE, rv=rv)
+        dl_cfg = PdschConfig(nof_ports=c.nof_ports, tbs=dl_tbs,
+                             nof_layers=dl_layers, **common)
+        ul_cfg = PuschConfig(nof_rx_ports=c.nof_ports, tbs=ul_tbs,
+                             nof_layers=c.nof_layers, **common)
+        return dl_cfg, ul_cfg, dl_tbs, ul_tbs
 
     def run_slot(self, slot: SlotPoint, rng: np.random.Generator,
                  rb_offset: int = 0, pdcch_slot=None):
@@ -226,12 +242,22 @@ class RoundRobinScheduler:
                 rv = RV_SEQUENCE[min(hp.nof_tx, 3)]
                 new_data = False
                 tb = hp.tb
+                # Retransmissions reuse the first transmission's rank and
+                # precoding (the TBS is rank-dependent).
+                dl_layers, w = hp.dl_layers or c.nof_layers, hp.w
             else:
                 rv = 0
                 new_data = True
                 tb = None
-            dl_cfg, ul_cfg, tbs = self._grant_configs(ue, rb_each, rv,
-                                                      first_rb=rb_offset + i * rb_each)
+                # Rank adaptation: the CSI-reported rank (bounded by the
+                # cell's configured layers) drives new transmissions.
+                dl_layers = min(ue.dl_rank or c.nof_layers, c.nof_layers)
+                w = ue.dl_precoding
+            if w is None:
+                w = np.eye(dl_layers, c.nof_ports, dtype=np.complex64)
+            dl_cfg, ul_cfg, tbs, ul_tbs = self._grant_configs(
+                ue, rb_each, rv, first_rb=rb_offset + i * rb_each,
+                dl_layers=dl_layers)
             dl_pdcch = ul_pdcch = None
             if pdcch_slot is not None and tdd_dir != SlotDirection.UPLINK:
                 # Aggregation level from link quality: poor MCS -> more CCEs.
@@ -252,7 +278,7 @@ class RoundRobinScheduler:
                 else:
                     tb = rng.integers(0, 2, size=(tbs,), dtype=np.uint8)
                 hp.active, hp.tb, hp.nof_tx = True, tb, 0
-            w = np.eye(c.nof_layers, c.nof_ports, dtype=np.complex64)
+                hp.dl_layers, hp.w = dl_layers, w
             pdsch_pdus.append(fapi.DlPdschPdu(dl_cfg, ue.rnti, w, len(payloads),
                                               first_rb=rb_offset + i * rb_each))
             payloads.append(tb)
@@ -284,9 +310,9 @@ class RoundRobinScheduler:
                               or tdd_dir == SlotDirection.UPLINK):
                 pusch_pdus.append(fapi.UlPuschPdu(ul_cfg, ue.rnti, harq_id=harq_id,
                                                   new_data=new_data, first_rb=rb_offset + i * rb_each))
-                grants.append((ue.rnti, harq_id, tbs))
+                grants.append((ue.rnti, harq_id, ul_tbs))
                 ue.sr_pending = False
-                ue.ul_buffer_bytes = max(0, ue.ul_buffer_bytes - tbs // 8)
+                ue.ul_buffer_bytes = max(0, ue.ul_buffer_bytes - ul_tbs // 8)
         if tdd_dir == SlotDirection.DOWNLINK:
             pusch_pdus = []
         elif tdd_dir == SlotDirection.UPLINK:
@@ -393,16 +419,39 @@ class RoundRobinScheduler:
                 hp.active, hp.tb, hp.nof_tx = False, None, 0  # drop after 4 tx
         if self.link_adaptor is not None and self.csi_report_cfg is not None:
             from ..ran import csi as _csi
+            from ..ran import precoding as _prec
 
-            n1 = _csi.part1_bitwidth(self.csi_report_cfg)
+            cfg_csi = self.csi_report_cfg
+            n1 = _csi.part1_bitwidth(cfg_csi)
+            # Group this slot's UCI PDUs by rnti so a part-2 report can be
+            # paired with its decoded part 1 (the part-1 RI sizes part 2).
+            by_rnti: dict[int, list] = {}
             for uci in res.uci:
                 bits = getattr(uci, "uci_bits", None)
-                if (uci.valid and bits is not None and len(bits) == n1
-                        and uci.rnti in self.ues):
-                    _cri, _rank, cqi = _csi.unpack_part1(self.csi_report_cfg, bits)
-                    self.link_adaptor.handle_csi(uci.rnti, cqi)
-                    ue = self.ues[uci.rnti]
-                    ue.mcs = self.link_adaptor.select_mcs(uci.rnti, fallback=ue.mcs)
+                if uci.valid and bits is not None and uci.rnti in self.ues:
+                    by_rnti.setdefault(uci.rnti, []).append(uci)
+            for rnti, pdus in by_rnti.items():
+                ue = self.ues[rnti]
+                p1 = next((p for p in pdus if len(p.uci_bits) == n1), None)
+                if p1 is None:
+                    continue
+                _cri, rank, cqi = _csi.unpack_part1(cfg_csi, p1.uci_bits)
+                self.link_adaptor.handle_csi(rnti, cqi)
+                ue.mcs = self.link_adaptor.select_mcs(rnti, fallback=ue.mcs)
+                # Part 2 carries the PMI: close the spatial loop — reported
+                # rank + Type-I codebook weights drive the next PDSCH
+                # (reference: precoding_matrix_mapper + ue_context CSI).
+                if not cfg_csi.has_pmi or cfg_csi.nof_csi_rs_ports < 2:
+                    continue
+                w2 = _csi.part2_bitwidth(cfg_csi, rank)
+                p2 = next((p for p in pdus
+                           if p is not p1 and len(p.uci_bits) == w2), None)
+                if p2 is None or w2 == 0:
+                    continue
+                fields = _csi.unpack_part2(cfg_csi, rank, p2.uci_bits)
+                ue.dl_rank = rank
+                ue.dl_precoding = _prec.pmi_to_weights(
+                    cfg_csi.nof_csi_rs_ports, rank, fields)
 
     def report(self) -> dict:
         return {
