@@ -85,7 +85,8 @@ class CellScheduler:
     """run_slot = common occasions + UE data (the reference's cell_scheduler)."""
 
     def __init__(self, common: CommonSchedulingConfig, ue_scheduler,
-                 fallback=None):
+                 fallback=None, si_scheduler=None, paging_po=None,
+                 csi_rs_scheduler=None):
         self.common = common
         self.ue_scheduler = ue_scheduler
         # Optional l2sim.fallback.FallbackScheduler, run between common
@@ -93,9 +94,16 @@ class CellScheduler:
         # (... -> ra -> FALLBACK -> UE data).
         self.fallback = fallback
         self.paging = PagingScheduler()
+        # Optional spec-math engines (l2sim/si_paging.py): SI-message
+        # windows (TS 38.331 5.2.2.3.2), PF/PO paging (TS 38.304 7.1) and
+        # the periodic CSI-RS resource scheduler.  When given, they take
+        # over from the simple modulo occasions.
+        self.si_scheduler = si_scheduler
+        self.paging_po = paging_po
+        self.csi_rs_scheduler = csi_rs_scheduler
         self.cbs = CbsScheduler()
         self.counters = {"ssb": 0, "sib1": 0, "paging": 0, "csi_rs": 0,
-                         "prach": 0, "cbs": 0, "fallback": 0}
+                         "prach": 0, "cbs": 0, "fallback": 0, "si": 0}
 
     def _pbch_payload(self, slot: SlotPoint) -> np.ndarray:
         # 32-bit BCH payload: MIB-ish content (sfn + fixed fields), sim fidelity
@@ -115,12 +123,24 @@ class CellScheduler:
         if count % c.sib1_period_slots == c.sib1_slot_offset:
             broadcast = (SI_RNTI, c.sib1_payload)
             self.counters["sib1"] += 1
-        elif count % c.paging_period_slots == 0:
+        elif self.si_scheduler is not None and (
+                si := self.si_scheduler.run_slot(slot)) is not None:
+            # Other-SI window transmission (si_message_scheduler role).
+            broadcast = (SI_RNTI, si[1])
+            self.counters["si"] += 1
+        elif self.paging_po is not None:
+            recs = self.paging_po.run_slot(slot)
+            if recs:
+                broadcast = (P_RNTI,
+                             json.dumps({"paging_records": recs}).encode())
+                self.counters["paging"] += 1
+        elif self.paging_po is None and count % c.paging_period_slots == 0:
             recs = self.paging.drain()
             if recs is not None:
                 broadcast = (P_RNTI, recs)
                 self.counters["paging"] += 1
-        elif count % c.paging_period_slots == c.paging_period_slots // 2:
+        if broadcast is None and (
+                count % c.paging_period_slots == c.paging_period_slots // 2):
             # CBS warning SI window sits opposite the paging occasion
             recs = self.cbs.drain()
             if recs is not None:
@@ -175,7 +195,13 @@ class CellScheduler:
                 first_symbol=c.ssb_first_symbol))
             self.counters["ssb"] += 1
 
-        if count % c.csi_rs_period_slots == c.csi_rs_slot_offset:
+        if self.csi_rs_scheduler is not None:
+            for r in self.csi_rs_scheduler.run_slot(slot):
+                csi_rs.append(fapi.DlCsiRsPdu(
+                    row=r.row, rb_start=r.rb_start, rb_count=r.rb_count,
+                    symbol=r.symbol, scrambling_id=r.scrambling_id))
+                self.counters["csi_rs"] += 1
+        elif count % c.csi_rs_period_slots == c.csi_rs_slot_offset:
             csi_rs.append(fapi.DlCsiRsPdu(row=1, rb_start=0, rb_count=c.nof_rb,
                                           symbol=12, scrambling_id=c.pci))
             self.counters["csi_rs"] += 1
