@@ -53,8 +53,15 @@ def worker() -> None:
     nof_samples = ofdm_mod.slot_nof_samples(cfg.scs, cfg.dft_size, cfg.cp, 0)
     # Unit-variance noise, scaled on device to the operating SNR below
     # (the early-stop-flattering ~40 dB loopback is gone; see VERDICT r1).
+    # CRITICAL: uploaded through hostio (f32 planes recombined on device).
+    # A complex64 host->device transfer on this tunnel does NOT raise — it
+    # silently poisons the whole client session, and every later op fails
+    # with UNIMPLEMENTED (this was round 2's "all transfers die" and this
+    # round's 5x-reproducible post-warmup d2h failure).
+    from srsran_project_tpu.support import hostio
+
     OPERATING_SNR_DB = float(os.environ.get("BENCH_SNR_DB", "25"))
-    noise_unit = jnp.asarray(
+    noise_unit = hostio.to_device(
         ((rng.standard_normal((cfg.nof_ports, nof_samples))
           + 1j * rng.standard_normal((cfg.nof_ports, nof_samples))) * np.sqrt(0.5)
          ).astype(np.complex64)
