@@ -43,6 +43,10 @@ def main() -> int:
     ap.add_argument("--e2", action="store_true",
                     help="attach an E2 agent + RIC double; print KPM indications")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--testmode", type=int, default=0, metavar="N",
+                    help="MAC test mode: N synthetic UEs at the FAPI "
+                         "boundary (UCI/PUSCH/CRC synthesized, no "
+                         "UE/channel/PHY — reference mac_test_mode_adapter)")
     ap.add_argument("--metrics-json", action="store_true")
     ap.add_argument("--pcap-dir", default=None,
                     help="write ngap/f1ap/e1ap/e2ap/gtpu pcaps into this directory")
@@ -85,6 +89,45 @@ def main() -> int:
 
     t0 = time.time()
     rng = np.random.default_rng(0)
+
+    if args.testmode:
+        # MAC test mode (reference mac_test_mode_adapter / testmode.yml):
+        # synthetic UEs in connected state, every UL_TTI answered with
+        # CRC-OK PUSCH + UCI at the configured CQI/RI — full L2 load,
+        # zero PHY.
+        from srsran_project_tpu.l2sim.link_adaptation import LinkAdaptor
+        from srsran_project_tpu.l2sim.scheduler import RoundRobinScheduler
+        from srsran_project_tpu.l2sim.test_mode import (MacTestModeAdapter,
+                                                        TestModeUeConfig)
+        from srsran_project_tpu.ran import csi as csi_mod
+
+        sched = RoundRobinScheduler(SchedulerConfig(
+            nof_rb=48, max_ues_per_slot=min(8, args.testmode),
+            nof_ports=4, nof_layers=2))
+        sched.link_adaptor = LinkAdaptor()
+        sched.csi_report_cfg = csi_mod.CsiReportConfig(nof_csi_rs_ports=4)
+        tm = MacTestModeAdapter(
+            TestModeUeConfig(nof_ues=args.testmode, ri=2, cqi=12),
+            sched, csi_report_cfg=sched.csi_report_cfg)
+
+        def tm_slot(k):
+            return SlotPoint.from_sfn_slot(SubcarrierSpacing.KHZ30,
+                                           (k // 20) % 1024, k % 20)
+
+        for k in range(args.slots):
+            tm.run_slot(tm_slot(k), rng)
+        dt = time.time() - t0
+        rep = tm.report()
+        print(f"[gnb_sim] test mode: {args.testmode} UEs, {args.slots} slots "
+              f"in {dt:.2f}s ({args.slots / dt:.0f} slots/s), "
+              f"{rep['nof_crc']} CRC ind, {rep['nof_uci']} UCI ind, "
+              f"DL {rep['dl_bits'] / 1e6:.1f} Mbit / UL {rep['ul_bits'] / 1e6:.1f} Mbit")
+        if args.metrics_json:
+            print(json.dumps({"testmode_ues": args.testmode,
+                              "slots": args.slots,
+                              "slots_per_s": round(args.slots / dt, 1), **rep}))
+        return 0
+
     key = jax.random.PRNGKey(0)
 
     # ---- control plane bring-up --------------------------------------------

@@ -161,3 +161,41 @@ def test_qos_soak_128_ues():
     # Starvation bound: the PF metric must cycle everyone; with 128 UEs at
     # 8/slot the fair round is 16 slots — allow 8x slack for QoS skew.
     assert max(gaps) <= 128, max(gaps)
+
+
+def test_mac_test_mode_adapter():
+    """MAC test mode (reference mac_test_mode_adapter): N synthetic UEs,
+    every UL_TTI answered with CRC-OK PUSCH + the configured CQI/RI/PMI as
+    UCI — the scheduler's HARQ and CSI loops run with no PHY attached."""
+    from srsran_project_tpu.l2sim.link_adaptation import LinkAdaptor
+    from srsran_project_tpu.l2sim.scheduler import RoundRobinScheduler, SchedulerConfig
+    from srsran_project_tpu.l2sim.test_mode import (MacTestModeAdapter,
+                                                    TestModeUeConfig)
+    from srsran_project_tpu.ran import csi as csi_mod
+    from srsran_project_tpu.ran import precoding as prec
+
+    sched = RoundRobinScheduler(SchedulerConfig(
+        nof_rb=48, max_ues_per_slot=4, nof_ports=4, nof_layers=2))
+    sched.link_adaptor = LinkAdaptor()
+    sched.csi_report_cfg = csi_mod.CsiReportConfig(nof_csi_rs_ports=4)
+    tm = MacTestModeAdapter(
+        TestModeUeConfig(nof_ues=4, ri=2, cqi=12, i11=3, i2=1,
+                         csi_period_slots=8),
+        sched, csi_report_cfg=sched.csi_report_cfg)
+    rng = np.random.default_rng(0)
+    for k in range(64):
+        dl, tx, ul, res = tm.run_slot(_slot(k), rng)
+    rep = tm.report()
+    assert rep["nof_crc"] >= 4 * 50  # every UL grant acknowledged
+    assert rep["nof_uci"] >= 4 * 8
+    assert rep["dl_bits"] > 0 and rep["ul_bits"] > 0
+    # The synthetic CSI closed the spatial loop: rank 2 + PMI weights.
+    for i in range(4):
+        ue = sched.ues[0x44 + i]
+        assert ue.dl_rank == 2
+        np.testing.assert_allclose(
+            ue.dl_precoding,
+            prec.pmi_to_weights(4, 2, {"i11": 3, "i13": 0, "i2": 1}),
+            atol=1e-7)
+    # HARQ state is clean: every process ACKed back to idle.
+    assert all(not hp.active for ue in sched.ues.values() for hp in ue.harqs)
