@@ -23,14 +23,13 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
 def _timeit(fn, n=20):
-    import jax
+    # Readback-barrier timing (benchmarks/common.py): block_until_ready on
+    # the axon tunnel acks at enqueue, so a d2h scalar readback of the last
+    # dispatched program is the only true barrier.
+    from benchmarks.common import timeit_rb
 
-    jax.block_until_ready(fn())
-    jax.block_until_ready(fn())
-    t0 = time.time()
-    outs = [fn() for _ in range(n)]
-    jax.block_until_ready(outs)
-    return (time.time() - t0) / n
+    dt, _sync = timeit_rb(fn, n)
+    return dt
 
 
 def bench_ldpc_encoder():
