@@ -70,6 +70,7 @@ def main() -> int:
     from srsran_project_tpu.phy.upper_phy import UpperPhy, UpperPhyConfig
     from srsran_project_tpu.ran.constants import SubcarrierSpacing
     from srsran_project_tpu.ran.slot_point import SlotPoint
+    from srsran_project_tpu.support import hostio
     from srsran_project_tpu.support import config as cfg_mod
     from srsran_project_tpu.support import staging, tracing
     from srsran_project_tpu.support.metrics import collector
@@ -162,7 +163,7 @@ def main() -> int:
             ru.handle_new_uplink_slot(Ctx(slot=slot))
             ru.advance_slot(slot)
             import jax.numpy as jnp
-            rx_grid = jnp.asarray(ru_ctx["rx"].pop(slot))
+            rx_grid = hostio.to_device(ru_ctx["rx"].pop(slot))
         else:
             rx_grid, _, _ = chem.apply_channel(grid, sub, ch_cfg)
         ul = fapi.UlTtiRequest(slot=slot, pusch=[fapi.UlPuschPdu(cell.pusch_cfg, 0x4601)])

@@ -22,6 +22,7 @@ from ..phy.allocation import Allocation
 from ..ran import tbs as tbs_mod
 from ..ran.constants import NRE, CyclicPrefix, SubcarrierSpacing, min_dft_size
 from ..support.staging import checkpoint
+from ..support import hostio
 
 
 @dataclasses.dataclass(frozen=True)
@@ -167,7 +168,7 @@ def encode_slot(tb_bits: jax.Array, rnti: jax.Array, precoding: jax.Array, cfg: 
     """
     if cfg.fuse_stages:
         cw = checkpoint(pdsch._bit_chain(tb_bits, _jnp.asarray(rnti), cfg.pdsch_cfg))
-        return _dl_back_program(cw, _jnp.asarray(precoding), cfg)
+        return _dl_back_program(cw, hostio.to_device(precoding), cfg)
     grid = checkpoint(pdsch.process(tb_bits, rnti, precoding, cfg.pdsch_cfg))
     return ofdm.modulate_slot(
         grid,
