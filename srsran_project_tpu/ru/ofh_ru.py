@@ -60,6 +60,16 @@ class RuOfhConfig:
     # eAxC base for PRACH U-plane streams (the reference configures
     # separate prach_eaxc vs ul_eaxc port lists; ru_ofh_configuration).
     prach_eaxc: int = 8
+    # DL transmit pacing (reference T1a window, in symbols ahead of OTA):
+    # a symbol's U-plane frames go on the wire when the OTA clock is
+    # within [t1a_max, t1a_min] symbols BEFORE that symbol's air time.
+    # "sync" mode keeps the legacy behavior (frame immediately inside
+    # handle_dl_data); "paced" queues per-symbol frames and the OTA tick
+    # dispatches them (ofh_data_flow_uplane_downlink_data + the OTA
+    # symbol dispatcher, reference transmitter pipeline).
+    dl_pacing: str = "sync"   # "sync" | "paced"
+    tx_window_t1a_max_symbols: int = 14  # earliest: 1 slot ahead
+    tx_window_t1a_min_symbols: int = 2   # latest: 2 symbols ahead
 
 
 class RuOfh:
@@ -90,6 +100,11 @@ class RuOfh:
         self._ul_pending: Dict[SlotPoint, np.ndarray] = {}
         self._ul_filled: Dict[SlotPoint, np.ndarray] = {}
         self._prach_pending: Dict[SlotPoint, PrachBufferContext] = {}
+        # Paced-DL state: per-symbol frames awaiting their T1a window and
+        # the latest OTA time seen (absolute symbols); None until the
+        # first tick.
+        self._dl_queue: List[tuple[int, np.ndarray]] = []
+        self._ota_symbols: Optional[int] = None
         self._lock = threading.Lock()
         self.metrics = RuMetrics()
         self._running = False
@@ -138,13 +153,31 @@ class RuOfh:
     # -- DL plane ----------------------------------------------------------
     def handle_dl_data(self, context: ResourceGridContext, grid) -> None:
         """Frame one slot grid (ports × symbols × subcarriers) as C-plane
-        type-1 + per-symbol U-plane messages."""
+        type-1 + per-symbol U-plane messages.
+
+        In "sync" pacing the frames go on the wire immediately; in
+        "paced" pacing each symbol's frames are queued and dispatched by
+        the OTA clock when it enters that symbol's T1a transmit window
+        (the reference's data_flow_uplane_downlink_data + OTA symbol
+        dispatcher pipeline).  DL data arriving after its window closed
+        is dropped and counted late."""
         grid = np.asarray(grid)
         if grid.ndim == 2:
             grid = grid[None]
         frame, subframe, slot_id = self._timestamp(context.slot)
+        paced = self.cfg.dl_pacing == "paced"
+        slot_syms = self._slot_symbols(context.slot)
         with self._lock:
             self.metrics.total_dl_requests += 1
+            now = self._ota_symbols
+        if paced and now is not None and slot_syms + SYMBOLS_PER_SLOT <= \
+                now + self.cfg.tx_window_t1a_min_symbols:
+            # The whole slot's window has closed: late DL request.
+            with self._lock:
+                self.metrics.late_dl_requests += 1
+            if self.error_notifier is not None:
+                self.error_notifier.on_late_downlink_message(context.slot, 0)
+            return
         for port in range(min(self.cfg.nof_ports, grid.shape[0])):
             eaxc = port
             cpl = native.ofh_cplane_build(
@@ -154,7 +187,7 @@ class RuOfh:
                 rtc_id=eaxc, seq_id=self._next_seq(0x100 + eaxc), direction=1,
                 frame_id=frame, subframe_id=subframe, slot_id=slot_id,
                 start_symbol=0, section_type=1)
-            self.send_frame(cpl)
+            self.send_frame(cpl)  # C-plane leads the data regardless of pacing
             build = (native.ofh_uplane_build_static
                      if self.cfg.compression_mode == "static"
                      else native.ofh_uplane_build)
@@ -165,7 +198,13 @@ class RuOfh:
                     seq_id=self._next_seq(eaxc), direction=1,
                     frame_id=frame, subframe_id=subframe, slot_id=slot_id,
                     symbol_id=sym, start_prb=0, width=self.cfg.compression_width)
-                self.send_frame(msg)
+                if paced:
+                    with self._lock:
+                        self._dl_queue.append((slot_syms + sym, msg))
+                else:
+                    self.send_frame(msg)
+        if paced:
+            self._dispatch_dl()
 
     # -- UL plane ----------------------------------------------------------
     def handle_new_uplink_slot(self, context: ResourceGridContext) -> None:
@@ -332,10 +371,36 @@ class RuOfh:
             for slot in stale_prach:
                 self.error_notifier.on_late_prach_message(slot, 0)
 
+    def _dispatch_dl(self) -> None:
+        """Send queued DL symbol frames whose T1a transmit window is open
+        (ota in [sym - t1a_max, sym - t1a_min]); drop + count frames whose
+        window closed before they were sent."""
+        with self._lock:
+            now = self._ota_symbols
+            if now is None:
+                return
+            due, keep, late = [], [], 0
+            for sym_abs, msg in self._dl_queue:
+                if sym_abs - self.cfg.tx_window_t1a_min_symbols < now:
+                    late += 1  # too late to reach the RU in time
+                elif sym_abs - self.cfg.tx_window_t1a_max_symbols <= now:
+                    due.append((sym_abs, msg))
+                else:
+                    keep.append((sym_abs, msg))
+            self._dl_queue = keep
+            self.metrics.late_dl_requests += late
+        for _sym, msg in sorted(due, key=lambda t: t[0]):
+            self.send_frame(msg)
+
     def ota_tick(self, slot: SlotPoint, symbol: int = 0) -> None:
-        """Advance the OTA clock for the reception-window checker."""
+        """Advance the OTA clock: reception-window bookkeeping, stale
+        pending-context eviction, and the paced-DL symbol dispatcher."""
         now = self._slot_symbols(slot) + symbol
         self.window.tick(now)
+        with self._lock:
+            self._ota_symbols = now
         self._evict_stale(now)
+        if self.cfg.dl_pacing == "paced":
+            self._dispatch_dl()
         if self.timing_notifier is not None and symbol == 0:
             self.timing_notifier.on_tti_boundary(slot)

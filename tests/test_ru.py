@@ -432,3 +432,72 @@ def test_ofh_ru_evicts_stale_pending_contexts():
     assert not ru._ul_pending and not ru._ul_filled and not ru._prach_pending
     m = ru.get_metrics()
     assert m.late_ul_requests >= 1 and m.late_prach_requests == 1
+
+
+@pytest.mark.skipif(native.get_lib() is None, reason="native lib unavailable")
+def test_ofh_ru_paced_dl_transmitter():
+    """Paced DL (reference OTA symbol dispatcher): U-plane frames leave
+    only when the OTA clock enters each symbol's T1a window, in symbol
+    order; frames whose window closed un-sent are dropped and counted."""
+    col = Collector()
+    cfg = RuOfhConfig(scs=SCS, nof_prb=12, dl_pacing="paced",
+                      tx_window_t1a_max_symbols=6, tx_window_t1a_min_symbols=2)
+    sent = []
+    ru = RuOfh(cfg, col, send_frame=sent.append)
+    slot = SlotPoint.from_sfn_slot(SCS, 1, 4)
+    prev = SlotPoint.from_sfn_slot(SCS, 1, 3)
+    ru.ota_tick(prev)  # OTA one slot before the data's slot
+    grid = np.full((1, 14, 144), 0.1 + 0.05j, np.complex64)
+    ru.handle_dl_data(ResourceGridContext(slot=slot), grid)
+    # C-plane goes out immediately; no U-plane yet (windows open later).
+    uplane_sent = [f for f in sent if f[1] == 0x00]
+    assert len(sent) == 1 and not uplane_sent
+    # Tick symbol-by-symbol through the previous slot: each tick opens the
+    # windows for symbols within [now+2, now+6].
+    for s in range(14):
+        ru.ota_tick(prev, symbol=s)
+    uplane_sent = [f for f in sent if f[1] == 0x00]
+    # At OTA (prev, 13) = abs symbol 13 of that slot, windows open for data
+    # symbols <= 13 + 6 - 14 = 5 of the data slot (abs sym+14).
+    assert 0 < len(uplane_sent) < 14
+    # Frames appear in symbol order.
+    import srsran_project_tpu.support.native as nat
+    syms = [nat.ofh_uplane_parse(np.asarray(f, np.uint8))[0]["symbol_id"]
+            for f in uplane_sent]
+    assert syms == sorted(syms)
+    # Remaining symbols flush as the OTA clock crosses the data slot.
+    for s in range(14):
+        ru.ota_tick(slot, symbol=s)
+    uplane_sent = [f for f in sent if f[1] == 0x00]
+    assert 0 < len(uplane_sent) <= 14
+    # Symbols whose min-advance deadline passed were dropped + counted.
+    dropped = 14 - len(uplane_sent)
+    assert ru.get_metrics().late_dl_requests == dropped
+
+
+@pytest.mark.skipif(native.get_lib() is None, reason="native lib unavailable")
+def test_ofh_ru_paced_dl_whole_slot_late():
+    """DL data arriving after its slot's entire T1a window closed is
+    rejected outright (late_dl_requests + error notifier)."""
+    class Errs:
+        def __init__(self):
+            self.dl = []
+        def on_late_downlink_message(self, slot, sector):
+            self.dl.append(slot)
+        def on_late_uplink_message(self, slot, sector):
+            pass
+        def on_late_prach_message(self, slot, sector):
+            pass
+
+    col = Collector()
+    errs = Errs()
+    cfg = RuOfhConfig(scs=SCS, nof_prb=12, dl_pacing="paced")
+    sent = []
+    ru = RuOfh(cfg, col, send_frame=sent.append, error_notifier=errs)
+    slot = SlotPoint.from_sfn_slot(SCS, 0, 1)
+    ru.ota_tick(slot + 3)  # OTA far past the data slot
+    ru.handle_dl_data(ResourceGridContext(slot=slot),
+                      np.zeros((1, 14, 144), np.complex64))
+    assert not sent
+    assert ru.get_metrics().late_dl_requests == 1
+    assert errs.dl == [slot]
