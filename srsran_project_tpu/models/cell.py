@@ -201,3 +201,40 @@ def decode_slot(iq: jax.Array, rnti: jax.Array, cfg: CellConfig):
         )
     )
     return pusch.process(grid, rnti, cfg.pusch_cfg)
+
+
+@_functools.partial(jax.jit, static_argnames=("cfg",))
+def encode_slot_fused(tb_bits: jax.Array, rnti: jax.Array,
+                      precoding: jax.Array, cfg: CellConfig):
+    """The WHOLE DL slot as ONE compiled program (bit chain + grid map +
+    OFDM).  On tunnels where every program dispatch costs 30-90 ms of wire
+    latency (measured round 3), halving the program count halves the
+    per-slot wall clock; compile time at 273 PRB is the tradeoff."""
+    cw = pdsch._bit_chain(tb_bits, _jnp.asarray(rnti), cfg.pdsch_cfg)
+    grid = pdsch._grid_chain(cw, precoding, cfg.pdsch_cfg)
+    return ofdm.modulate_slot(grid, cfg.scs, cfg.dft_size, cfg.cp, 0,
+                              f_center_hz=cfg.f_center_hz)
+
+
+@_functools.partial(jax.jit, static_argnames=("cfg",))
+def decode_slot_fused(iq: jax.Array, rnti: jax.Array, cfg: CellConfig):
+    """The WHOLE UL slot as ONE compiled program: OFDM demod + estimate +
+    equalize + demap + rate dematch + LDPC decode (Pallas, early stop
+    inside the kernel) + desegment/CRC.  Collapses the 4-program decode to
+    a single dispatch — the dominant cost on high-latency tunnels."""
+    from ..phy.sch import decode_transport_block
+
+    grid = ofdm.demodulate_slot(iq, cfg.nof_rb, cfg.scs, cfg.dft_size,
+                                cfg.cp, 0, f_center_hz=cfg.f_center_hz)
+    llr_i8, noise_var, snr_acc = pusch._front_end(grid, _jnp.asarray(rnti),
+                                                  cfg.pusch_cfg)
+    pc = cfg.pusch_cfg
+    tb, ok, _harq = decode_transport_block(
+        llr_i8, pc.sch, pc.nof_ldpc_iterations, None,
+        early_stop=pc.ldpc_early_stop)
+    return {
+        "tb_bits": tb,
+        "tb_crc_ok": ok,
+        "noise_var": noise_var,
+        "snr_db": 10.0 * _jnp.log10(_jnp.maximum(snr_acc, 1e-12)),
+    }
