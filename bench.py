@@ -69,23 +69,22 @@ def worker() -> None:
     jax.block_until_ready((rnti, w, tb, noise_unit))
     print("# inputs resident on device", file=sys.stderr, flush=True)
 
-    print("# warmup: encode", file=sys.stderr, flush=True)
+    print("# warmup: encode (fused single-program slot)", file=sys.stderr, flush=True)
     t0 = time.time()
-    with staging.sync_stages():
-        iq = cell_mod.encode_slot(tb, rnti, w, cfg)
-        iq.block_until_ready()
-        t_enc_c = time.time() - t0
-        print(f"# warmup: encode done {t_enc_c:.1f}s", file=sys.stderr, flush=True)
-        # Scale noise to the operating SNR against the actual signal power.
-        sig_pow = jnp.mean(jnp.abs(iq) ** 2)
-        nscale = jnp.sqrt(sig_pow * (10.0 ** (-OPERATING_SNR_DB / 10.0)))
-        iq_rx = iq + noise_unit * nscale.astype(jnp.complex64)  # pure device op
-        iq_rx.block_until_ready()
-        t0 = time.time()
-        out = cell_mod.decode_slot(iq_rx, rnti, cfg)
-        jax.block_until_ready(out["tb_bits"])
-        t_dec_c = time.time() - t0
-        print(f"# warmup: decode done {t_dec_c:.1f}s", file=sys.stderr, flush=True)
+    iq = cell_mod.encode_slot_fused(tb, rnti, w, cfg)
+    iq.block_until_ready()
+    t_enc_c = time.time() - t0
+    print(f"# warmup: encode done {t_enc_c:.1f}s", file=sys.stderr, flush=True)
+    # Scale noise to the operating SNR against the actual signal power.
+    sig_pow = jnp.mean(jnp.abs(iq) ** 2)
+    nscale = jnp.sqrt(sig_pow * (10.0 ** (-OPERATING_SNR_DB / 10.0)))
+    iq_rx = iq + noise_unit * nscale.astype(jnp.complex64)  # pure device op
+    iq_rx.block_until_ready()
+    t0 = time.time()
+    out = cell_mod.decode_slot_fused(iq_rx, rnti, cfg)
+    jax.block_until_ready(out["tb_bits"])
+    t_dec_c = time.time() - t0
+    print(f"# warmup: decode done {t_dec_c:.1f}s", file=sys.stderr, flush=True)
     # Device-side verification.  Transfer rules for this tunnel (probed in
     # round 3): bool and complex64 can NEVER cross host<->device, but
     # int8/uint8/int32/float32/bfloat16 transfers usually work — and a d2h
@@ -252,14 +251,14 @@ def worker() -> None:
     rnti_pool = jnp.asarray(np.arange(64, dtype=np.uint32) + 0x4601)
     rnti_dec = jnp.asarray(np.uint32(0x4601))
     jax.block_until_ready((rnti_pool, rnti_dec))
-    enc_fn = lambda i: cell_mod.encode_slot(tb, rnti_pool[i % 64], w, cfg)
+    enc_fn = lambda i: cell_mod.encode_slot_fused(tb, rnti_pool[i % 64], w, cfg)
 
     def dec_fn(i):
-        out = cell_mod.decode_slot(iq_rx, rnti_dec, cfg)
+        out = cell_mod.decode_slot_fused(iq_rx, rnti_dec, cfg)
         return (out["tb_bits"], out["tb_crc_ok"])
 
     def dec_fn_fixed(i):
-        out = cell_mod.decode_slot(iq_rx, rnti_dec, cfg_fixed)
+        out = cell_mod.decode_slot_fused(iq_rx, rnti_dec, cfg_fixed)
         return (out["tb_bits"], out["tb_crc_ok"])
     # Guaranteed measurement first: per-stage sync (adds tunnel round trips
     # per stage, so it UNDERSTATES throughput but always completes).  A few
@@ -401,7 +400,7 @@ def worker() -> None:
     # shape — slots pipeline).  Supersedes again if it survives.
     # Fallback ladder: a too-large batch can overflow the remote compile
     # service; smaller batches still beat the unbatched number by a lot.
-    b_env = int(os.environ.get("BENCH_SLOT_BATCH", "64"))
+    b_env = int(os.environ.get("BENCH_SLOT_BATCH", "32"))  # 64+ overflows the remote compile helper
     for b in dict.fromkeys(x for x in (b_env, 64, 32, 16, 8) if x <= b_env):
         try:
             tbs_b = jnp.stack([tb] * b)
@@ -411,11 +410,13 @@ def worker() -> None:
             rntis_dec = jnp.asarray(np.full(b, 0x4601, dtype=np.uint32))
             iq_rx_b = jnp.stack([iq_rx] * b)
             jax.block_until_ready((tbs_b, rntis_b, iq_rx_b))
-            enc_b = jax.vmap(lambda t, r: cell_mod.encode_slot(t, r, w, cfg))
-            dec_b = jax.vmap(lambda x, r: cell_mod.decode_slot(x, r, cfg)["tb_bits"])
-            with staging.sync_stages():
-                jax.block_until_ready(enc_b(tbs_b, rntis_b))
-                jax.block_until_ready(dec_b(iq_rx_b, rntis_dec))
+            enc_b = jax.jit(jax.vmap(
+                lambda t, r, ww: cell_mod.encode_slot_fused(t, r, ww, cfg),
+                in_axes=(0, 0, None)))
+            dec_b = jax.jit(jax.vmap(
+                lambda x, r: cell_mod.decode_slot_fused(x, r, cfg)["tb_bits"]))
+            jax.block_until_ready(enc_b(tbs_b, rntis_b, w))
+            jax.block_until_ready(dec_b(iq_rx_b, rntis_dec))
             print("# batched warmup done", file=sys.stderr, flush=True)
             nb = 8
 
@@ -432,7 +433,7 @@ def worker() -> None:
                 jax.block_until_ready(outs)
                 return (time.time() - t0) / n
 
-            t_enc_b = _timed_calls(lambda: enc_b(tbs_b, rntis_b), nb) / b
+            t_enc_b = _timed_calls(lambda: enc_b(tbs_b, rntis_b, w), nb) / b
             t_dec_b = _timed_calls(lambda: dec_b(iq_rx_b, rntis_dec), nb) / b
             rate_b = 1.0 / t_enc_b + 1.0 / t_dec_b
             print(f"# batched x{b}: encode {t_enc_b*1e3:.2f} ms/slot, decode {t_dec_b*1e3:.2f} ms/slot",
@@ -440,7 +441,8 @@ def worker() -> None:
             # CRC verdicts of the benched batch: exact d2h first, timing
             # channel fallback (margin-gated).
             try:
-                crc_b = jax.vmap(lambda x, r: cell_mod.decode_slot(x, r, cfg)["tb_crc_ok"])(
+                crc_b = jax.jit(jax.vmap(
+                    lambda x, r: cell_mod.decode_slot_fused(x, r, cfg)["tb_crc_ok"]))(
                     iq_rx_b, rntis_dec)
                 if transfer_alive:
                     nof_fail = int(d2h((~crc_b).astype(jnp.int32).sum()))
