@@ -46,6 +46,12 @@ class ChannelConfig:
     nof_sc: int = 624
     scs: SubcarrierSpacing = SubcarrierSpacing.KHZ30
     cfo_hz: float = 0.0
+    # Noise reference convention: "post_fading" sets the noise so every
+    # slot sees exactly sinr_db against its own faded signal power (no
+    # slow-fading outage); "fixed" pins the noise variance to the NOMINAL
+    # unit signal like the reference's pxsch_bler_test channel emulator
+    # (fading dips then cause outages — required for BLER parity).
+    noise_convention: str = "post_fading"
     # Maximum Doppler shift in Hz.  0 = block fading (one i.i.d. channel
     # drop per slot, the reference emulator's model); > 0 = Jakes-spectrum
     # time-selective fading via sum-of-sinusoids, continuous across symbols
@@ -138,8 +144,12 @@ def apply_channel(grid: jax.Array, key: jax.Array, cfg: ChannelConfig, slot_inde
         phase = jnp.exp(2j * np.pi * cfg.cfo_hz * t)
         rx = rx * phase[None, :, None].astype(jnp.complex64)
     # Signal power per RE is E|grid|^2 * sum tap power ~ grid power; compute
-    # noise from the configured SINR against the actual mean signal power.
-    sig_pow = jnp.mean(jnp.abs(rx) ** 2)
+    # noise from the configured SINR against the actual mean signal power,
+    # or against the nominal unit signal (reference emulator convention).
+    if cfg.noise_convention == "fixed":
+        sig_pow = jnp.float32(1.0)
+    else:
+        sig_pow = jnp.mean(jnp.abs(rx) ** 2)
     nvar = sig_pow / (10.0 ** (cfg.sinr_db / 10.0))
     noise = jax.random.normal(kn, rx.shape + (2,), dtype=jnp.float32)
     noise = (noise[..., 0] + 1j * noise[..., 1]) * jnp.sqrt(nvar / 2)

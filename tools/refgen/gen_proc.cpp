@@ -1229,3 +1229,351 @@ void gen_harq_retx() {
 }  // namespace
 
 void gen_harq_retx_suite() { gen_harq_retx(); }
+
+// ----------------------------------------------------- BLER parity runs ----
+// Runs the REFERENCE pusch chain (pdsch encode -> the reference's own
+// pxsch_bler_test TDL channel emulator -> pusch_processor decode) at fixed
+// operating points, recording BLER and LDPC iteration statistics — the
+// reference side of BLER_PARITY.md.  The TPU side replays the same
+// operating points with its own chain + emulator
+// (tests/test_bler_parity.py); both emulators draw uncorrelated
+// TDL-profile taps per slot, so the BLERs are statistically comparable.
+
+#include "tests/integrationtests/phy/upper/channel_processors/pxsch_bler_test_channel_emulator.h"
+#include "srsran/ran/pusch/pusch_mcs.h"
+#include "srsran/ran/sch/tbs_calculator.h"
+
+namespace {
+
+class rw_grid : public resource_grid_reader, public resource_grid_writer {
+public:
+  rw_grid(unsigned ports, unsigned symbols, unsigned subc)
+      : ports_(ports), symbols_(symbols), subc_(subc),
+        data_(ports * symbols * subc) {}
+  cbf16_t& at(unsigned p, unsigned l, unsigned k) {
+    return data_[(p * symbols_ + l) * subc_ + k];
+  }
+  const cbf16_t& at(unsigned p, unsigned l, unsigned k) const {
+    return data_[(p * symbols_ + l) * subc_ + k];
+  }
+  unsigned get_nof_ports() const override { return ports_; }
+  unsigned get_nof_subc() const override { return subc_; }
+  unsigned get_nof_symbols() const override { return symbols_; }
+  bool is_empty(unsigned) const override { return false; }
+  bool is_empty() const override { return false; }
+  // reader
+  span<cf_t> get(span<cf_t> symbols, unsigned port, unsigned l, unsigned k_init,
+                 const bounded_bitset<MAX_RB * NRE>& mask) const override {
+    unsigned i = 0;
+    for (unsigned k = 0; k != mask.size(); ++k)
+      if (mask.test(k)) symbols[i++] = to_cf(at(port, l, k_init + k));
+    return symbols.last(symbols.size() - i);
+  }
+  span<cbf16_t> get(span<cbf16_t> symbols, unsigned port, unsigned l,
+                    unsigned k_init,
+                    const bounded_bitset<MAX_RB * NRE>& mask) const override {
+    unsigned i = 0;
+    for (unsigned k = 0; k != mask.size(); ++k)
+      if (mask.test(k)) symbols[i++] = at(port, l, k_init + k);
+    return symbols.last(symbols.size() - i);
+  }
+  void get(span<cf_t> symbols, unsigned port, unsigned l, unsigned k_init,
+           unsigned stride) const override {
+    for (unsigned i = 0; i != symbols.size(); ++i)
+      symbols[i] = to_cf(at(port, l, k_init + i * stride));
+  }
+  void get(span<cbf16_t> symbols, unsigned port, unsigned l,
+           unsigned k_init) const override {
+    for (unsigned i = 0; i != symbols.size(); ++i)
+      symbols[i] = at(port, l, k_init + i);
+  }
+  span<const cbf16_t> get_view(unsigned port, unsigned l) const override {
+    return span<const cbf16_t>(&at(port, l, 0), subc_);
+  }
+  // writer
+  span<const cf_t> put(unsigned port, unsigned l, unsigned k_init,
+                       const bounded_bitset<MAX_RB * NRE>& mask,
+                       span<const cf_t> symbols) override {
+    unsigned i = 0;
+    for (unsigned k = 0; k != mask.size(); ++k)
+      if (mask.test(k)) at(port, l, k_init + k) = to_cbf16(symbols[i++]);
+    return symbols.last(symbols.size() - i);
+  }
+  span<const cbf16_t> put(unsigned port, unsigned l, unsigned k_init,
+                          const bounded_bitset<MAX_RB * NRE>& mask,
+                          span<const cbf16_t> symbols) override {
+    unsigned i = 0;
+    for (unsigned k = 0; k != mask.size(); ++k)
+      if (mask.test(k)) at(port, l, k_init + k) = symbols[i++];
+    return symbols.last(symbols.size() - i);
+  }
+  void put(unsigned port, unsigned l, unsigned k_init,
+           span<const cf_t> symbols) override {
+    for (unsigned i = 0; i != symbols.size(); ++i)
+      at(port, l, k_init + i) = to_cbf16(symbols[i]);
+  }
+  void put(unsigned port, unsigned l, unsigned k_init, unsigned stride,
+           span<const cbf16_t> symbols) override {
+    for (unsigned i = 0; i != symbols.size(); ++i)
+      at(port, l, k_init + i * stride) = symbols[i];
+  }
+  span<cbf16_t> get_view(unsigned port, unsigned l) override {
+    return span<cbf16_t>(&at(port, l, 0), subc_);
+  }
+
+private:
+  unsigned ports_, symbols_, subc_;
+  std::vector<cbf16_t> data_;
+};
+
+void gen_bler_parity() {
+  start("bler_parity");
+  manifest m("manifest.json");
+  auto rng = make_rng(0xB1E5u);
+
+  struct bcase {
+    const char* profile;
+    float sinr_db;
+    unsigned mcs;      // qam64 table
+    unsigned nof_prb;
+    unsigned nof_slots;
+  };
+  std::vector<bcase> cases = {
+      {"TDLA", 9.0f, 10, 52, 300},
+      {"TDLA", 11.0f, 10, 52, 300},
+      {"TDLB", 9.0f, 10, 52, 300},
+      {"TDLC", 9.0f, 10, 52, 300},
+      {"TDLA", 17.0f, 20, 52, 300},
+      {"TDLA", 20.0f, 20, 52, 300},
+      {"single-tap", 4.0f, 4, 52, 300},
+      {"single-tap", 60.0f, 20, 52, 300},
+  };
+
+  static inline_executor bler_exec;
+  int idx = 0;
+  for (const auto& c : cases) {
+    unsigned nof_subc = c.nof_prb * NRE;
+    sch_mcs_description mcs_descr =
+        pusch_mcs_get_config(pusch_mcs_table::qam64, c.mcs, false, false);
+    unsigned dmrs_mask = (1u << 2) | (1u << 11);
+    unsigned nof_dmrs_syms = __builtin_popcount(dmrs_mask);
+    unsigned nof_data_re = (14 - nof_dmrs_syms) * nof_subc;
+    unsigned qm = get_bits_per_symbol(mcs_descr.modulation);
+    unsigned g_bits = nof_data_re * qm;
+
+    tbs_calculator_configuration tbs_cfg = {};
+    tbs_cfg.nof_symb_sh = 14;
+    tbs_cfg.nof_dmrs_prb = nof_dmrs_syms * NRE;
+    tbs_cfg.nof_oh_prb = 0;
+    tbs_cfg.mcs_descr = mcs_descr;
+    tbs_cfg.nof_layers = 1;
+    tbs_cfg.tb_scaling_field = 0;
+    tbs_cfg.n_prb = c.nof_prb;
+    unsigned tbs = tbs_calculator_calculate(tbs_cfg);
+    unsigned tbs_bytes = tbs / 8;
+    ldpc_base_graph_type bg = get_ldpc_base_graph(
+        mcs_descr.get_normalised_target_code_rate(), units::bits(tbs));
+
+    channel_emulator emu(c.profile, "rayleigh", c.sinr_db, 0.0f, 0, 1, 1,
+                         nof_subc, 14, 1, subcarrier_spacing::kHz30,
+                         bler_exec);
+
+    // TX chain.
+    ldpc_segmenter_tx_impl::sch_crc tx_crcs{
+        std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC16),
+        std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC24A),
+        std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC24B)};
+    pdsch_encoder_impl tx_encoder(
+        std::make_unique<ldpc_segmenter_tx_impl>(tx_crcs),
+        std::make_unique<ldpc_encoder_generic>(),
+        std::make_unique<ldpc_rate_matcher_impl>());
+    modulation_mapper_lut_impl mapper;
+    pseudo_random_generator_impl scr;
+    pseudo_random_generator_impl dmrs_prg;
+    float beta_dmrs = convert_dB_to_amplitude(-get_sch_to_dmrs_ratio_dB(2));
+    crb_bitmap rb_mask(MAX_RB);
+    rb_mask.fill(0, c.nof_prb);
+
+    // RX processor (same wiring as the pusch_processor suite).
+    channel_estimate::channel_estimate_dimensions ce_dims;
+    ce_dims.nof_prb = c.nof_prb;
+    ce_dims.nof_symbols = 14;
+    ce_dims.nof_rx_ports = 1;
+    ce_dims.nof_tx_layers = 1;
+    auto estimator = std::make_unique<dmrs_pusch_estimator_impl>(
+        std::make_unique<pseudo_random_generator_impl>(),
+        std::make_unique<low_papr_sequence_generator_impl>(),
+        std::make_unique<port_channel_estimator_average_impl>(
+            std::make_unique<interpolator_linear_impl>(),
+            make_ta_estimator_proc(),
+            port_channel_estimator_fd_smoothing_strategy::filter,
+            port_channel_estimator_td_interpolation_strategy::average,
+            /*compensate_cfo=*/true),
+        bler_exec);
+    auto demodulator = std::make_unique<pusch_demodulator_impl>(
+        std::make_unique<channel_equalizer_generic_impl>(
+            channel_equalizer_algorithm_type::mmse),
+        make_tp_precoder_proc(), std::make_unique<demodulation_mapper_impl>(),
+        nullptr, std::make_unique<pseudo_random_generator_impl>(), MAX_RB,
+        /*compute_post_eq_sinr=*/true);
+    auto demux = std::make_unique<ulsch_demultiplex_impl>();
+    auto deps = std::make_unique<pusch_processor_impl::concurrent_dependencies>(
+        std::move(estimator), std::move(demodulator), std::move(demux),
+        make_uci_decoder(), ce_dims);
+    std::vector<std::unique_ptr<pusch_processor_impl::concurrent_dependencies>>
+        deps_vec;
+    deps_vec.push_back(std::move(deps));
+    auto pool = std::make_shared<
+        pusch_processor_impl::concurrent_dependencies_pool_type>(deps_vec);
+    pusch_decoder_impl::sch_crc rx_crcs{
+        std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC16),
+        std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC24A),
+        std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC24B)};
+    std::vector<std::unique_ptr<pusch_codeblock_decoder>> cb_decoders;
+    pusch_codeblock_decoder::sch_crc cb_crcs{
+        std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC16),
+        std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC24A),
+        std::make_unique<crc_calculator_lut_impl>(crc_generator_poly::CRC24B)};
+    cb_decoders.push_back(std::make_unique<pusch_codeblock_decoder>(
+        std::make_unique<ldpc_rate_dematcher_impl>(),
+        std::make_unique<ldpc_decoder_generic>(false), cb_crcs));
+    auto cb_pool =
+        std::make_shared<pusch_decoder_impl::codeblock_decoder_pool>(cb_decoders);
+    auto decoder = std::make_unique<pusch_decoder_impl>(
+        std::make_unique<ldpc_segmenter_rx_impl>(), cb_pool,
+        std::move(rx_crcs), nullptr, c.nof_prb, 1);
+    pusch_processor_impl::configuration proc_cfg;
+    proc_cfg.dependencies_pool = pool;
+    proc_cfg.decoder = std::move(decoder);
+    proc_cfg.dec_nof_iterations = 6;
+    proc_cfg.dec_enable_early_stop = true;
+    proc_cfg.dec_force_decoding = false;
+    proc_cfg.csi_sinr_calc_method =
+        channel_state_information::sinr_type::post_equalization;
+    pusch_processor_impl processor(proc_cfg);
+
+    unsigned nof_cbs = ldpc::compute_nof_codeblocks(units::bits(tbs), bg);
+    unsigned crc_errors = 0, data_errors = 0;
+    unsigned long long iter_sum = 0;
+    unsigned iter_min = 1000, iter_max = 0;
+    double sinr_sum = 0.0;
+    for (unsigned slot = 0; slot != c.nof_slots; ++slot) {
+      unsigned slot_idx = slot % 20;
+      // TX.
+      std::vector<uint8_t> tb = random_bytes(rng, tbs_bytes);
+      pdsch_encoder::configuration enc_cfg;
+      enc_cfg.base_graph = bg;
+      enc_cfg.rv = 0;
+      enc_cfg.mod = mcs_descr.modulation;
+      enc_cfg.Nref = 0;
+      enc_cfg.nof_layers = 1;
+      enc_cfg.nof_ch_symbols = nof_data_re;
+      std::vector<uint8_t> cw(g_bits);
+      tx_encoder.encode(cw, tb, enc_cfg);
+      scr.init(0x4601u * 32768 + 1);
+      scr.apply_xor(cw, cw);
+      dynamic_bit_buffer cw_packed(g_bits);
+      srsvec::bit_pack(cw_packed, cw);
+      std::vector<cf_t> x(g_bits / qm);
+      mapper.modulate(x, cw_packed, mcs_descr.modulation);
+
+      rw_grid tx_grid(1, 14, nof_subc);
+      rw_grid rx_grid(1, 14, nof_subc);
+      unsigned data_i = 0;
+      for (unsigned s = 0; s != 14; ++s) {
+        if (dmrs_mask & (1u << s)) {
+          unsigned c_init =
+              ((14 * slot_idx + s + 1) * (2 * 1 + 1) * 131072u + (2 * 1 + 0)) %
+              2147483648u;
+          dmrs_prg.init(c_init);
+          std::vector<cf_t> pil(c.nof_prb * 6);
+          dmrs_sequence_generate(pil, dmrs_prg, (float)M_SQRT1_2, 0, 6, rb_mask);
+          for (unsigned j = 0; j != pil.size(); ++j)
+            tx_grid.at(0, s, 2 * j) = to_cbf16(beta_dmrs * pil[j]);
+        } else {
+          for (unsigned k = 0; k != nof_subc; ++k)
+            tx_grid.at(0, s, k) = to_cbf16(x[data_i++]);
+        }
+      }
+
+      emu.run(rx_grid, tx_grid);
+
+      pusch_processor::pdu_t pdu;
+      pdu.slot = slot_point(1, slot_idx);
+      pdu.rnti = 0x4601;
+      pdu.bwp_size_rb = c.nof_prb;
+      pdu.bwp_start_rb = 0;
+      pdu.cp = cyclic_prefix::NORMAL;
+      pdu.mcs_descr = mcs_descr;
+      pdu.codeword.emplace();
+      pdu.codeword->rv = 0;
+      pdu.codeword->ldpc_base_graph = bg;
+      pdu.codeword->new_data = true;
+      pdu.uci.nof_harq_ack = 0;
+      pdu.uci.nof_csi_part1 = 0;
+      pdu.uci.alpha_scaling = 1.0f;
+      pdu.uci.beta_offset_harq_ack = 9.0f;
+      pdu.uci.beta_offset_csi_part1 = 9.0f;
+      pdu.uci.beta_offset_csi_part2 = 9.0f;
+      pdu.n_id = 1;
+      pdu.nof_tx_layers = 1;
+      pdu.rx_ports.push_back(0);
+      pdu.dmrs_symbol_mask = symbol_slot_mask(14);
+      for (unsigned s = 0; s != 14; ++s)
+        if (dmrs_mask & (1u << s)) pdu.dmrs_symbol_mask.set(s);
+      pusch_processor::dmrs_configuration dmrs_cfg;
+      dmrs_cfg.dmrs = dmrs_type::TYPE1;
+      dmrs_cfg.scrambling_id = 1;
+      dmrs_cfg.n_scid = false;
+      dmrs_cfg.nof_cdm_groups_without_data = 2;
+      pdu.dmrs = dmrs_cfg;
+      pdu.freq_alloc = rb_allocation::make_type1(0, c.nof_prb);
+      pdu.start_symbol_index = 0;
+      pdu.nof_symbols = 14;
+      pdu.tbs_lbrm = tbs_lbrm_default;
+
+      test_rx_buffer buffer(nof_cbs);
+      capture_result_notifier notifier;
+      std::vector<uint8_t> rx_tb(tbs_bytes);
+      processor.process(rx_tb, unique_rx_buffer(buffer), notifier, rx_grid, pdu);
+      bool crc_ok = notifier.got_sch && notifier.tb_crc_ok;
+      bool data_ok =
+          crc_ok && std::memcmp(rx_tb.data(), tb.data(), tb.size()) == 0;
+      if (!crc_ok) ++crc_errors;
+      if (!data_ok) ++data_errors;
+      if (notifier.got_sch) {
+        iter_sum += notifier.ldpc_iters;
+        iter_min = std::min(iter_min, notifier.ldpc_iters);
+        iter_max = std::max(iter_max, notifier.ldpc_iters);
+        sinr_sum += notifier.sinr_db;
+      }
+    }
+
+    m.begin_case();
+    m.field("idx", (long long)idx);
+    m.field("profile", c.profile);
+    m.field("sinr_db", (double)c.sinr_db);
+    m.field("mcs", (long long)c.mcs);
+    m.field("nof_prb", (long long)c.nof_prb);
+    m.field("tbs", (long long)tbs);
+    m.field("qm", (long long)qm);
+    m.field("rate", (double)mcs_descr.get_normalised_target_code_rate());
+    m.field("nof_slots", (long long)c.nof_slots);
+    m.field("crc_bler", (double)crc_errors / c.nof_slots);
+    m.field("data_bler", (double)data_errors / c.nof_slots);
+    m.field("iter_mean", (double)iter_sum / std::max(1u, c.nof_slots - crc_errors) / 1.0);
+    m.field("iter_min", (long long)iter_min);
+    m.field("iter_max", (long long)iter_max);
+    m.field("mean_sinr_db", sinr_sum / c.nof_slots);
+    m.end_case();
+    fprintf(stderr, "bler_parity %s sinr=%.1f mcs=%u: crc_bler=%.4f iters=[%u..%u]\n",
+            c.profile, c.sinr_db, c.mcs, (double)crc_errors / c.nof_slots,
+            iter_min, iter_max);
+    ++idx;
+  }
+  m.flush();
+}
+
+}  // namespace
+
+void gen_bler_parity_suite() { gen_bler_parity(); }

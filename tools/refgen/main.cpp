@@ -70,6 +70,7 @@ void gen_prs_generator_suite();
 void gen_srs_estimator_suite();
 void gen_prach_demodulator_suite();
 void gen_harq_retx_suite();
+void gen_bler_parity_suite();
 
 namespace {
 
@@ -670,6 +671,7 @@ int main(int argc, char** argv) {
       {"srs_estimator", gen_srs_estimator_suite},
       {"prach_demodulator", gen_prach_demodulator_suite},
       {"harq_retx", gen_harq_retx_suite},
+      {"bler_parity", gen_bler_parity_suite},
   };
   if (argc == 2) {
     for (auto& [name, fn] : suites) fn();
