@@ -58,7 +58,8 @@ def run(nof_prb: int, ues: list[int], nof_ports: int) -> list[dict]:
         rntis = np.arange(n, dtype=np.uint32) + 0x4601
         offs = [i * rb_each for i in range(n)]
         w = np.eye(1, nof_ports, dtype=np.complex64)
-        grid0 = jnp.zeros((nof_ports, 14, nof_grid_sc), jnp.complex64)
+        from srsran_project_tpu.support import hostio
+        grid0 = hostio.zeros_complex((nof_ports, 14, nof_grid_sc))
 
         grid = pdsch.process_multi(tbs_b, rntis, offs, w, tx, grid=grid0)
         key = jax.random.PRNGKey(0)

@@ -262,10 +262,10 @@ def process_multi(tbs, rntis, first_rbs, precoding, cfg: PdschConfig,
     first_scs = jnp.asarray([12 * r for r in first_rbs], jnp.int32)
     tbs = jnp.asarray(tbs, jnp.uint8)
     if grid is None:
-        import math
+        from ..support import hostio
         nof_slot_sc = max(12 * (rb + cfg.alloc.rb_count) for rb in first_rbs)
-        grid = jnp.zeros((cfg.nof_ports, cfg.nof_grid_symbols, nof_slot_sc),
-                         jnp.complex64)
+        grid = hostio.zeros_complex(
+            (cfg.nof_ports, cfg.nof_grid_symbols, nof_slot_sc))
     w = jnp.asarray(precoding, jnp.complex64)
     if w.ndim == 2:
         w = jnp.broadcast_to(w, (tbs.shape[0],) + w.shape)

@@ -98,9 +98,8 @@ class UpperPhy:
             from ..fapi.validators import validate_dl_tti
 
             validate_dl_tti(request, tx_data, cfg.nof_grid_sc)
-        grid = jnp.zeros(
-            (cfg.nof_ports, cfg.nof_grid_symbols, cfg.nof_grid_sc), jnp.complex64
-        )
+        grid = hostio.zeros_complex(
+            (cfg.nof_ports, cfg.nof_grid_symbols, cfg.nof_grid_sc))
         # Equal-config compact PDUs batch into ONE device program per
         # config (pdsch.process_multi — the multi-UE DL slot as a batched
         # program, not a host loop; reference slot = PDU list).
@@ -177,9 +176,8 @@ class UpperPhy:
         """Encode UL_DCI.request PDCCH PDUs onto a (new or given) DL grid."""
         cfg = self.cfg
         if grid is None:
-            grid = jnp.zeros(
-                (cfg.nof_ports, cfg.nof_grid_symbols, cfg.nof_grid_sc),
-                dtype=jnp.complex64)
+            grid = hostio.zeros_complex(
+                (cfg.nof_ports, cfg.nof_grid_symbols, cfg.nof_grid_sc))
         for pdu in request.pdcch:
             g = pdcch_mod.process(
                 jnp.asarray(pdu.payload, jnp.uint8), jnp.uint32(pdu.rnti), pdu.config)

@@ -81,3 +81,16 @@ def to_device(x) -> jax.Array:
         im = jax.device_put(np.ascontiguousarray(a.imag, dtype=np.float32))
         return _combine()(re, im)
     return jax.device_put(a)
+
+
+@functools.cache
+def _zeros_c64(shape: tuple):
+    return jax.jit(lambda: jnp.zeros(shape, jnp.complex64))
+
+
+def zeros_complex(shape) -> jax.Array:
+    """Device-generated complex64 zeros.  Eager jnp.zeros(..., complex64)
+    materializes the complex fill constant through a host->device transfer,
+    which this tunnel cannot carry (and which poisons the session); a
+    compiled fill never touches the wire."""
+    return _zeros_c64(tuple(shape))()
