@@ -97,19 +97,46 @@ def estimate_channel(
     # Time average across DM-RS symbols.
     h_t = h_pair.mean(axis=-2)  # (..., Np/2)
 
+    # Delay compensation: estimate the dominant per-pair phase slope (the
+    # channel's bulk delay) and derotate before smoothing/interpolation.
+    # The symmetric smoother and the linear interpolator both lag a fast
+    # phase rotation (the round-3 golden bound measured ~21% per-RE CE
+    # error at 0.56 us delay); on a derotated — spectrally flat-phased —
+    # channel they are unbiased, and the rotation is re-applied exactly at
+    # every target subcarrier.
+    n_pairs = h_t.shape[-1]
+    h_t_raw = h_t  # pre-derotation copy: the TA estimate needs the true slope
+    pos = np.asarray(pair_positions, dtype=np.float32)
+    if n_pairs > 1:
+        slope = jnp.angle(jnp.sum(
+            h_t[..., 1:] * jnp.conj(h_t[..., :-1]), axis=-1, keepdims=True))
+        idx = jnp.arange(n_pairs, dtype=jnp.float32)
+        derot = jnp.exp(-1j * slope * idx).astype(h_t.dtype)
+        h_t = h_t * derot
+        spacing = float(pos[1] - pos[0]) if len(pos) > 1 else 1.0
+    else:
+        slope = jnp.zeros(h_t.shape[:-1] + (1,), jnp.float32)
+        spacing = 1.0
+
     if smooth:
         h_t = _smooth_freq(h_t, _rc_filter_taps())
 
-    # Linear interpolation from pair centers to all subcarriers.
-    pos = np.asarray(pair_positions, dtype=np.float32)
+    # Linear interpolation from pair centers to all subcarriers (in the
+    # derotated domain), then exact re-rotation at each subcarrier.
     x = np.arange(nof_sc, dtype=np.float32)
     # Indices of the left neighbor for each target subcarrier.
-    li = np.clip(np.searchsorted(pos, x, side="right") - 1, 0, len(pos) - 2)
-    frac = (x - pos[li]) / (pos[li + 1] - pos[li])
-    frac = np.clip(frac, 0.0, 1.0) if len(pos) > 1 else np.zeros_like(x)
+    li = np.clip(np.searchsorted(pos, x, side="right") - 1, 0, max(len(pos) - 2, 0))
+    if len(pos) > 1:
+        frac = (x - pos[li]) / (pos[li + 1] - pos[li])
+        frac = np.clip(frac, 0.0, 1.0)
+    else:
+        frac = np.zeros_like(x)
     li_j = jnp.asarray(li)
     fr_j = jnp.asarray(frac.astype(np.float32))
     h = h_t[..., li_j] * (1 - fr_j) + h_t[..., li_j + 1] * fr_j  # (..., nof_sc)
+    if n_pairs > 1:
+        k_pair = jnp.asarray((x - pos[0]) / spacing)  # pair-index coordinate
+        h = h * jnp.exp(1j * slope * k_pair).astype(h.dtype)
 
     # Noise variance: residual of the raw LS samples vs the despread estimate.
     h_rep = jnp.repeat(h_pair, 2, axis=-1)  # back to per-pilot
@@ -137,6 +164,6 @@ def estimate_channel(
 
     if compute_ta:
         # TA: delay-domain peak of the despread pilot-pair channel.
-        metrics["ta_peak_bin_4096"] = estimate_ta_samples(h_t, dft_size=4096)
+        metrics["ta_peak_bin_4096"] = estimate_ta_samples(h_t_raw, dft_size=4096)
 
     return h.astype(jnp.complex64), noise_var.astype(jnp.float32), metrics

@@ -266,7 +266,10 @@ def process_multi(tbs, rntis, first_rbs, precoding, cfg: PdschConfig,
         nof_slot_sc = max(12 * (rb + cfg.alloc.rb_count) for rb in first_rbs)
         grid = hostio.zeros_complex(
             (cfg.nof_ports, cfg.nof_grid_symbols, nof_slot_sc))
-    w = jnp.asarray(precoding, jnp.complex64)
+    from ..support import hostio
+    w = hostio.to_device(np.asarray(precoding, np.complex64)) \
+        if not isinstance(precoding, jax.Array) else precoding
+    w = w.astype(jnp.complex64)
     if w.ndim == 2:
         w = jnp.broadcast_to(w, (tbs.shape[0],) + w.shape)
     return _multi_encode(tbs, jnp.asarray(rntis, jnp.uint32), first_scs,
