@@ -168,7 +168,10 @@ def apply_channel_time(samples, key, cfg: ChannelConfig, srate_hz: float):
     """
     import jax
 
-    samples = jnp.asarray(samples, jnp.complex64)
+    from ..support import hostio as _hostio
+    if not isinstance(samples, jax.Array):
+        samples = _hostio.to_device(np.asarray(samples, np.complex64))
+    samples = samples.astype(jnp.complex64)
     taps = PROFILES[cfg.profile]
     delays_s = np.asarray([t[0] for t in taps], np.float64) * 1e-9
     powers_db = np.asarray([t[1] for t in taps], np.float64)

@@ -258,7 +258,8 @@ def process_multi(tbs, rntis, first_rbs, precoding, cfg: PdschConfig,
     if cfg.ptrs_enabled:
         raise ValueError("process_multi: PT-RS PDUs take the per-PDU path")
     first_rbs = tuple(int(r) for r in first_rbs)
-    dmrs_batch = jnp.asarray(_multi_dmrs_bank(cfg, first_rbs))
+    from ..support import hostio as _hostio
+    dmrs_batch = _hostio.to_device(_multi_dmrs_bank(cfg, first_rbs))
     first_scs = jnp.asarray([12 * r for r in first_rbs], jnp.int32)
     tbs = jnp.asarray(tbs, jnp.uint8)
     if grid is None:
@@ -288,4 +289,7 @@ def process(tb_bits: jax.Array, rnti: jax.Array, precoding: jax.Array, cfg: Pdsc
     bounded on large carriers.
     """
     cw = checkpoint(_bit_chain(tb_bits, jnp.asarray(rnti), cfg))
-    return _grid_chain(cw, jnp.asarray(precoding), cfg)
+    from ..support import hostio as _hostio
+    if not isinstance(precoding, jax.Array):
+        precoding = _hostio.to_device(np.asarray(precoding, np.complex64))
+    return _grid_chain(cw, precoding, cfg)

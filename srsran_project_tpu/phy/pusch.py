@@ -592,7 +592,8 @@ def process_multi(grid, rntis, first_rbs, cfg: PuschConfig, harq_buffers=None):
     if cfg.estimator == "reference":
         raise ValueError("process_multi: reference estimator takes the per-PDU path")
     first_rbs = tuple(int(r) for r in first_rbs)
-    r_batch = jnp.asarray(_multi_pilot_bank(cfg, first_rbs))
+    from ..support import hostio as _hostio
+    r_batch = _hostio.to_device(_multi_pilot_bank(cfg, first_rbs))
     first_scs = jnp.asarray([12 * r for r in first_rbs], jnp.int32)
     llr_i8, noise_var, snr_acc = _multi_front_end(
         grid, jnp.asarray(rntis, jnp.uint32), first_scs, r_batch, cfg)
