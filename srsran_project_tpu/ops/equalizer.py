@@ -70,6 +70,58 @@ def _inv_small(c: jax.Array) -> jax.Array:
     raise ValueError(f"L={nl} unsupported")
 
 
+def _equalize_mmse4_soa(y, h, noise_var, tx_scaling):
+    """4-layer MMSE in structure-of-arrays layout.
+
+    The generic path carries (..., nre, 4, 4) arrays whose trailing dims
+    occupy 4 of 128 vector lanes; unrolling the 4x4 algebra over scalar
+    (..., nre) vectors puts the RE axis in the lanes (measured ~2.6x on
+    the TPU at x32 slot batch).  Same math as the generic MMSE branch."""
+    L = P = 4
+    nv = jnp.maximum(jnp.asarray(noise_var, h.real.dtype), 1e-12)
+    beta2 = jnp.asarray(tx_scaling, h.real.dtype) ** 2
+    hc = [[h[..., p, l] for l in range(L)] for p in range(P)]
+    yc = [y[..., p] for p in range(P)]
+    g = [[sum(jnp.conj(hc[p][l]) * hc[p][m] for p in range(P)) for m in range(L)]
+         for l in range(L)]
+    z = [sum(jnp.conj(hc[p][l]) * yc[p] for p in range(P)) for l in range(L)]
+    c = [[beta2 * g[l][m] + (nv if l == m else 0.0) for m in range(L)]
+         for l in range(L)]
+
+    def inv2(c00, c01, c10, c11):
+        det = c00 * c11 - c01 * c10
+        r = 1.0 / det
+        return c11 * r, -c01 * r, -c10 * r, c00 * r
+
+    def mm2(a, b):
+        return (a[0] * b[0] + a[1] * b[2], a[0] * b[1] + a[1] * b[3],
+                a[2] * b[0] + a[3] * b[2], a[2] * b[1] + a[3] * b[3])
+
+    A = (c[0][0], c[0][1], c[1][0], c[1][1])
+    Bm = (c[0][2], c[0][3], c[1][2], c[1][3])
+    Bh = (c[2][0], c[2][1], c[3][0], c[3][1])
+    D = (c[2][2], c[2][3], c[3][2], c[3][3])
+    Ai = inv2(*A)
+    S = tuple(d - t for d, t in zip(D, mm2(mm2(Bh, Ai), Bm)))
+    Si = inv2(*S)
+    AiB = mm2(Ai, Bm)
+    BhAi = mm2(Bh, Ai)
+    TL = tuple(a + t for a, t in zip(Ai, mm2(mm2(AiB, Si), BhAi)))
+    TR = tuple(-t for t in mm2(AiB, Si))
+    BL = tuple(-t for t in mm2(Si, BhAi))
+    ci = [[TL[0], TL[1], TR[0], TR[1]],
+          [TL[2], TL[3], TR[2], TR[3]],
+          [BL[0], BL[1], Si[0], Si[1]],
+          [BL[2], BL[3], Si[2], Si[3]]]
+    ts = jnp.asarray(tx_scaling, h.dtype)
+    x = [sum(ci[l][m] * z[m] for m in range(L)) * ts for l in range(L)]
+    mu = [jnp.clip(sum((ci[l][m] * (beta2 * g[m][l])).real for m in range(L)),
+                   1e-9, 1.0 - 1e-9) for l in range(L)]
+    xh = jnp.stack([x[l] / mu[l].astype(h.dtype) for l in range(L)], axis=-1)
+    ev = jnp.stack([(1.0 - mu[l]) / mu[l] for l in range(L)], axis=-1)
+    return xh, ev
+
+
 @functools.partial(jax.jit, static_argnames=("method",))
 def equalize(
     y: jax.Array,
@@ -90,6 +142,8 @@ def equalize(
     (1/SINR); infinite-variance layers (ZF singularities) come out large.
     """
     nlayers = h.shape[-1]
+    if nlayers == 4 and h.shape[-2] == 4 and method == "mmse":
+        return _equalize_mmse4_soa(y, h, noise_var, tx_scaling)
     hh = jnp.conj(jnp.swapaxes(h, -1, -2))  # (..., L, P)
     gram = hh @ h  # (..., L, L)
     z = (hh @ y[..., None])[..., 0]  # (..., L) matched filter
