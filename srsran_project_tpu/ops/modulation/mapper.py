@@ -99,9 +99,12 @@ def map_bits(bits: jax.Array, mod: Modulation) -> jax.Array:
     e = bits.shape[-1]
     assert e % qm == 0
     lut = jnp.asarray(constellation(mod))
-    group = bits.astype(jnp.int32).reshape(bits.shape[:-1] + (e // qm, qm))
-    weights = jnp.asarray(1 << np.arange(qm - 1, -1, -1), dtype=jnp.int32)
-    idx = jnp.sum(group * weights, axis=-1)
+    # Index packing stays in uint8 (bit*2^k products and their sum fit 255
+    # exactly at Qm=8): a 10 Mbit/slot codeword widened to int32 costs
+    # ~1.3 GB of HBM traffic per 32-slot batch for nothing.
+    group = bits.astype(jnp.uint8).reshape(bits.shape[:-1] + (e // qm, qm))
+    weights = jnp.asarray(1 << np.arange(qm - 1, -1, -1), dtype=jnp.uint8)
+    idx = jnp.sum(group * weights, axis=-1, dtype=jnp.int32)
     syms = lut[idx]
     if mod == Modulation.PI_2_BPSK:
         n = syms.shape[-1]

@@ -185,12 +185,17 @@ def modulate_slot(
     phase = _phase_comp(scs, dft_size, cp, slot_in_subframe, f_center_hz)
     x = x * jnp.asarray(phase)[:, None]
 
-    pieces = []
+    # CP prepend via ONE precomputed gather over the flattened symbols
+    # (28 concatenated slices copy the waveform twice; the gather is one
+    # fused read): output sample -> (symbol, intra-symbol index).
+    out_idx = []
     for l in range(nsym):
-        sym = x[..., l, :]
-        pieces.append(sym[..., dft_size - cps[l] :])  # cyclic prefix
-        pieces.append(sym)
-    return jnp.concatenate(pieces, axis=-1)
+        base = l * dft_size
+        out_idx.append(base + np.arange(dft_size - cps[l], dft_size))  # CP
+        out_idx.append(base + np.arange(dft_size))
+    oidx = jnp.asarray(np.concatenate(out_idx).astype(np.int32))
+    flat = x.reshape(x.shape[:-2] + (nsym * dft_size,))
+    return flat[..., oidx]
 
 
 @functools.partial(
@@ -228,11 +233,13 @@ def demodulate_slot(
         scale = 1.0 / np.sqrt(dft_size)
     cps, _ = _slot_geometry(scs, dft_size, cp, slot_in_subframe)
 
-    # Static slicing of each symbol's useful part; optionally start the
-    # window `adv_l` samples early (inside the CP).
+    # Extract each symbol's useful part with ONE precomputed gather (a
+    # python loop of 14 slices + stack copies the waveform twice; the
+    # gather is a single fused read); optionally start the window `adv_l`
+    # samples early (inside the CP).
     offs = 0
-    syms = []
     advs = []
+    idx_rows = []
     for l in range(nsym):
         if window_offset_samples is not None:
             adv = int(window_offset_samples)
@@ -240,9 +247,10 @@ def demodulate_slot(
             adv = int(window_offset * cps[l])
         advs.append(adv)
         offs += cps[l]
-        syms.append(samples[..., offs - adv : offs - adv + dft_size])
+        idx_rows.append(np.arange(offs - adv, offs - adv + dft_size))
         offs += dft_size
-    x = jnp.stack(syms, axis=-2)  # (..., nsym, dft)
+    gidx = jnp.asarray(np.stack(idx_rows).astype(np.int32))  # (nsym, dft)
+    x = samples[..., gidx]  # (..., nsym, dft)
 
     phase = _phase_comp(scs, dft_size, cp, slot_in_subframe, f_center_hz)
     x = x * jnp.conj(jnp.asarray(phase))[:, None]
