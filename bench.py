@@ -274,7 +274,7 @@ def worker() -> None:
     try:
         with staging.sync_stages():
             dec_fn_fixed(0)  # compile
-        t_dec_fixed = bench(dec_fn_fixed, 5, sync=True)
+        t_dec_fixed = bench(dec_fn_fixed, 5, sync=False)
         print(f"# decode {t_dec_fixed*1e3:.2f} ms/slot (fixed 6-iter budget)",
               file=sys.stderr, flush=True)
     except Exception as e:
