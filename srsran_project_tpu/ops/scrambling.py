@@ -92,21 +92,63 @@ def gold_sequence(c_init: jax.Array, length: int) -> jax.Array:
 
     c_init: scalar or batched (...,) uint32 seed.
     Returns (..., length) uint8 bits.
-    """
+
+    The x2 block states come from a TWO-LEVEL matmul decomposition
+    (j = a*T + b => s_j = seed @ (M^31T)^a @ (M^31)^b): two MXU matmuls
+    against small host constants produce every state in one pass, where
+    the earlier log2(K)-step doubling rewrote the growing state array ~19
+    times (~400 MB of HBM traffic per 10 Mbit codeword).  x1's seed is
+    fixed, so its bits are a baked host constant."""
     total = NC + length
     k = -(-total // _NBITS)
     c_init = jnp.asarray(c_init, dtype=jnp.uint32)
     batch = c_init.shape
 
     seed2 = ((c_init[..., None] >> jnp.arange(_NBITS, dtype=jnp.uint32)) & 1).astype(jnp.float32)
-    s2 = _block_states(seed2, _X2_TAPS, k)
-    x2 = s2.reshape(batch + (k * _NBITS,))[..., NC : NC + length]
+    cmat, dmat, t_blk = _two_level_mats(_X2_TAPS, k)
+    nof_a = dmat.shape[0]
+    # s1[a] = seed @ D_a ; states[a, b] = s1[a] @ C_b   (exact in f32:
+    # every dot is a sum of <= 31 bit products).
+    s_a = jnp.einsum("...x,axy->...ay", seed2, jnp.asarray(dmat))
+    s_a = (s_a.astype(jnp.int32) & 1).astype(jnp.float32)
+    states = jnp.einsum("...ax,bxy->...aby", s_a, jnp.asarray(cmat))
+    states = (states.astype(jnp.int32) & 1).astype(jnp.uint8)
+    x2 = states.reshape(batch + (nof_a * t_blk * _NBITS,))[..., NC : NC + length]
 
-    seed1 = jnp.zeros(batch + (_NBITS,), jnp.float32).at[..., 0].set(1.0)
-    s1 = _block_states(seed1, _X1_TAPS, k)
-    x1 = s1.reshape(batch + (k * _NBITS,))[..., NC : NC + length]
+    x1 = jnp.asarray(_x1_bits(length))
+    return x1 ^ x2
 
-    return (x1.astype(jnp.uint8)) ^ (x2.astype(jnp.uint8))
+
+@functools.lru_cache(maxsize=None)
+def _two_level_mats(taps, k: int):
+    """(C (T,31,31), D (ceil(k/T),31,31), T) f32 advance-matrix banks for
+    the two-level state generation covering >= k blocks."""
+    t_blk = 1 << max(0, (max(k, 1) - 1).bit_length() // 2)
+    nof_a = -(-k // t_blk)
+    m31 = _adv31_matrix(taps).astype(np.int64)
+    c = np.empty((t_blk, _NBITS, _NBITS), np.float32)
+    cur = np.eye(_NBITS, dtype=np.int64)
+    for b in range(t_blk):
+        c[b] = cur
+        cur = (cur @ m31) % 2
+    m31t = cur  # M^(31*T)
+    d = np.empty((nof_a, _NBITS, _NBITS), np.float32)
+    cur = np.eye(_NBITS, dtype=np.int64)
+    for a in range(nof_a):
+        d[a] = cur
+        cur = (cur @ m31t) % 2
+    return c, d, t_blk
+
+
+@functools.lru_cache(maxsize=None)
+def _x1_bits(length: int) -> np.ndarray:
+    """x1 output bits (seed fixed by TS 38.211): host-precomputed LFSR."""
+    total = NC + length
+    x1 = np.zeros(total + _NBITS, dtype=np.uint8)
+    x1[0] = 1
+    for i in range(total):
+        x1[i + _NBITS] = x1[i + 3] ^ x1[i]
+    return x1[NC : NC + length]
 
 
 def scramble_bits(bits: jax.Array, c_init: jax.Array) -> jax.Array:
