@@ -139,21 +139,40 @@ def sharded_front_end(grid: jax.Array, cfg: PuschConfig, mesh: Mesh,
         # Halo exchange + RC smoothing; keep one extra smoothed pair per
         # side for the boundary-straddling interpolation.
         ext = _halo_exchange(h_pair, halo, axis)  # (nl, npr, n+2*halo)
+        idx = jax.lax.axis_index(axis)
+        size = jax.lax.axis_size(axis)
+
+        # Bulk-delay compensation, matching ops/estimator.estimate_channel:
+        # a global per-(layer, port) phase slope over adjacent pairs (the
+        # cross-shard product comes from the halo; shard 0 has no left
+        # neighbour), derotate before smoothing/interpolation, re-rotate
+        # exactly at every subcarrier.
+        prod = ext[..., halo : halo + n_pairs] * \
+            jnp.conj(ext[..., halo - 1 : halo - 1 + n_pairs])
+        tmask = jnp.where((jnp.arange(n_pairs) == 0) & (idx == 0), 0.0, 1.0)
+        slope = jnp.angle(jax.lax.psum(
+            (prod * tmask).sum(axis=-1), axis))[..., None]  # (nl, npr, 1)
+        g_ext = (idx * n_pairs - halo) + jnp.arange(
+            n_pairs + 2 * halo, dtype=jnp.float32)
+        ext_d = ext * jnp.exp(-1j * slope * g_ext).astype(ext.dtype)
+
         w = jnp.asarray(taps)
         k = len(taps)
         sm_len = n_pairs + 2  # [-1 .. n] pair positions
         sm = jnp.zeros(h_pair.shape[:-1] + (sm_len,), h_pair.dtype)
         for i in range(k):
-            sm = sm + w[i] * ext[..., i + 1 - 1: i + 1 - 1 + sm_len]
+            sm = sm + w[i] * ext_d[..., i + 1 - 1: i + 1 - 1 + sm_len]
         # At the global edges the unsharded interp clamps to the first/last
         # smoothed pair; replicate it into the interp halo slot.
-        idx = jax.lax.axis_index(axis)
-        size = jax.lax.axis_size(axis)
         sm = sm.at[..., 0].set(jnp.where(idx == 0, sm[..., 1], sm[..., 0]))
         sm = sm.at[..., -1].set(jnp.where(idx == size - 1, sm[..., -2], sm[..., -1]))
 
         h = sm[..., jnp.asarray(li)] * (1 - jnp.asarray(frac)) \
             + sm[..., jnp.asarray(li) + 1] * jnp.asarray(frac)  # (nl, npr, local_sc)
+        # Re-rotation at the global subcarrier positions (pair centers sit
+        # at 1 + 4n for the type-1 port-0 reference, so k_pair = (x-1)/4).
+        x_glob = idx * local_sc + jnp.arange(local_sc, dtype=jnp.float32)
+        h = h * jnp.exp(1j * slope * ((x_glob - 1.0) / 4.0)).astype(h.dtype)
 
         # Noise variance / SNR accumulators (global psum mean).
         if cfg.noise_method == "second_difference":
