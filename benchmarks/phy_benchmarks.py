@@ -95,9 +95,11 @@ def bench_demapper():
     import jax.numpy as jnp
     from srsran_project_tpu.ops.modulation import Modulation, demap_soft
 
+    from srsran_project_tpu.support import hostio
+
     rng = np.random.default_rng(0)
     n = 157248
-    syms = jnp.asarray((rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64))
+    syms = hostio.to_device((rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64))
     nvar = jnp.full((n,), 0.01, jnp.float32)
     dt = _timeit(lambda: demap_soft(syms, nvar, Modulation.QAM256))
     return {"metric": "demapper256_rate", "value": round(n / dt / 1e6, 1),
@@ -108,10 +110,12 @@ def bench_equalizer():
     import jax.numpy as jnp
     from srsran_project_tpu.ops.equalizer import equalize
 
+    from srsran_project_tpu.support import hostio
+
     rng = np.random.default_rng(0)
     nre, p, l = 39312, 4, 4
-    y = jnp.asarray((rng.standard_normal((nre, p)) + 1j * rng.standard_normal((nre, p))).astype(np.complex64))
-    h = jnp.asarray((rng.standard_normal((nre, p, l)) + 1j * rng.standard_normal((nre, p, l))).astype(np.complex64))
+    y = hostio.to_device((rng.standard_normal((nre, p)) + 1j * rng.standard_normal((nre, p))).astype(np.complex64))
+    h = hostio.to_device((rng.standard_normal((nre, p, l)) + 1j * rng.standard_normal((nre, p, l))).astype(np.complex64))
     dt = _timeit(lambda: equalize(y, h, jnp.float32(0.1))[0])
     return {"metric": "mmse_4x4_rate", "value": round(nre / dt / 1e6, 1),
             "unit": "MRE/s", "detail": f"{dt*1e3:.2f} ms per 100MHz slot"}
@@ -122,8 +126,10 @@ def bench_ofdm():
     from srsran_project_tpu.ops import ofdm
     from srsran_project_tpu.ran.constants import CyclicPrefix, SubcarrierSpacing
 
+    from srsran_project_tpu.support import hostio
+
     rng = np.random.default_rng(0)
-    grid = jnp.asarray((rng.standard_normal((4, 14, 3276)) + 1j * rng.standard_normal((4, 14, 3276))).astype(np.complex64))
+    grid = hostio.to_device((rng.standard_normal((4, 14, 3276)) + 1j * rng.standard_normal((4, 14, 3276))).astype(np.complex64))
     dt = _timeit(lambda: ofdm.modulate_slot(grid, SubcarrierSpacing.KHZ30, 4096, CyclicPrefix.NORMAL, 0))
     nsamp = 4 * ofdm.slot_nof_samples(SubcarrierSpacing.KHZ30, 4096, CyclicPrefix.NORMAL, 0)
     return {"metric": "ofdm_mod_rate", "value": round(nsamp / dt / 1e6, 1),
@@ -134,8 +140,10 @@ def bench_prach():
     import jax.numpy as jnp
     from srsran_project_tpu.phy import prach
 
+    from srsran_project_tpu.support import hostio
+
     cfg = prach.PrachConfig(l_ra=839, zero_correlation_zone=1)
-    fd = jnp.asarray(prach.generate_preamble(cfg, 7)[None])
+    fd = hostio.to_device(np.asarray(prach.generate_preamble(cfg, 7))[None])
     dt = _timeit(lambda: prach.detect(fd, cfg)["metric"])
     return {"metric": "prach_detector_rate", "value": round(1.0 / dt, 1),
             "unit": "occasions/s", "detail": f"64 preambles, {dt*1e3:.2f} ms"}
@@ -145,10 +153,12 @@ def bench_estimator():
     import jax.numpy as jnp
     from srsran_project_tpu.ops.estimator import estimate_channel
 
+    from srsran_project_tpu.support import hostio
+
     rng = np.random.default_rng(0)
     npil = 1638  # 273 PRB type-1 pilots per CDM group
-    y = jnp.asarray((rng.standard_normal((4, 1, npil)) + 1j * rng.standard_normal((4, 1, npil))).astype(np.complex64))
-    ref = jnp.ones((1, 1, npil), jnp.complex64)
+    y = hostio.to_device((rng.standard_normal((4, 1, npil)) + 1j * rng.standard_normal((4, 1, npil))).astype(np.complex64))
+    ref = hostio.to_device(np.ones((1, 1, npil), np.complex64))
     wf = jnp.ones((npil,), jnp.float32)
     pp = tuple(float(4 * i + 1) for i in range(npil // 2))
     dt = _timeit(lambda: estimate_channel(y, ref, wf, pp, 3276)[0])
