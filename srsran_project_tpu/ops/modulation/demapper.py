@@ -102,13 +102,15 @@ def demap_soft(symbols: jax.Array, noise_var: jax.Array, mod: Modulation) -> jax
         ic = intercepts[:, k]
         return sl * y[None] + ic  # (m, ..., S)
 
-    li = axis_llrs(symbols.real)  # (m, ..., S): bits 0,2,4,..
-    lq = axis_llrs(symbols.imag)  # (m, ..., S): bits 1,3,5,..
-    # Interleave axis bits: out[..., s*qm + 2t] = li[t], out[..., s*qm + 2t+1] = lq[t].
+    inv_nv = 1.0 / noise_var
+    li = axis_llrs(symbols.real) * inv_nv  # (m, ..., S): bits 0,2,4,..
+    lq = axis_llrs(symbols.imag) * inv_nv  # (m, ..., S): bits 1,3,5,..
+    # Interleave axis bits: out[..., s*qm + 2t] = li[t], out[..., s*qm + 2t+1] = lq[t]
+    # (noise division happens on the (m, ..., S) layout — the old
+    # jnp.repeat(noise_var, qm) materialized a 40 MB broadcast per slot).
     both = jnp.stack([li, lq], axis=-1)  # (m, ..., S, 2)
     both = jnp.moveaxis(both, 0, -2)  # (..., S, m, 2)
-    llrs = both.reshape(shape[:-1] + (shape[-1] * qm,))
-    return llrs / jnp.repeat(noise_var, qm, axis=-1)
+    return both.reshape(shape[:-1] + (shape[-1] * qm,))
 
 
 def quantize_llr(llrs: jax.Array, range_limit: float = 20.0) -> jax.Array:

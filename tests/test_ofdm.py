@@ -84,3 +84,24 @@ def test_dft_window_offset_roundtrip():
                              window_offset=0.5)
     )
     np.testing.assert_allclose(back, grid, atol=3e-3)
+
+
+def test_matmul_dft_matches_fft_all_sizes():
+    """The TPU-gated matmul (I)DFT (ops/ofdm._matmul_dft) is platform-off
+    in the CPU suites; exercise it directly against jnp.fft for every DFT
+    size the carriers use, both directions."""
+    import jax.numpy as jnp
+
+    from srsran_project_tpu.ops import ofdm as ofdm_mod
+
+    rng = np.random.default_rng(0)
+    for n in (128, 256, 512, 1024, 2048, 4096):
+        x = (rng.standard_normal((3, n)) + 1j * rng.standard_normal((3, n))
+             ).astype(np.complex64)
+        xj = jnp.asarray(x)
+        fwd = np.asarray(ofdm_mod._matmul_dft(xj, inverse=False))
+        ref = np.fft.fft(x, axis=-1)
+        assert np.abs(fwd - ref).max() / np.abs(ref).max() < 2e-5, n
+        inv = np.asarray(ofdm_mod._matmul_dft(xj, inverse=True)) / n
+        refi = np.fft.ifft(x, axis=-1)
+        assert np.abs(inv - refi).max() / max(np.abs(refi).max(), 1e-9) < 2e-5, n
