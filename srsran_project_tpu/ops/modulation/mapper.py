@@ -98,14 +98,38 @@ def map_bits(bits: jax.Array, mod: Modulation) -> jax.Array:
     qm = bits_per_symbol(mod)
     e = bits.shape[-1]
     assert e % qm == 0
-    lut = jnp.asarray(constellation(mod))
-    # Index packing stays in uint8 (bit*2^k products and their sum fit 255
-    # exactly at Qm=8): a 10 Mbit/slot codeword widened to int32 costs
-    # ~1.3 GB of HBM traffic per 32-slot batch for nothing.
-    group = bits.astype(jnp.uint8).reshape(bits.shape[:-1] + (e // qm, qm))
-    weights = jnp.asarray(1 << np.arange(qm - 1, -1, -1), dtype=jnp.uint8)
-    idx = jnp.sum(group * weights, axis=-1, dtype=jnp.int32)
-    syms = lut[idx]
+    # Symbols arithmetically from the nested Gray PAM recursion (TS
+    # 38.211 §5.1.4+): pure elementwise f32 math — no million-row gather
+    # through a 2^Qm LUT (TPU gathers are lane-starved; the closed form
+    # rides the VPU at full width).
+    group = bits.astype(jnp.float32).reshape(bits.shape[:-1] + (e // qm, qm))
+    if qm == 1:
+        b = group[..., 0]
+        r = (1.0 - 2.0 * b) * np.float32(1.0 / np.sqrt(2))
+        syms = jax.lax.complex(r, r)
+        if mod == Modulation.PI_2_BPSK:
+            n = syms.shape[-1]
+            rot = jnp.where(jnp.arange(n) % 2 == 1, 1j, 1.0).astype(jnp.complex64)
+            syms = syms * rot
+        return syms
+    if qm == 2:
+        s2 = np.float32(1.0 / np.sqrt(2))
+        return jax.lax.complex((1.0 - 2.0 * group[..., 0]) * s2,
+                               (1.0 - 2.0 * group[..., 1]) * s2)
+    m = qm // 2
+    scale = {4: 10.0, 6: 42.0, 8: 170.0}[qm]
+
+    def pam(axis_bits):
+        # axis_bits: (..., m) with [:, 0] the sign bit.
+        amp = jnp.ones(axis_bits.shape[:-1], jnp.float32)
+        for k in range(m - 1, 0, -1):
+            amp = 2.0 ** (m - k) - (1.0 - 2.0 * axis_bits[..., k]) * amp
+        return (1.0 - 2.0 * axis_bits[..., 0]) * amp
+
+    i_amp = pam(group[..., 0::2])
+    q_amp = pam(group[..., 1::2])
+    s = np.float32(1.0 / np.sqrt(scale))
+    syms = jax.lax.complex(i_amp * s, q_amp * s)
     if mod == Modulation.PI_2_BPSK:
         n = syms.shape[-1]
         rot = jnp.where(jnp.arange(n) % 2 == 1, 1j, 1.0).astype(jnp.complex64)
