@@ -1,10 +1,10 @@
 """Modulation mapping (TS 38.211 §5.1): BPSK .. 256QAM.
 
 Counterpart of the reference's modulation_mapper_lut/avx512 impls
-(lib/phy/upper/channel_modulation/modulation_mapper_lut_impl.cpp) — here a
-single gather from a 2^Qm-entry unit-average-power constellation LUT; the
-LUT is generated from the spec formulas at import time, and batching over
-symbols is free.
+(lib/phy/upper/channel_modulation/modulation_mapper_lut_impl.cpp) — here
+the symbols come straight from the nested Gray PAM recursion as
+elementwise vector math (no LUT gather on the hot path; the LUT stays for
+oracles/EVM), and batching over symbols is free.
 """
 
 from __future__ import annotations

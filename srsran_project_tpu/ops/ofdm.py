@@ -4,10 +4,12 @@ Counterpart of the reference's ofdm_modulator/ofdm_demodulator
 (lib/phy/lower/modulation/ofdm_modulator_impl.cpp:58, ofdm_demodulator_impl.cpp:96)
 and its FFTW dft_processor — re-designed for TPU: one jitted program per
 static (scs, dft_size, nof_rb, cp, f_center) carrier configuration processes
-a whole slot of symbols as a batch.  The IDFT/DFT is jnp.fft (XLA's native
-FFT); the half-spectrum grid placement, per-symbol phase-compensation
-coefficients (TS 38.211 §5.4) and cyclic-prefix slicing are all static
-tensor ops.
+a whole slot of symbols as a batch.  The (I)DFT is a two-stage 64-point
+matmul factorization on real TPUs (XLA's native FFT on the target backend
+measured 6-9 ms per 56x4096 batch; the matmul form rides the MXU) and
+jnp.fft elsewhere; the half-spectrum grid placement, per-symbol
+phase-compensation coefficients (TS 38.211 §5.4) and gather-based
+cyclic-prefix handling are all static tensor ops.
 
 Conventions:
   * grid axes (..., nof_symbols, nof_subcarriers); subcarrier k sits at
