@@ -501,3 +501,46 @@ def test_ofh_ru_paced_dl_whole_slot_late():
     assert not sent
     assert ru.get_metrics().late_dl_requests == 1
     assert errs.dl == [slot]
+
+
+@pytest.mark.skipif(native.get_lib() is None, reason="native lib unavailable")
+def test_ofh_ru_paced_emulator_roundtrip_decodes():
+    """Full paced round trip: a DU-side RuOfh with the symbol-paced DL
+    transmitter streams a slot toward an RU emulator (loopback), the
+    frames come back as UL within the reception window, and the
+    reassembled grid matches the transmitted one (BFP tolerance) — the
+    T1a dispatcher, rx-window checker and U-plane serdes exercised
+    together in time order."""
+    col = Collector()
+    cfg = RuOfhConfig(scs=SCS, nof_prb=12, dl_pacing="paced",
+                      tx_window_t1a_max_symbols=28,
+                      tx_window_t1a_min_symbols=0)
+    wire = []
+    ru = RuOfh(cfg, col, send_frame=wire.append)
+    slot = SlotPoint.from_sfn_slot(SCS, 5, 6)
+    prev = slot + (-1)
+    rng = np.random.default_rng(4)
+    grid = (rng.standard_normal((1, 14, 144))
+            + 1j * rng.standard_normal((1, 14, 144))).astype(np.complex64) * 0.1
+
+    ru.ota_tick(prev, symbol=0)
+    ru.handle_new_uplink_slot(ResourceGridContext(slot=slot))
+    ru.handle_dl_data(ResourceGridContext(slot=slot), grid)
+    # Drive the OTA clock through the previous and the data slot, feeding
+    # every dispatched U-plane frame straight back as the RU's uplink.
+    for s in range(14):
+        ru.ota_tick(prev, symbol=s)
+        while wire:
+            f = wire.pop(0)
+            if f[1] == 0x00:
+                ru.push_uplane_frame(f)
+    for s in range(14):
+        ru.ota_tick(slot, symbol=s)
+        while wire:
+            f = wire.pop(0)
+            if f[1] == 0x00:
+                ru.push_uplane_frame(f)
+    assert len(col.symbols) == 14
+    got = np.asarray(col.symbols[0][1])
+    assert np.allclose(got, grid, atol=2e-2)
+    assert ru.get_metrics().late_dl_requests == 0
