@@ -108,9 +108,11 @@ class UpperPhy:
             c = pdu.config
             # Group key normalizes crb_start (the scheduler bakes the PRB
             # offset into it; process_multi re-derives per-grant pilots
-            # from first_rb).  Only crb_start == first_rb grants batch.
+            # from first_rb).  Only crb_start == first_rb grants batch —
+            # a crb_start=0 grant at first_rb!=0 would get its DM-RS Gold
+            # index re-derived from the wrong CRB (ADVICE r3).
             if (pdu.first_rb is not None and not c.ptrs_enabled
-                    and c.alloc.crb_start in (0, pdu.first_rb)):
+                    and c.alloc.crb_start == pdu.first_rb):
                 key = dataclasses.replace(
                     c, alloc=dataclasses.replace(c.alloc, crb_start=0))
                 batched.setdefault(key, []).append(pdu)
@@ -214,7 +216,7 @@ class UpperPhy:
             if (pdu.first_rb is not None and pdu.new_data
                     and c.uci_mux is None and not c.ptrs_enabled
                     and c.estimator != "reference"
-                    and c.alloc.crb_start in (0, pdu.first_rb)):
+                    and c.alloc.crb_start == pdu.first_rb):
                 key = dataclasses.replace(
                     c, alloc=dataclasses.replace(c.alloc, crb_start=0))
                 groups.setdefault(key, []).append(i)

@@ -127,6 +127,10 @@ class RuMetrics:
     late_dl_requests: int = 0
     late_ul_requests: int = 0
     late_prach_requests: int = 0
+    # Frame-level lateness (OFH rx-window checker): frames outside the Ta4
+    # window.  Kept separate from late_ul_requests (slot-level: requests
+    # evicted unfilled) so a late-then-evicted slot is not counted twice.
+    late_ul_frames: int = 0
     slots_notified: int = 0
     slots_skipped: int = 0
 

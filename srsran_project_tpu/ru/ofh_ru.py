@@ -127,7 +127,10 @@ class RuOfh:
 
     def get_metrics(self) -> RuMetrics:
         m = dataclasses.replace(self.metrics)
-        m.late_ul_requests += self.window.stats.late
+        # Frame lateness is reported on its own counter: late frames leave
+        # their slot unfilled, so the eviction path already counts that
+        # slot once in late_ul_requests (ADVICE r3 double-count).
+        m.late_ul_frames += self.window.stats.late
         return m
 
     # -- helpers -----------------------------------------------------------

@@ -275,3 +275,45 @@ def test_multi_ue_slot_batches_into_one_program(monkeypatch):
     assert all(c.tb_crc_ok for c in res.crc)
     rx_rntis = {r.rnti for r in res.rx_data}
     assert rx_rntis == {0x4601 + i for i in range(4)}
+
+
+def test_crb0_offset_grants_do_not_batch(monkeypatch):
+    """Equal-config grants with crb_start=0 but first_rb!=0 (the fallback
+    scheduler's shape) must NOT take the batched path: process_multi
+    re-derives DM-RS Gold indices from first_rb, which would disagree with
+    the pdu.config the receiver uses (ADVICE r3 medium).  The slot output
+    must equal the per-PDU path exactly."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    rb = 12
+    alloc = Allocation(rb_start=0, rb_count=rb, sym_start=1, sym_count=12,
+                       dmrs_symbols=(2,), crb_start=0)
+    tx_cfg = pdsch_mod.PdschConfig(
+        tbs=1000, target_code_rate=0.3, modulation=Modulation.QPSK,
+        alloc=alloc, nof_layers=1, nof_ports=1, nof_grid_symbols=14,
+        nof_grid_sc=rb * 12)
+    tbs = [rng.integers(0, 2, size=(1000,), dtype=np.uint8) for _ in range(2)]
+    pdus = [fapi.DlPdschPdu(tx_cfg, 0x4601 + i, np.eye(1, dtype=np.complex64),
+                            i, first_rb=4 + 20 * i) for i in range(2)]
+    req = fapi.DlTtiRequest(slot=_slot(), pdsch=pdus)
+    data = fapi.TxDataRequest(slot=_slot(), payloads=tbs)
+
+    calls = {"dl": 0}
+    real_dl = pdsch_mod.process_multi
+    monkeypatch.setattr(pdsch_mod, "process_multi",
+                        lambda *a, **k: (calls.__setitem__("dl", calls["dl"] + 1),
+                                         real_dl(*a, **k))[1])
+    phy = UpperPhy(UpperPhyConfig(nof_ports=1))
+    grid = np.asarray(phy.process_dl_tti(req, data))
+    assert calls["dl"] == 0  # mismatched crb_start grants take the PDU path
+
+    # Per-PDU reference: each grant placed at its offset.
+    expect = np.zeros_like(grid)
+    for pdu, tb in zip(pdus, tbs):
+        sub = np.asarray(pdsch_mod.process(
+            jnp.asarray(tb), jnp.uint32(pdu.rnti),
+            jnp.eye(1, dtype=jnp.complex64), tx_cfg))
+        off = pdu.first_rb * 12
+        expect[:, :, off : off + sub.shape[2]] += sub
+    np.testing.assert_allclose(grid, expect, atol=1e-6)
