@@ -111,6 +111,7 @@ class CellConfig:
             nof_rx_ports=self.nof_ports,
             nof_grid_symbols=14,
             nof_grid_sc=self.nof_sc,
+            scs_khz=15 << int(self.scs),
             slot_in_frame=self.slot_in_frame,
             nof_ldpc_iterations=self.nof_ldpc_iterations,
             ldpc_early_stop=self.ldpc_early_stop,
@@ -214,6 +215,56 @@ def encode_slot_fused(tb_bits: jax.Array, rnti: jax.Array,
     grid = pdsch._grid_chain(cw, precoding, cfg.pdsch_cfg)
     return ofdm.modulate_slot(grid, cfg.scs, cfg.dft_size, cfg.cp, 0,
                               f_center_hz=cfg.f_center_hz)
+
+
+@_functools.partial(jax.jit, static_argnames=("cfg",))
+def encode_slots_scan(tb_chunks: jax.Array, rnti_chunks: jax.Array,
+                      precoding: jax.Array, cfg: CellConfig):
+    """k*B DL slots in ONE compiled program: `lax.scan` over k chunks of a
+    B-slot vmapped `encode_slot_fused` body.
+
+    The remote compile helper on the TPU tunnel rejects programs above
+    ~x32 slot batch (payload ceiling), which capped dispatch amortization
+    at ~1 ms/slot; a scan re-uses ONE traced x-B body k times, so the
+    program size stays ~constant while a single 30-90 ms dispatch covers
+    k*B slots (VERDICT r3 next #2).
+
+    tb_chunks: (k, B, A) uint8; rnti_chunks: (k, B) uint32;
+    precoding: (nl, P).  Returns (k, B) float32 per-slot IQ energy — a
+    checksum depending on every sample, so the encodes cannot be DCE'd,
+    without materializing (k, B, P, ns) IQ in HBM."""
+
+    def body(_, xs):
+        tb_b, rnti_b = xs
+        iq = jax.vmap(lambda t, r: encode_slot_fused(t, r, precoding, cfg))(
+            tb_b, rnti_b)
+        e = (_jnp.abs(iq.real) ** 2 + _jnp.abs(iq.imag) ** 2).sum(axis=(1, 2))
+        return None, e
+
+    _, energy = jax.lax.scan(body, None, (tb_chunks, rnti_chunks))
+    return energy
+
+
+@_functools.partial(jax.jit, static_argnames=("cfg",))
+def decode_slots_scan(iq_chunks: jax.Array, rnti_chunks: jax.Array,
+                      tb_expected: jax.Array, cfg: CellConfig):
+    """k*B UL slot decodes in ONE compiled program (scan twin of
+    `encode_slots_scan`; same dispatch-amortization rationale).
+
+    iq_chunks: (k, B, P, ns) complex64; rnti_chunks: (k, B) uint32;
+    tb_expected: (A,) uint8 — the transmitted payload, compared on device.
+    Returns (crc_ok (k, B) int32, bit_errors (k, B) int32): exact
+    transfer-safe verdicts for EVERY benched decode."""
+
+    def body(_, xs):
+        iq_b, rnti_b = xs
+        out = jax.vmap(lambda x, r: decode_slot_fused(x, r, cfg))(iq_b, rnti_b)
+        ok = out["tb_crc_ok"].astype(_jnp.int32)
+        errs = (out["tb_bits"] != tb_expected[None]).astype(_jnp.int32).sum(axis=1)
+        return None, (ok, errs)
+
+    _, (ok, errs) = jax.lax.scan(body, None, (iq_chunks, rnti_chunks))
+    return ok, errs
 
 
 @_functools.partial(jax.jit, static_argnames=("cfg",))

@@ -123,6 +123,49 @@ def _equalize_mmse4_soa(y, h, noise_var, tx_scaling):
 
 
 @functools.partial(jax.jit, static_argnames=("method",))
+def equalize_weights(
+    h: jax.Array,
+    noise_var: jax.Array,
+    tx_scaling: float | jax.Array = 1.0,
+    method: str = "mmse",
+):
+    """Per-position equalizer weights for a batch of channel matrices.
+
+    h: (..., P, L); noise_var: broadcastable to (...,).
+    Returns (w (..., L, P), eq_nvar (..., L)) such that x_hat = w @ y is
+    the unbiased estimate with post-equalization noise eq_nvar — the same
+    math as `equalize`, factored so callers whose channel varies on a
+    COARSER axis than their data (PxSCH: h per subcarrier, data per
+    (symbol, subcarrier)) invert each distinct matrix once instead of per
+    RE.  At the 100 MHz 13-symbol slot that is 12x less inverse work than
+    the per-RE formulation.
+    """
+    nlayers = h.shape[-1]
+    hh = jnp.conj(jnp.swapaxes(h, -1, -2))  # (..., L, P)
+    gram = hh @ h
+    nv = jnp.maximum(jnp.asarray(noise_var, h.real.dtype), 1e-12)[..., None]
+    beta2 = jnp.asarray(tx_scaling, h.real.dtype) ** 2
+    eye = jnp.eye(nlayers, dtype=h.dtype)
+    if method == "mmse":
+        c = beta2 * gram + nv[..., None] * eye
+    elif method == "zf":
+        c = beta2 * gram + 1e-9 * eye
+    else:
+        raise ValueError(method)
+    cinv = _inv_small(c)
+    w = (cinv @ hh) * jnp.asarray(tx_scaling, h.dtype)
+    if method == "mmse":
+        mu = jnp.einsum("...ij,...ji->...i", cinv, beta2 * gram).real
+        mu = jnp.clip(mu, 1e-9, 1.0 - 1e-9)
+        w = w / mu[..., None].astype(h.dtype)
+        eq_nvar = (1.0 - mu) / mu
+    else:
+        diag = jnp.einsum("...ii->...i", cinv).real
+        eq_nvar = nv * diag / beta2
+    return w, eq_nvar
+
+
+@functools.partial(jax.jit, static_argnames=("method",))
 def equalize(
     y: jax.Array,
     h: jax.Array,

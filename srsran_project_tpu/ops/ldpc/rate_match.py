@@ -69,29 +69,103 @@ def _filler_mask(bg: int, z: int, k_prime: int, n_cb: int) -> np.ndarray:
     return m
 
 
+@functools.lru_cache(maxsize=None)
+def _valid_runs(bg: int, z: int, k_prime: int, rv: int, n_cb: int):
+    """Maximal consecutive runs of the circular-buffer read order with
+    fillers skipped: [(buf_start, length)], in read order.
+
+    The whole bit-selection map is a handful of contiguous buffer slices
+    (circular start + <= 2 filler splits + wraparound), so both matching
+    and dematching collapse to static slice/concat/transpose — no device
+    gather.  TPU gathers are lane-starved (ROOFLINE r3 measured the
+    (N,)-index dematch gather at ~2.8 ms/slot); slice+concat copies run
+    at HBM bandwidth.
+    """
+    is_filler = _filler_mask(bg, z, k_prime, n_cb)
+    k0 = k0_offset(bg, z, rv, n_cb)
+    order = (k0 + np.arange(n_cb)) % n_cb
+    valid = order[~is_filler[order]]
+    cuts = np.nonzero(np.diff(valid) != 1)[0] + 1
+    starts = np.concatenate([[0], cuts])
+    ends = np.concatenate([cuts, [len(valid)]])
+    return tuple((int(valid[s]), int(e_ - s)) for s, e_ in zip(starts, ends))
+
+
+def _chunk_segments(bg: int, z: int, k_prime: int, e: int, rv: int, n_cb: int):
+    """Per-repetition-chunk segment maps for E transmitted positions.
+
+    Returns [(chunk_de_offset, [(buf_start, de_start, length), ...]), ...]
+    where de indexes the DE-INTERLEAVED LLR/bit stream and each chunk
+    covers one pass over the usable buffer (repetition when E > usable).
+    """
+    runs = _valid_runs(bg, z, k_prime, rv, n_cb)
+    v = sum(ln for _, ln in runs)
+    chunks = []
+    off = 0
+    while off < e:
+        take = min(v, e - off)
+        segs = []
+        pos = 0
+        for bs, ln in runs:
+            if pos >= take:
+                break
+            ln_c = min(ln, take - pos)
+            segs.append((bs, off + pos, ln_c))
+            pos += ln_c
+        chunks.append(segs)
+        off += take
+    return chunks
+
+
 @functools.partial(jax.jit, static_argnames=("bg", "z", "k_prime", "e", "rv", "qm", "n_cb"))
 def rate_match(
     buffer: jax.Array, bg: int, z: int, k_prime: int, e: int, rv: int, qm: int, n_cb: int | None = None
 ) -> jax.Array:
-    """(..., N) codeword buffer -> (..., E) transmitted bits."""
+    """(..., N) codeword buffer -> (..., E) transmitted bits.
+
+    Static slice/concat (read the buffer runs in circular order, tile for
+    repetition) + reshape/transpose (the Qm block interleaver) — the
+    gather-free formulation of TS 38.212 §5.4.2.
+    """
     if n_cb is None:
         n_cb = graphs.get_graph(bg, z).nof_codeword_bits
-    idx = jnp.asarray(selection_indices(bg, z, k_prime, e, rv, qm, n_cb))
-    return jnp.take(buffer, idx, axis=-1)
+    chunks = _chunk_segments(bg, z, k_prime, e, rv, n_cb)
+    pieces = []
+    for segs in chunks:
+        for bs, _ds, ln in segs:
+            pieces.append(buffer[..., bs : bs + ln])
+    pre = jnp.concatenate(pieces, axis=-1)  # (..., E) in pre-interleave order
+    # Interleave: out[j*qm + i] = pre[i*(e//qm) + j].
+    out = pre.reshape(pre.shape[:-1] + (qm, e // qm))
+    return jnp.swapaxes(out, -1, -2).reshape(pre.shape[:-1] + (e,))
 
 
-@functools.lru_cache(maxsize=None)
-def _inverse_indices(bg: int, z: int, k_prime: int, e: int, rv: int, qm: int, n_cb: int):
-    """Inverse selection map when no buffer position repeats: (N,) int32
-    with inv[n] = index into e (or E, meaning 'not transmitted')."""
+def _dematch_accumulate(llrs: jax.Array, bg: int, z: int, k_prime: int,
+                        e: int, rv: int, qm: int, n_cb: int) -> jax.Array:
+    """(..., E) int8 LLRs -> (..., N) int32 accumulated buffer positions
+    (filler/erasure handling left to the callers).  Gather-free: the
+    de-interleave is a reshape/transpose and each repetition chunk is a
+    static slice/concat in buffer order."""
     g = graphs.get_graph(bg, z)
     n = g.nof_codeword_bits
-    sel = selection_indices(bg, z, k_prime, e, rv, qm, n_cb)
-    if len(np.unique(sel)) != len(sel):
-        return None  # repetition: fall back to scatter-add
-    inv = np.full(n, e, dtype=np.int32)
-    inv[sel] = np.arange(e, dtype=np.int32)
-    return inv
+    batch = llrs.shape[:-1]
+    # De-interleave: de[i*(e//qm) + j] = llrs[j*qm + i].
+    de = llrs.reshape(batch + (e // qm, qm))
+    de = jnp.swapaxes(de, -1, -2).reshape(batch + (e,)).astype(jnp.int32)
+    acc = None
+    for segs in _chunk_segments(bg, z, k_prime, e, rv, n_cb):
+        pieces = []
+        cur = 0
+        for bs, ds, ln in sorted(segs):
+            if bs > cur:
+                pieces.append(jnp.zeros(batch + (bs - cur,), jnp.int32))
+            pieces.append(de[..., ds : ds + ln])
+            cur = bs + ln
+        if cur < n:
+            pieces.append(jnp.zeros(batch + (n - cur,), jnp.int32))
+        chunk = jnp.concatenate(pieces, axis=-1)
+        acc = chunk if acc is None else acc + chunk
+    return acc
 
 
 @functools.partial(jax.jit, static_argnames=("bg", "z", "k_prime", "e", "rv", "qm", "n_cb"))
@@ -102,25 +176,15 @@ def rate_dematch(
 
     Combines repeated transmissions of the same buffer position with int8
     saturation; filler positions are set to +LLR_INF (known zero bits).
-    Positions never transmitted stay 0 (erasure).  When E <= usable buffer
-    (no repetition) this is a pure gather through the precomputed inverse
-    permutation — no scatter on the device.
+    Positions never transmitted stay 0 (erasure).
     """
     g = graphs.get_graph(bg, z)
     n = g.nof_codeword_bits
     if n_cb is None:
         n_cb = n
-    batch = llrs.shape[:-1]
-    inv = _inverse_indices(bg, z, k_prime, e, rv, qm, n_cb)
-    if inv is not None:
-        padded = jnp.concatenate(
-            [llrs.astype(jnp.int32), jnp.zeros(batch + (1,), jnp.int32)], axis=-1
-        )
-        acc = padded[..., jnp.asarray(inv)]
-    else:
-        idx = jnp.asarray(selection_indices(bg, z, k_prime, e, rv, qm, n_cb))
-        acc = jnp.zeros(batch + (n,), dtype=jnp.int32)
-        acc = acc.at[..., idx].add(llrs.astype(jnp.int32))
+    acc = _dematch_accumulate(llrs, bg, z, k_prime, e, rv, qm, n_cb)
+    usable = sum(ln for _, ln in _valid_runs(bg, z, k_prime, rv, n_cb))
+    if e > usable:  # repetition: saturate the combined sums
         acc = jnp.clip(acc, -LLR_MAX, LLR_MAX)
     filler = jnp.asarray(_filler_mask(bg, z, k_prime, n_cb))
     filler = jnp.pad(filler, (0, n - n_cb)) if n_cb < n else filler
@@ -151,17 +215,7 @@ def rate_dematch_combine(
     n = g.nof_codeword_bits
     if n_cb is None:
         n_cb = n
-    batch = llrs.shape[:-1]
-    inv = _inverse_indices(bg, z, k_prime, e, rv, qm, n_cb)
-    if inv is not None:
-        padded = jnp.concatenate(
-            [llrs.astype(jnp.int32), jnp.zeros(batch + (1,), jnp.int32)], axis=-1
-        )
-        inc = padded[..., jnp.asarray(inv)]
-    else:
-        idx = jnp.asarray(selection_indices(bg, z, k_prime, e, rv, qm, n_cb))
-        inc = jnp.zeros(batch + (n,), dtype=jnp.int32)
-        inc = inc.at[..., idx].add(llrs.astype(jnp.int32))
+    inc = _dematch_accumulate(llrs, bg, z, k_prime, e, rv, qm, n_cb)
     filler = jnp.asarray(_filler_mask(bg, z, k_prime, n_cb))
     filler = jnp.pad(filler, (0, n - n_cb)) if n_cb < n else filler
     combined = jnp.clip(buffer.astype(jnp.int32) + inc, -LLR_MAX, LLR_MAX)

@@ -69,6 +69,34 @@ def _interval_tables(mod: Modulation):
     return float(width), ni, slopes, intercepts
 
 
+def _axis_llrs_closed(y: jax.Array, levels: np.ndarray, labels: np.ndarray) -> jax.Array:
+    """Exact per-axis max-log LLRs by direct distance minimization.
+
+    Pure unrolled elementwise math (2^m subtract/square chains + min
+    trees): no LUT gather — TPU gathers through the (m, NI) interval
+    tables were the dominant demap cost on hardware (ROOFLINE r3:
+    2.49 ms per 256QAM slot), while the VPU eats the ~5x flop increase
+    for free.  Also Pallas-kernel-safe (no dynamic indexing), so the
+    fused front-end kernel reuses it verbatim.
+
+    Returns (m, ...) LLRs, positive = bit 0 — identical (up to float
+    rounding) to the interval-table evaluation, which is itself a
+    piecewise-linear encoding of this same exact max-log expression.
+    """
+    m = labels.shape[1]
+    d2 = [(y - np.float32(l)) ** 2 for l in levels]
+    outs = []
+    for b in range(m):
+        m0 = m1 = None
+        for l, d in enumerate(d2):
+            if labels[l, b]:
+                m1 = d if m1 is None else jnp.minimum(m1, d)
+            else:
+                m0 = d if m0 is None else jnp.minimum(m0, d)
+        outs.append(m1 - m0)
+    return jnp.stack(outs)
+
+
 @functools.partial(jax.jit, static_argnames=("mod",))
 def demap_soft(symbols: jax.Array, noise_var: jax.Array, mod: Modulation) -> jax.Array:
     """(..., S) complex symbols + (..., S) noise variance -> (..., S*Qm) float LLRs.
@@ -91,16 +119,11 @@ def demap_soft(symbols: jax.Array, noise_var: jax.Array, mod: Modulation) -> jax
         llr_q = 2.0 * np.sqrt(2.0) * symbols.imag / noise_var
         return jnp.stack([llr_i, llr_q], axis=-1).reshape(shape[:-1] + (shape[-1] * 2,))
 
-    width, ni, slopes, intercepts = _interval_tables(mod)
-    slopes = jnp.asarray(slopes)
-    intercepts = jnp.asarray(intercepts)
     m = qm // 2
+    levels, labels = pam_levels(mod)
 
     def axis_llrs(y):
-        k = jnp.clip(jnp.floor(y / width).astype(jnp.int32) + ni // 2, 0, ni - 1)
-        sl = slopes[:, k]  # (m, ...)
-        ic = intercepts[:, k]
-        return sl * y[None] + ic  # (m, ..., S)
+        return _axis_llrs_closed(y, levels, labels)
 
     inv_nv = 1.0 / noise_var
     li = axis_llrs(symbols.real) * inv_nv  # (m, ..., S): bits 0,2,4,..

@@ -108,10 +108,16 @@ def gold_sequence(c_init: jax.Array, length: int) -> jax.Array:
     cmat, dmat, t_blk = _two_level_mats(_X2_TAPS, k)
     nof_a = dmat.shape[0]
     # s1[a] = seed @ D_a ; states[a, b] = s1[a] @ C_b   (exact in f32:
-    # every dot is a sum of <= 31 bit products).
-    s_a = jnp.einsum("...x,axy->...ay", seed2, jnp.asarray(dmat))
+    # every dot is a sum of <= 31 bit products).  Both banks are flattened
+    # to (31, K*31) so each level is ONE MXU matmul — a batched einsum of
+    # 31x31 matmuls lowers to hundreds of tiny systolic passes and was the
+    # dominant cost of scramble+map on hardware (ROOFLINE r3: 3.03 ms).
+    dflat = jnp.asarray(dmat.transpose(1, 0, 2).reshape(_NBITS, -1))
+    s_a = jnp.matmul(seed2, dflat, preferred_element_type=jnp.float32)
     s_a = (s_a.astype(jnp.int32) & 1).astype(jnp.float32)
-    states = jnp.einsum("...ax,bxy->...aby", s_a, jnp.asarray(cmat))
+    s_a = s_a.reshape(batch + (nof_a, _NBITS))
+    cflat = jnp.asarray(cmat.transpose(1, 0, 2).reshape(_NBITS, -1))
+    states = jnp.matmul(s_a, cflat, preferred_element_type=jnp.float32)
     states = (states.astype(jnp.int32) & 1).astype(jnp.uint8)
     x2 = states.reshape(batch + (nof_a * t_blk * _NBITS,))[..., NC : NC + length]
 

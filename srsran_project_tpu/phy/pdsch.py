@@ -245,7 +245,7 @@ def _multi_dmrs_bank(cfg: PdschConfig, first_rbs: tuple) -> np.ndarray:
 
 
 def process_multi(tbs, rntis, first_rbs, precoding, cfg: PdschConfig,
-                  grid=None):
+                  grid=None, nof_slot_sc=None):
     """Encode N equal-config PDSCH grants into one slot grid in ONE
     batched device program (the DL twin of pusch.process_multi; BASELINE
     config #5 multi-UE slot shape).
@@ -264,7 +264,12 @@ def process_multi(tbs, rntis, first_rbs, precoding, cfg: PdschConfig,
     tbs = jnp.asarray(tbs, jnp.uint8)
     if grid is None:
         from ..support import hostio
-        nof_slot_sc = max(12 * (rb + cfg.alloc.rb_count) for rb in first_rbs)
+        if nof_slot_sc is None:
+            # Carrier width unknown: cover at least the last grant's span
+            # AND the config's own grid width so standalone callers get a
+            # grid consistent with process()/UpperPhy shapes (ADVICE r3).
+            nof_slot_sc = max(cfg.nof_grid_sc,
+                              *(12 * (rb + cfg.alloc.rb_count) for rb in first_rbs))
         grid = hostio.zeros_complex(
             (cfg.nof_ports, cfg.nof_grid_symbols, nof_slot_sc))
     from ..support import hostio

@@ -53,6 +53,9 @@ class PuschConfig:
     nof_rx_ports: int = 1
     nof_grid_symbols: int = 14
     nof_grid_sc: int = 624
+    # Subcarrier spacing in kHz: sets the CP-epoch geometry of the
+    # reference estimator's CFO/TA estimates (the fast path is SCS-free).
+    scs_khz: int = 30
     n_id: int = 0
     rv: int = 0
     slot_in_frame: int = 0
@@ -235,7 +238,7 @@ def _estimate_reference(grid: jax.Array, cfg: PuschConfig, idx_all, r_np, wf_np)
     ppb = dmrs_mod.pilots_per_prb(a.dmrs_config_type)
     pattern = tuple(int(k - a.sc_start) for k in ks[:ppb])
     rcfg = refjax.RefEstimatorConfig(
-        scs_khz=30, nof_prb=a.rb_count, first_symbol=a.sym_start,
+        scs_khz=cfg.scs_khz, nof_prb=a.rb_count, first_symbol=a.sym_start,
         nof_symbols=a.sym_count,
         dmrs_symbol_mask=sum(1 << s for s in a.dmrs_symbols),
         re_pattern=pattern, nof_layers=nl, scaling=beta,
@@ -250,7 +253,8 @@ def _estimate_reference(grid: jax.Array, cfg: PuschConfig, idx_all, r_np, wf_np)
     gflat = grid.reshape(npr, -1)
     if rcfg.compensate_cfo:
         cfo = outs["cfo"].mean()
-        epochs = jnp.asarray(_symbol_start_epochs(cfg.nof_grid_symbols, 1),
+        mu = {15: 0, 30: 1, 60: 2, 120: 3}[cfg.scs_khz]
+        epochs = jnp.asarray(_symbol_start_epochs(cfg.nof_grid_symbols, mu),
                              jnp.float32)
         derot = jnp.exp(-2j * np.pi * epochs * cfo).astype(jnp.complex64)
         gflat = (grid * derot[None, :, None]).reshape(npr, -1)
@@ -424,10 +428,49 @@ def _deprecode_stage(x_hat: jax.Array, eq_nvar: jax.Array, cfg: PuschConfig):
             nb.reshape(eq_nvar.shape))
 
 
+def _uniform_data_rows(a) -> bool:
+    """True when every data symbol of the allocation is a FULL row of
+    nof_sc subcarriers (DM-RS symbols carry no data — 2 CDM groups):
+    the equalizer then needs one weight set per subcarrier applied across
+    all data symbols, and the data 'gather' is static row slicing."""
+    dmask = dmrs_mod.data_subcarrier_mask(
+        a.dmrs_config_type, a.nof_cdm_groups_without_data)
+    dmrs_in_range = [s for s in a.dmrs_symbols
+                     if a.sym_start <= s < a.sym_start + a.sym_count]
+    return not (bool(dmask.any()) and dmrs_in_range)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _equalize_stage(gflat: jax.Array, h: jax.Array, noise_var: jax.Array, cfg: PuschConfig):
-    """Data-RE gather + per-RE channel lookup + MMSE/ZF, one program."""
+    """Data-RE gather + per-RE channel lookup + MMSE/ZF, one program.
+
+    Fast path (full-row data symbols, scalar noise): the MMSE/ZF filter
+    only varies per SUBCARRIER — one (L, P) weight set per subcarrier is
+    computed once (`equalize_weights`) and applied to all data symbols,
+    and the data extraction is static row slices instead of a 39312-index
+    gather.  12x less inverse math at the 100 MHz 13-symbol slot."""
     a = cfg.alloc
+    if (_uniform_data_rows(a) and not cfg.equalizer.endswith("_ref")
+            and jnp.ndim(noise_var) == 0):
+        from ..ops.equalizer import equalize_weights
+
+        nsym_grid = cfg.nof_grid_symbols
+        g3 = gflat.reshape(cfg.nof_rx_ports, nsym_grid, cfg.nof_grid_sc)
+        data_syms = [s for s in range(a.sym_start, a.sym_start + a.sym_count)
+                     if s not in a.dmrs_symbols]
+        y = jnp.stack([g3[:, s, a.sc_start : a.sc_start + a.nof_sc]
+                       for s in data_syms], axis=1)  # (P, nsym_d, nof_sc)
+        w, eq_sc = equalize_weights(
+            jnp.moveaxis(h, 0, 1), noise_var, method=cfg.equalizer)
+        # x[s, n, l] = sum_p w[n, l, p] y[p, s, n]: SoA multiply-adds (the
+        # RE axis rides the vector lanes; contraction dim is 4).
+        nl, npr = cfg.nof_layers, cfg.nof_rx_ports
+        x = jnp.stack(
+            [sum(w[None, :, l, p] * y[p] for p in range(npr)) for l in range(nl)],
+            axis=-1)  # (nsym_d, nof_sc, nl)
+        x_hat = x.reshape(-1, nl).astype(jnp.complex64)
+        eq_nvar = jnp.broadcast_to(eq_sc[None], (len(data_syms),) + eq_sc.shape)
+        return x_hat, eq_nvar.reshape(-1, nl)
     didx_np = alloc_mod.data_re_indices(a, cfg.nof_grid_symbols, cfg.nof_grid_sc)
     y = gflat[:, jnp.asarray(didx_np)]  # (npr, ndata)
     sc_of_data = jnp.asarray((didx_np % cfg.nof_grid_sc) - a.sc_start)
