@@ -42,6 +42,7 @@ def run_case(case, nof_slots, chunk=50, parity_kernels=False):
     prof = {"TDLA": "tdla", "TDLB": "tdlb", "TDLC": "tdlc",
             "single-tap": "single"}[case["profile"]]
     nof_prb = case["nof_prb"]
+    nl = int(case.get("layers", 1))
     mod = Modulation(case["qm"])
     alloc = Allocation(rb_start=0, rb_count=nof_prb, sym_start=0,
                        sym_count=14, dmrs_symbols=(2, 11))
@@ -53,10 +54,11 @@ def run_case(case, nof_slots, chunk=50, parity_kernels=False):
         extra = dict(estimator="reference")
     cfg = pusch.PuschConfig(
         tbs=case["tbs"], target_code_rate=case["rate"], modulation=mod,
-        alloc=alloc, nof_layers=1, nof_rx_ports=1, nof_grid_symbols=14,
+        alloc=alloc, nof_layers=nl, nof_rx_ports=nl, nof_grid_symbols=14,
         nof_grid_sc=nof_prb * 12, slot_in_frame=1, dmrs_scrambling_id=1,
         n_id=1, **extra)
     ch = chem.ChannelConfig(profile=prof, sinr_db=case["sinr_db"],
+                            nof_tx_ports=nl, nof_rx_ports=nl,
                             nof_sc=nof_prb * 12,
                             noise_convention="fixed")
     seg = cfg.sch.seg
@@ -145,13 +147,14 @@ def main():
             "TDL emulator.  Both draw uncorrelated\nper-slot taps; agreement "
             "is statistical (95% CI of the reference's\nmeasurement shown)."
             "\n\n"
-            "| Profile | SINR dB | MCS (qam64 tbl) | TBS | ref CRC BLER "
+            "| Profile | Rank | SINR dB | MCS (qam64 tbl) | TBS | ref CRC BLER "
             "(±CI) | TPU (parity kernels) | TPU (fast kernels) | ref LDPC "
             "iters (min/mean/max) | TPU iters |\n"
-            "|---|---|---|---|---|---|---|---|---|\n")
+            "|---|---|---|---|---|---|---|---|---|---|\n")
         for case, ours, fast, ci in rows:
             f.write(
-                f"| {case['profile']} | {case['sinr_db']:.1f} | {case['mcs']} "
+                f"| {case['profile']} | {case.get('layers', 1)} "
+                f"| {case['sinr_db']:.1f} | {case['mcs']} "
                 f"| {case['tbs']} | {case['crc_bler']:.3f} (±{ci:.3f}) "
                 f"| {ours['crc_bler']:.3f} | {fast['crc_bler']:.3f} "
                 f"| {case['iter_min']}/{case['iter_mean']:.1f}/{case['iter_max']} "

@@ -45,8 +45,13 @@ class EstimatorConfig:
     first_symbol: int
     nof_symbols: int
     dmrs_symbol_mask: int  # bitmask over the slot
-    re_pattern: tuple  # RE indices within an RB carrying DM-RS
+    re_pattern: tuple  # RE indices within an RB carrying DM-RS (CDM group 0)
     nof_layers: int = 1
+    # RE pattern of CDM group 1 (layers 2-3).  None = all layers share
+    # re_pattern (the pre-round-4 single-group behavior).  The reference
+    # processes layers pairwise with per-pair patterns
+    # (port_channel_estimator_average_impl.cpp:256).
+    re_pattern2: tuple | None = None
     scaling: float = 1.0
     smoothing: str = "filter"  # filter | mean | none
     td_strategy: str = "average"  # average | interpolate
@@ -246,22 +251,25 @@ def estimate_port(
     nof_subc = cfg.nof_prb * NRE
     dmrs_syms = [s for s in range(14) if (cfg.dmrs_symbol_mask >> s) & 1]
     nof_dmrs_symbols = len(dmrs_syms)
-    re_idx = np.concatenate(
-        [rb * NRE + np.asarray(cfg.re_pattern) for rb in range(cfg.nof_prb)]
-    )
-    nof_pilots = len(re_idx)
     layers = cfg.nof_layers
     nof_cdm = (layers + 1) // 2
+    pats = [cfg.re_pattern if g == 0 else (cfg.re_pattern2 or cfg.re_pattern)
+            for g in range(max(nof_cdm, 1))]
+    re_idx_g = [np.concatenate(
+        [rb * NRE + np.asarray(p) for rb in range(cfg.nof_prb)]) for p in pats]
+    re_idx = re_idx_g[0]
+    nof_pilots = len(re_idx)
+    assert all(len(r) == nof_pilots for r in re_idx_g)
     epochs = _symbol_start_epochs(14, mu)
     beta = cfg.scaling
     interpolate_td = cfg.td_strategy == "interpolate"
     nof_lse_symbols = nof_dmrs_symbols if interpolate_td else 1
 
-    # --- extract rx pilots (per CDM group; groups share REs) ---------------
+    # --- extract rx pilots (per CDM group, on the group's own REs) ---------
     rx = np.empty((nof_cdm, nof_dmrs_symbols, nof_pilots), np.complex128)
     for s_idx, sym in enumerate(dmrs_syms):
         for cdm in range(nof_cdm):
-            rx[cdm, s_idx] = grid[sym, re_idx]
+            rx[cdm, s_idx] = grid[sym, re_idx_g[cdm]]
 
     epre = float(sum(np.sum(np.abs(rx[cdm]) ** 2) for cdm in range(nof_cdm)))
 
@@ -275,17 +283,19 @@ def estimate_port(
 
     cfo = None
     if nof_dmrs_symbols >= 2:
-        acc = 0.0 + 0.0j
+        # Reference: per-CDM-group angle, then the group CFOs averaged
+        # (compute_hop: cfo_hop accumulates each group's estimate and is
+        # divided by divide_ceil(nof_layers, 2)).
+        cfo_sum = 0.0
         for group_start in range(0, layers, 2):
             group = range(group_start, min(group_start + 2, layers))
             g_acc = 0.0 + 0.0j
             for l in group:
                 g_acc += np.vdot(p_sym[l, 1], p_sym[l, 0])  # sum p1 * conj(p0)
-            acc += g_acc
-        # Reference averages per-CDM CFO contributions; with identical
-        # denominators this reduces to the arg of the summed product.
-        noisy_phase = np.angle(np.conj(acc))  # dot_prod(a, b) = sum a*conj(b)
-        cfo = noisy_phase / (2 * np.pi) / (epochs[dmrs_syms[1]] - epochs[dmrs_syms[0]])
+            noisy_phase = np.angle(np.conj(g_acc))  # dot_prod(a,b) = sum a*conj(b)
+            cfo_sum += noisy_phase / (2 * np.pi) / (
+                epochs[dmrs_syms[1]] - epochs[dmrs_syms[0]])
+        cfo = cfo_sum / nof_cdm
 
     # --- CFO compensation + accumulation ----------------------------------
     if cfo is not None and cfg.compensate_cfo:
@@ -298,9 +308,16 @@ def estimate_port(
     else:
         p_lse = p_sym.sum(axis=1, keepdims=True)  # (layers, 1, nof_pilots)
 
-    # CDM pair averaging (orthogonal cover cancellation).
+    # CDM pair averaging (orthogonal cover cancellation).  Multi-symbol
+    # path: applied to every layer when layers > 1
+    # (compensate_cfo_and_accumulate tail).  Single-symbol path: only to
+    # layers in full pairs (preprocess_pilots' need_average).
     if layers > 1:
-        for l in range(layers):
+        if nof_dmrs_symbols == 1:
+            avg_layers = [l for l in range(layers) if (l // 2) * 2 + 1 < layers]
+        else:
+            avg_layers = list(range(layers))
+        for l in avg_layers:
             for s in range(p_lse.shape[1]):
                 v = p_lse[l, s]
                 pairs = (len(v) // 2) * 2
@@ -309,14 +326,17 @@ def estimate_port(
                 v[1:pairs:2] = avg
 
     # --- frequency-domain processing per layer -----------------------------
-    offset = int(cfg.re_pattern[0])
-    stride = int(cfg.re_pattern[1]) - offset if len(cfg.re_pattern) > 1 else 1
+    # Stride is common to all groups; the interpolation offset is each
+    # layer's own group pattern offset (configure_interpolator per layer).
+    stride = (int(cfg.re_pattern[1]) - int(cfg.re_pattern[0])
+              if len(cfg.re_pattern) > 1 else 1)
     total_scaling = 1.0 / beta / (nof_dmrs_symbols if not interpolate_td else 1.0)
 
     ce = np.zeros((layers, 14, nof_subc), np.complex128)
     rsrp = 0.0
     filtered = np.empty_like(p_lse)
     for l in range(layers):
+        offset = int(pats[min(l // 2, len(pats) - 1)][0])
         freq_resp = np.empty((nof_lse_symbols, nof_subc), np.complex128)
         for s in range(nof_lse_symbols):
             p = p_lse[l, s] * total_scaling

@@ -43,6 +43,10 @@ class RefEstimatorConfig:
     dmrs_symbol_mask: int
     re_pattern: tuple
     nof_layers: int = 1
+    # RE pattern of CDM group 1 (layers 2-3); None = single group.  The
+    # reference processes layer pairs with per-pair patterns
+    # (port_channel_estimator_average_impl.cpp:256).
+    re_pattern2: tuple | None = None
     scaling: float = 1.0
     smoothing: str = "filter"    # filter | mean | none
     td_strategy: str = "average"  # average | interpolate
@@ -55,9 +59,13 @@ def _constants(cfg: RefEstimatorConfig):
     program needs (mirrors the oracle's scalar code paths exactly)."""
     mu = {15: 0, 30: 1, 60: 2, 120: 3}[cfg.scs_khz]
     dmrs_syms = tuple(s for s in range(14) if (cfg.dmrs_symbol_mask >> s) & 1)
-    re_idx = np.concatenate(
-        [rb * NRE + np.asarray(cfg.re_pattern) for rb in range(cfg.nof_prb)]
-    ).astype(np.int32)
+    nof_cdm = (cfg.nof_layers + 1) // 2
+    pats = [cfg.re_pattern if g == 0 else (cfg.re_pattern2 or cfg.re_pattern)
+            for g in range(max(nof_cdm, 1))]
+    re_idx_g = np.stack([np.concatenate(
+        [rb * NRE + np.asarray(p) for rb in range(cfg.nof_prb)]
+    ).astype(np.int32) for p in pats])  # (ncdm, Np)
+    re_idx = re_idx_g[0]
     nof_pilots = len(re_idx)
     offset = int(cfg.re_pattern[0])
     stride = (int(cfg.re_pattern[1]) - offset) if len(cfg.re_pattern) > 1 else 1
@@ -69,26 +77,36 @@ def _constants(cfg: RefEstimatorConfig):
     if cfg.nof_prb == 1:
         nof_v = nof_pilots // cfg.nof_prb
 
-    # Linear-interpolation map: run the oracle's loop symbolically to get
-    # (i0, i1, w) per output RE — exact semantics by construction.
+    # Linear-interpolation map per layer: run the oracle's loop
+    # symbolically (per CDM-group offset) to get (i0, i1, w) per output
+    # RE — exact semantics by construction.
     nof_subc = cfg.nof_prb * NRE
-    i0 = np.zeros(nof_subc, np.int32)
-    i1 = np.zeros(nof_subc, np.int32)
-    w = np.zeros(nof_subc, np.float32)
-    i0[: offset + 1] = 0
-    i1[: offset + 1] = 0
-    i_out, i_in = offset, 0
-    while i_out + stride < nof_subc and i_in + 1 < nof_pilots:
-        for k in range(1, stride + 1):
-            i0[i_out + k] = i_in
-            i1[i_out + k] = i_in + 1
-            w[i_out + k] = k / stride
-        i_out += stride
-        i_in += 1
-    last = min(i_in, nof_pilots - 1)
-    i0[i_out + 1 :] = last
-    i1[i_out + 1 :] = last
-    w[i_out + 1 :] = 0.0
+
+    def _interp_map(off):
+        i0 = np.zeros(nof_subc, np.int32)
+        i1 = np.zeros(nof_subc, np.int32)
+        w = np.zeros(nof_subc, np.float32)
+        i0[: off + 1] = 0
+        i1[: off + 1] = 0
+        i_out, i_in = off, 0
+        while i_out + stride < nof_subc and i_in + 1 < nof_pilots:
+            for k in range(1, stride + 1):
+                i0[i_out + k] = i_in
+                i1[i_out + k] = i_in + 1
+                w[i_out + k] = k / stride
+            i_out += stride
+            i_in += 1
+        last = min(i_in, nof_pilots - 1)
+        i0[i_out + 1 :] = last
+        i1[i_out + 1 :] = last
+        w[i_out + 1 :] = 0.0
+        return i0, i1, w
+
+    maps_g = [_interp_map(int(p[0])) for p in pats]
+    nlay = max(cfg.nof_layers, 1)
+    i0 = np.stack([maps_g[min(l // 2, len(maps_g) - 1)][0] for l in range(nlay)])
+    i1 = np.stack([maps_g[min(l // 2, len(maps_g) - 1)][1] for l in range(nlay)])
+    w = np.stack([maps_g[min(l // 2, len(maps_g) - 1)][2] for l in range(nlay)])
 
     # TA correlator geometry (time_alignment_estimator_dft_impl).
     pat = tuple(cfg.re_pattern)
@@ -115,7 +133,8 @@ def _constants(cfg: RefEstimatorConfig):
     max_ta_samples = int(np.floor(half_cp * fs))
 
     return dict(
-        dmrs_syms=dmrs_syms, re_idx=re_idx, offset=offset, stride=stride,
+        dmrs_syms=dmrs_syms, re_idx=re_idx, re_idx_g=re_idx_g,
+        offset=offset, stride=stride,
         epochs=epochs.astype(np.float64), taps=taps.astype(np.float32),
         nof_v=nof_v, interp=(i0, i1, w), dft_size=dft_size, fs=fs,
         max_ta_samples=max_ta_samples, ta_positions=ta_positions,
@@ -185,23 +204,28 @@ def estimate_port_ref(grid: jax.Array, pilots: jax.Array,
     interpolate_td = cfg.td_strategy == "interpolate"
     nof_lse = nsym_d if interpolate_td else 1
 
-    # rx pilots per CDM group (groups share the same REs).
-    rx_one = grid[jnp.asarray([s for s in dmrs_syms]), :][:, jnp.asarray(c["re_idx"])]
-    rx = jnp.broadcast_to(rx_one[None], (nof_cdm,) + rx_one.shape)  # (ncdm, nsym_d, Np)
+    # rx pilots per CDM group, each on its own REs: (ncdm, nsym_d, Np).
+    g_d = grid[jnp.asarray([s for s in dmrs_syms]), :]  # (nsym_d, nsubc)
+    rx = jnp.transpose(g_d[:, jnp.asarray(c["re_idx_g"])], (1, 0, 2))
     epre_sum = jnp.sum(jnp.abs(rx) ** 2)
 
     # LS match per layer.
     cdm_of = jnp.asarray([l // 2 for l in range(layers)])
     p_sym = rx[cdm_of] * jnp.conj(pilots)  # (layers, nsym_d, Np)
 
-    # CFO from the first two DM-RS symbols.
+    # CFO from the first two DM-RS symbols: per-CDM-group angle, group
+    # CFOs averaged (reference compute_hop accumulates each group's
+    # estimate and divides by divide_ceil(nof_layers, 2)).
     cfo = None
     if nsym_d >= 2:
         # Oracle: angle(conj(sum vdot(p1, p0))) = angle(sum p1 * conj(p0)).
-        acc = jnp.sum(p_sym[:, 1] * jnp.conj(p_sym[:, 0]))
-        noisy_phase = jnp.angle(acc)
-        cfo = noisy_phase / (2 * np.pi) / (epochs[dmrs_syms[1]] - epochs[dmrs_syms[0]])
-        cfo = cfo.astype(jnp.float32)
+        prod_l = jnp.sum(p_sym[:, 1] * jnp.conj(p_sym[:, 0]), axis=-1)  # (layers,)
+        denom = epochs[dmrs_syms[1]] - epochs[dmrs_syms[0]]
+        cfo_sum = jnp.float32(0.0)
+        for g0 in range(0, layers, 2):
+            acc_g = sum(prod_l[l] for l in range(g0, min(g0 + 2, layers)))
+            cfo_sum = cfo_sum + jnp.angle(acc_g) / (2 * np.pi) / denom
+        cfo = (cfo_sum / nof_cdm).astype(jnp.float32)
 
     if cfo is not None and cfg.compensate_cfo:
         rot = jnp.exp(-2j * np.pi * jnp.asarray(
@@ -213,13 +237,23 @@ def estimate_port_ref(grid: jax.Array, pilots: jax.Array,
     else:
         p_lse = jnp.sum(p_sym, axis=1, keepdims=True)  # (layers, 1, Np)
 
-    # CDM pair averaging.
+    # CDM pair averaging.  Multi-symbol path averages every layer; the
+    # single-symbol path only layers in full pairs (see oracle).
     if layers > 1:
+        if nsym_d == 1:
+            avg_layers = [l for l in range(layers) if (l // 2) * 2 + 1 < layers]
+        else:
+            avg_layers = list(range(layers))
         np_pairs = (p_lse.shape[-1] // 2) * 2
+        sel = jnp.asarray([1.0 if l in avg_layers else 0.0 for l in range(layers)],
+                          jnp.float32)[:, None, None]
         ev = p_lse[..., 0:np_pairs:2]
         od = p_lse[..., 1:np_pairs:2]
         avg = (ev + od) / 2.0
-        p_lse = p_lse.at[..., 0:np_pairs:2].set(avg).at[..., 1:np_pairs:2].set(avg)
+        new_ev = avg * sel + ev * (1.0 - sel)
+        new_od = avg * sel + od * (1.0 - sel)
+        p_lse = (p_lse.at[..., 0:np_pairs:2].set(new_ev)
+                 .at[..., 1:np_pairs:2].set(new_od))
 
     total_scaling = 1.0 / beta / (nsym_d if not interpolate_td else 1.0)
     p_scaled = p_lse * total_scaling.astype(jnp.complex64)
@@ -227,9 +261,15 @@ def estimate_port_ref(grid: jax.Array, pilots: jax.Array,
 
     rsrp_sum = jnp.sum(jnp.abs(filtered) ** 2) * beta * beta * nsym_d / nof_lse
 
-    # Linear frequency interpolation via the precomputed exact map.
-    i0, i1, wgt = (jnp.asarray(x) for x in c["interp"])
-    freq_resp = (filtered[..., i0] * (1.0 - wgt) + filtered[..., i1] * wgt)
+    # Linear frequency interpolation via the precomputed exact per-layer
+    # maps (each layer interpolates from its own CDM group's RE offset).
+    i0, i1, wgt = (jnp.asarray(x) for x in c["interp"])  # each (layers, nof_subc)
+    nof_lse_d = filtered.shape[1]
+    idx0 = jnp.broadcast_to(i0[:, None, :], (layers, nof_lse_d, i0.shape[-1]))
+    idx1 = jnp.broadcast_to(i1[:, None, :], (layers, nof_lse_d, i1.shape[-1]))
+    f0 = jnp.take_along_axis(filtered, idx0, axis=-1)
+    f1 = jnp.take_along_axis(filtered, idx1, axis=-1)
+    freq_resp = f0 * (1.0 - wgt[:, None, :]) + f1 * wgt[:, None, :]
     # (layers, nof_lse, nof_subc)
 
     # Per-symbol CE mapping.

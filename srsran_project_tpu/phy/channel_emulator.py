@@ -74,13 +74,22 @@ def _tap_params(profile: str, nof_sc: int, scs: SubcarrierSpacing):
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def draw_channel(key: jax.Array, cfg: ChannelConfig) -> jax.Array:
-    """Random frequency response (nrx, ntx, nsc) with unit average power."""
+    """Random frequency response (nrx, ntx, nsc).
+
+    Unit average power per (rx, tx) pair — except under the "fixed"
+    (reference-parity) noise convention, where the reference emulator's
+    normalization applies: norm = 1/sqrt(nof_rx_ports * taps_power)
+    (pxsch_bler_test_channel_emulator.cpp:141), so that with layers ==
+    rx ports the total received power per RE stays ~unit and the fixed
+    noise floor realizes the configured SINR."""
     amp, steer = _tap_params(cfg.profile, cfg.nof_sc, cfg.scs)
     ntap = len(amp)
     g = jax.random.normal(
         key, (cfg.nof_rx_ports, cfg.nof_tx_ports, ntap, 2), dtype=jnp.float32
     )
     g = (g[..., 0] + 1j * g[..., 1]) / np.sqrt(2) * jnp.asarray(amp)
+    if cfg.noise_convention == "fixed":
+        g = g / np.sqrt(float(cfg.nof_rx_ports))
     return jnp.einsum("rtn,nk->rtk", g.astype(jnp.complex64), jnp.asarray(steer))
 
 

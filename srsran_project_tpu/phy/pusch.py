@@ -217,31 +217,37 @@ def _estimate_constants(cfg: PuschConfig):
     return idx_all, wf_all, r_all, pair_pos
 
 
-def _estimate_reference(grid: jax.Array, cfg: PuschConfig, idx_all, r_np, wf_np):
+def _estimate_reference(grid: jax.Array, cfg: PuschConfig, r_all, wf_all):
     """Reference-parity estimate branch of _estimate_stage: the jitted
     oracle-semantics kernel (ops/estimator_refjax.py) run per rx port, with
-    exact epoch-based CFO derotation of the data when configured.  One CDM
-    group (nof_layers <= 2) — the reference's own open-source coverage."""
+    exact epoch-based CFO derotation of the data when configured.  Covers
+    both CDM groups (nof_layers <= 4): layers 2-3 estimate from the
+    group-1 RE offsets, matching the reference's pairwise layer loop
+    (port_channel_estimator_average_impl.cpp:256)."""
     from ..ops import estimator_refjax as refjax
     from ..ops.estimator_ref import _symbol_start_epochs
 
     a = cfg.alloc
     nl, npr = cfg.nof_layers, cfg.nof_rx_ports
-    if nl > 2:
-        raise ValueError("estimator='reference' supports one CDM group (<=2 layers)")
+    if nl > 4:
+        raise ValueError("estimator='reference' supports <=4 layers (2 CDM groups)")
     beta = float(dmrs_mod.sch_to_dmrs_beta(a.nof_cdm_groups_without_data))
-    # Per-layer pilots with OCC, at true transmit amplitude (r_np is the
+    # Per-layer pilots with OCC, at true transmit amplitude (r_all is the
     # beta-descaled LS sequence; the oracle expects raw pilots + scaling).
-    pilots = jnp.asarray((r_np * beta) * wf_np[:, None, :])
+    pilots = (r_all * beta) * wf_all[:, None, :]
 
     ks, _wf = dmrs_mod.pilot_subcarriers(a.dmrs_config_type, 0, a.rb_count, a.rb_start)
     ppb = dmrs_mod.pilots_per_prb(a.dmrs_config_type)
     pattern = tuple(int(k - a.sc_start) for k in ks[:ppb])
+    pattern2 = None
+    if nl > 2:
+        ks2, _ = dmrs_mod.pilot_subcarriers(a.dmrs_config_type, 2, a.rb_count, a.rb_start)
+        pattern2 = tuple(int(k - a.sc_start) for k in ks2[:ppb])
     rcfg = refjax.RefEstimatorConfig(
         scs_khz=cfg.scs_khz, nof_prb=a.rb_count, first_symbol=a.sym_start,
         nof_symbols=a.sym_count,
         dmrs_symbol_mask=sum(1 << s for s in a.dmrs_symbols),
-        re_pattern=pattern, nof_layers=nl, scaling=beta,
+        re_pattern=pattern, re_pattern2=pattern2, nof_layers=nl, scaling=beta,
         smoothing="filter", td_strategy="average",
         compensate_cfo=cfg.cfo_compensation and len(a.dmrs_symbols) > 1)
 
@@ -317,7 +323,7 @@ def _estimate_stage(grid: jax.Array, cfg: PuschConfig, r_override=None):
         return jnp.maximum(nv, 1e-10)
 
     if cfg.estimator == "reference":
-        return _estimate_reference(grid, cfg, idx_all, r_np, wf_np)
+        return _estimate_reference(grid, cfg, r_all, wf_all)
 
     h, nvar_acc, snr_acc, cfo_acc = estimate_all(gflat)
     if cfg.cfo_compensation and len(a.dmrs_symbols) > 1:
@@ -632,8 +638,6 @@ def process_multi(grid, rntis, first_rbs, cfg: PuschConfig, harq_buffers=None):
     """
     if cfg.uci_mux is not None or cfg.ptrs_enabled:
         raise ValueError("process_multi: UCI-on-PUSCH / PT-RS PDUs take the per-PDU path")
-    if cfg.estimator == "reference":
-        raise ValueError("process_multi: reference estimator takes the per-PDU path")
     first_rbs = tuple(int(r) for r in first_rbs)
     from ..support import hostio as _hostio
     r_batch = _hostio.to_device(_multi_pilot_bank(cfg, first_rbs))

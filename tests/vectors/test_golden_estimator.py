@@ -19,6 +19,13 @@ PATTERNS = {
     4: tuple(range(12)),
 }
 
+# Type-1 CDM group 1 (layers 2-3): RE offsets {1, 3, ..., 11}.
+PATTERN_CDM1 = tuple(range(1, 12, 2))
+
+
+def _pattern2(case):
+    return PATTERN_CDM1 if case.get("cdm_groups", 1) == 2 else None
+
 
 def _run_case(case):
     nof_subc = case["nof_prb"] * 12
@@ -39,6 +46,7 @@ def _run_case(case):
         nof_symbols=14,
         dmrs_symbol_mask=case["symbol_mask"],
         re_pattern=pattern,
+        re_pattern2=_pattern2(case),
         nof_layers=layers,
         smoothing=case["smoothing"],
         td_strategy=case["td"],
@@ -91,6 +99,7 @@ def _jax_cfg(case, module):
         nof_symbols=14,
         dmrs_symbol_mask=case["symbol_mask"],
         re_pattern=pattern,
+        re_pattern2=_pattern2(case),
         nof_layers=case["layers"],
         smoothing=case["smoothing"],
         td_strategy=case["td"],

@@ -501,6 +501,10 @@ void gen_estimator() {
     const char* smoothing;   // "filter" | "mean" | "none"
     const char* td;          // "average" | "interpolate"
     bool cfo;
+    // Number of type-1 CDM groups carrying layers: group g maps layers
+    // 2g..2g+1 onto RE offsets {g, g+2, ..., g+10} (TS 38.211 table
+    // 6.4.1.1.3-1 delta).  1 for every pre-round-4 case.
+    unsigned cdm_groups = 1;
   };
   std::vector<ecase> cases = {
       {52, 1, 1, (1u << 2) | (1u << 11), 20.f, 1, "filter", "average", true},
@@ -511,6 +515,14 @@ void gen_estimator() {
       {273, 1, 1, (1u << 2) | (1u << 11), 25.f, 4, "filter", "average", true},
       {52, 2, 1, (1u << 2) | (1u << 11), 20.f, 2, "filter", "average", false},
       {52, 1, 1, (1u << 2) | (1u << 6) | (1u << 10), 15.f, 2, "filter", "interpolate", true},
+      // Round 4: multi-CDM-group coverage for the 4-layer flagship shape
+      // (port_channel_estimator_average_impl.cpp:256 pairwise layer loop
+      // with per-pair RE patterns).  Layers carry OCC structure (odd layer
+      // = even-layer pilots with alternating frequency sign).
+      {52, 4, 1, (1u << 2) | (1u << 11), 20.f, 2, "filter", "average", true, 2},
+      {273, 4, 1, (1u << 2) | (1u << 11), 25.f, 4, "filter", "average", true, 2},
+      {106, 3, 1, (1u << 2) | (1u << 7) | (1u << 11), 15.f, 2, "filter", "average", true, 2},
+      {24, 4, 1, (1u << 2) | (1u << 11), 30.f, 1, "filter", "average", false, 2},
   };
 
   int idx = 0;
@@ -533,14 +545,21 @@ void gen_estimator() {
     // 4 = all REs (PUCCH F3/F4).  (PUSCH type-2 {0,1,6,7} is NOT covered:
     // the reference interpolator configuration assumes a uniform stride,
     // configure_interpolator @ port_channel_estimator_helpers.cpp:298.)
-    bounded_bitset<NRE> re_pattern(NRE);
-    if (c.dmrs_type == 1) {
-      for (unsigned k = 0; k < NRE; k += 2) re_pattern.set(k);
-    } else if (c.dmrs_type == 3) {
-      for (unsigned k : {1u, 4u, 7u, 10u}) re_pattern.set(k);
-    } else {
-      re_pattern.fill(0, NRE);
+    // With cdm_groups == 2 (type 1 only), group g occupies offsets
+    // {g, g+2, ...} and carries layers 2g..2g+1.
+    std::vector<bounded_bitset<NRE>> pat_g;
+    for (unsigned g = 0; g != c.cdm_groups; ++g) {
+      bounded_bitset<NRE> p(NRE);
+      if (c.dmrs_type == 1) {
+        for (unsigned k = g; k < NRE; k += 2) p.set(k);
+      } else if (c.dmrs_type == 3) {
+        for (unsigned k : {1u, 4u, 7u, 10u}) p.set(k);
+      } else {
+        p.fill(0, NRE);
+      }
+      pat_g.push_back(p);
     }
+    const bounded_bitset<NRE>& re_pattern = pat_g.front();
     unsigned nof_dmrs_re_per_rb = re_pattern.count();
 
     port_channel_estimator::configuration cfg;
@@ -558,7 +577,7 @@ void gen_estimator() {
       pat.rb_mask = crb_bitmap(c.nof_prb);
       pat.rb_mask.fill(0, c.nof_prb);
       pat.rb_mask2 = crb_bitmap(c.nof_prb);
-      pat.re_pattern = re_pattern;
+      pat.re_pattern = pat_g[std::min(l / 2, c.cdm_groups - 1)];
       cfg.dmrs_pattern.push_back(pat);
     }
 
@@ -572,6 +591,17 @@ void gen_estimator() {
     for (unsigned l = 0; l != c.layers; ++l) {
       for (unsigned s = 0; s != nof_dmrs_symbols; ++s) {
         span<cf_t> dst = pilots.get_symbol(s, l);
+        if (c.cdm_groups > 1 && (l % 2) == 1) {
+          // OCC structure: odd layer = even-layer pilots with alternating
+          // frequency sign (TS 38.211 w_f = {+1, -1}) — the structure the
+          // pair averaging relies on for co-layer cancellation.
+          span<const cf_t> even = pilots.get_symbol(s, l - 1);
+          for (unsigned i = 0; i != dst.size(); ++i) {
+            dst[i] = (i % 2) ? -even[i] : even[i];
+            pilot_dump.push_back(dst[i]);
+          }
+          continue;
+        }
         for (auto& p : dst) {
           int q = qpsk_d(rng);
           p = cf_t((q & 1) ? -(float)M_SQRT1_2 : (float)M_SQRT1_2,
@@ -611,12 +641,15 @@ void gen_estimator() {
         cf_t v = sigma * (float)M_SQRT1_2 * cf_t(noise_d(rng), noise_d(rng));
         if (is_dmrs) {
           unsigned rb = k / NRE, re = k % NRE;
-          if (re_pattern.test(re)) {
-            // Pilot index within symbol.
+          for (unsigned g = 0; g != c.cdm_groups; ++g) {
+            if (!pat_g[g].test(re)) continue;
+            // Pilot index within symbol (within this group's pattern).
             unsigned nof_before = rb * nof_dmrs_re_per_rb;
             for (unsigned r = 0; r != re; ++r)
-              if (re_pattern.test(r)) ++nof_before;
-            for (unsigned l = 0; l != c.layers; ++l) {
+              if (pat_g[g].test(r)) ++nof_before;
+            unsigned l_end = std::min(2 * g + 2, c.layers);
+            if (c.cdm_groups == 1) l_end = c.layers;
+            for (unsigned l = 2 * g; l < l_end; ++l) {
               v += to_cf(pilots.get_symbol(s_idx, l)[nof_before]) * h_layer[l][k];
             }
           }
@@ -662,6 +695,7 @@ void gen_estimator() {
     m.field("smoothing", std::string(c.smoothing));
     m.field("td", std::string(c.td));
     m.field("cfo_comp", (long long)(c.cfo ? 1 : 0));
+    m.field("cdm_groups", (long long)c.cdm_groups);
     m.field("noise_var", (double)estimate.get_noise_variance(0));
     m.field("rsrp", (double)estimate.get_rsrp(0, 0));
     m.field("epre", (double)estimate.get_epre(0));
