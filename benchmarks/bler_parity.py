@@ -52,6 +52,12 @@ def run_case(case, nof_slots, chunk=50, parity_kernels=False):
         # 31-tap reference estimator closes the fast path's documented
         # ~1 dB deficit on high-delay-spread TDL profiles.
         extra = dict(estimator="reference")
+    # Match the equalizer ALGORITHM the reference side measured with:
+    # rank >1 reference rows run ZF (its open-source MMSE is 1-layer only,
+    # channel_equalizer_generic_impl.cpp is_supported); TPU-only rank-4
+    # rows (ref_unsupported) keep the production MMSE.
+    if case.get("equalizer") == "zf" and not case.get("ref_unsupported"):
+        extra["equalizer"] = "zf"
     cfg = pusch.PuschConfig(
         tbs=case["tbs"], target_code_rate=case["rate"], modulation=mod,
         alloc=alloc, nof_layers=nl, nof_rx_ports=nl, nof_grid_symbols=14,
@@ -75,9 +81,8 @@ def run_case(case, nof_slots, chunk=50, parity_kernels=False):
         else:
             from srsran_project_tpu.ops.ldpc import decoder as ldpc_decoder
 
-            bits = ldpc_decoder.decode(flat, seg.base_graph,
-                                       seg.lifting_size, 6)[0]
-            iters = jnp.full((flat.shape[0],), 6, jnp.int32)
+            bits, _app, iters = ldpc_decoder.decode_count_iters(
+                flat, seg.base_graph, seg.lifting_size, 6)
         tb_hat, ok = _desegment_stage(bits, cfg.sch, ())
         data_ok = ok & jnp.all(tb_hat == tb)
         return ok.astype(jnp.int32), data_ok.astype(jnp.int32), iters
@@ -123,14 +128,35 @@ def main():
     man = os.path.join(os.path.dirname(__file__), "..",
                        "tests", "golden", "bler_parity", "manifest.json")
     cases = json.load(open(man))
+    # TPU-only rank-4 rows: the reference's OPEN-SOURCE equalizer caps at
+    # 2 layers (channel_equalizer_generic_impl.cpp is_supported — ZF 1-2
+    # layers, MMSE 1 layer; ranks above sit behind SRSRAN_HAS_ENTERPRISE),
+    # so rank 4 is measured on the TPU chain only (4x4 MMSE) and annotated.
+    from srsran_project_tpu.ran.tbs import calculate_tbs
+
+    base10 = next(c for c in cases if c["mcs"] == 10)
+    for sinr in (14.0, 17.0):
+        cases.append({
+            "profile": "TDLA", "sinr_db": sinr, "mcs": 10, "nof_prb": 52,
+            "layers": 4,
+            "tbs": calculate_tbs(52, 14, 24, base10["rate"], base10["qm"], 4),
+            "qm": base10["qm"], "rate": base10["rate"],
+            "nof_slots": 0, "crc_bler": float("nan"),
+            "iter_mean": float("nan"), "iter_min": 0, "iter_max": 0,
+            "ref_unsupported": True,
+        })
     rows = []
     for case in cases:
         ours = run_case(case, args.slots, parity_kernels=True)
         fast = run_case(case, args.slots, parity_kernels=False)
-        ci = 1.96 * np.sqrt(max(case["crc_bler"] * (1 - case["crc_bler"]), 1e-4)
-                            / case["nof_slots"])
+        if case.get("ref_unsupported"):
+            ci = float("nan")
+        else:
+            ci = 1.96 * np.sqrt(max(case["crc_bler"] * (1 - case["crc_bler"]), 1e-4)
+                                / case["nof_slots"])
         rows.append((case, ours, fast, ci))
-        print(f"{case['profile']:>10} {case['sinr_db']:5.1f} dB mcs{case['mcs']:>2}: "
+        print(f"{case['profile']:>10} r{case.get('layers', 1)} "
+              f"{case['sinr_db']:5.1f} dB mcs{case['mcs']:>2}: "
               f"ref {case['crc_bler']:.3f} (it {case['iter_mean']:.1f}) | "
               f"tpu-parity {ours['crc_bler']:.3f} | tpu-fast {fast['crc_bler']:.3f}",
               flush=True)
@@ -152,12 +178,19 @@ def main():
             "iters (min/mean/max) | TPU iters |\n"
             "|---|---|---|---|---|---|---|---|---|---|\n")
         for case, ours, fast, ci in rows:
+            if case.get("ref_unsupported"):
+                ref_col = "n/a (rank>2 enterprise-only)"
+                ref_it = "n/a"
+            else:
+                ref_col = f"{case['crc_bler']:.3f} (±{ci:.3f})"
+                ref_it = (f"{case['iter_min']}/{case['iter_mean']:.1f}"
+                          f"/{case['iter_max']}")
             f.write(
                 f"| {case['profile']} | {case.get('layers', 1)} "
                 f"| {case['sinr_db']:.1f} | {case['mcs']} "
-                f"| {case['tbs']} | {case['crc_bler']:.3f} (±{ci:.3f}) "
+                f"| {case['tbs']} | {ref_col} "
                 f"| {ours['crc_bler']:.3f} | {fast['crc_bler']:.3f} "
-                f"| {case['iter_min']}/{case['iter_mean']:.1f}/{case['iter_max']} "
+                f"| {ref_it} "
                 f"| {ours['iter_min']}/{ours['iter_mean']:.1f}/{ours['iter_max']} |\n")
         f.write(f"\nSlots per point: reference {rows[0][0]['nof_slots']}, "
                 f"TPU {rows[0][1]['nof_slots']}.\n"
