@@ -1,0 +1,200 @@
+"""Heterogeneous multi-UE uplink slot program.
+
+The reference's uplink slot is a MIXED PDU repository processed per slot
+(uplink_processor_impl.h:149): one slot carries PUSCH grants of different
+MCS/allocation widths plus PUCCH occasions, and the per-PDU work is
+dispatched into a task pool.  On the TPU tunnel every dispatched program
+costs 30-90 ms, so the TPU-native shape is the opposite: ONE compiled
+front-end program covers EVERY PUSCH grant in the slot — mixed configs
+included — with PUCCH F1 detection folded into the same program, and the
+LDPC decode batches all grants' codeblocks per (base-graph, lifting-size)
+group.  An 8-UE slot with 3 distinct configs + PUCCH runs in
+
+    1 (front end + rate dematch + PUCCH)  +  #distinct (bg, Z) decodes
+    (usually 1)  +  1 (desegment + CRC)
+
+device programs, independent of the number of UEs; the per-PDU fallback
+remains only for PRACH and exotic PDUs (UCI-on-PUSCH, PT-RS).
+
+Mechanics: the slot program's STATIC signature is the tuple of distinct
+(config, count) groups, so XLA specializes one program per recurring slot
+shape (the persistent compilation cache amortizes across slots — the
+scheduler re-produces the same shapes in steady state).  Within a group
+the grants batch by vmap exactly like pusch.process_multi; across groups
+the sub-chains inline into the same program and XLA schedules them
+side by side.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import pusch as pusch_mod
+from .pusch import PuschConfig
+from .sch import _dematch_stage, _desegment_stage
+
+
+@functools.partial(jax.jit, static_argnames=("cfgs", "f1_cfgs"))
+def _slot_front(grid, rntis_g, sc0_g, rbank_g, harq_g, cfgs, f1_cfgs):
+    """One compiled program: batched front end + rate dematch for every
+    config group, plus PUCCH F1 detection.
+
+    cfgs: tuple[PuschConfig] (crb_start-normalized, one per group);
+    rntis_g/sc0_g/rbank_g/harq_g: per-group stacked arrays (harq may be
+    None for an all-new-data group).  Returns (per-group tuples of
+    (flat (Ni*C, N) f32, harq (Ni, C, N) i8, nv (Ni,), snr (Ni,)),
+    per-F1 tuples of (bits, metric)).
+    """
+    outs = []
+    for cfg, rntis, sc0s, r_b, hq in zip(cfgs, rntis_g, sc0_g, rbank_g, harq_g):
+        def one(rnti, sc0, r_ov, cfg=cfg):
+            win = jax.lax.dynamic_slice(
+                grid, (0, 0, sc0),
+                (grid.shape[0], grid.shape[1], cfg.nof_grid_sc))
+            gflat, h, nv, snr = pusch_mod._estimate_stage(win, cfg,
+                                                          r_override=r_ov)
+            x_hat, eq_nvar = pusch_mod._equalize_stage(gflat, h, nv, cfg)
+            if cfg.transform_precoding:
+                x_hat, eq_nvar = pusch_mod._deprecode_stage(x_hat, eq_nvar, cfg)
+            llr_i8, sinr_pe = pusch_mod._demap_stage(x_hat, eq_nvar, rnti, cfg)
+            if cfg.sinr_method == "post_equalization":
+                snr = sinr_pe
+            return llr_i8, nv, snr
+
+        llrs, nvs, snrs = jax.vmap(one)(rntis, sc0s, r_b)
+        harq, flat = _dematch_stage(llrs, hq, cfg.sch)
+        outs.append((flat, harq, nvs, snrs))
+
+    f1_outs = []
+    for f1 in f1_cfgs:
+        from . import pucch as pucch_mod
+
+        bits, _llrs, metric = pucch_mod.format1_detect(grid, f1)
+        f1_outs.append((bits, metric))
+    return tuple(outs), tuple(f1_outs)
+
+
+@functools.partial(jax.jit, static_argnames=("cfgs", "lead_ns"))
+def _slot_finish(bits_g, cfgs, lead_ns):
+    """Desegment + TB CRC for every group, one compiled program."""
+    return tuple(
+        _desegment_stage(bits, cfg.sch, (n,))
+        for bits, cfg, n in zip(bits_g, cfgs, lead_ns))
+
+
+def _decode_group(flat, bg, z, nof_iterations, early_stop):
+    from .sch import _use_pallas_decoder
+    from ..ops.ldpc import decoder as ldpc_decoder
+    from ..ops.ldpc import decoder_pallas as ldpc_decoder_pallas
+
+    if _use_pallas_decoder():
+        return ldpc_decoder_pallas.decode_pallas(
+            flat, bg, z, nof_iterations, early_stop=early_stop)[0]
+    return ldpc_decoder.decode(flat, bg, z, nof_iterations)[0]
+
+
+@dataclasses.dataclass
+class UlSlotPdu:
+    """One PUSCH grant of the heterogeneous slot."""
+    rnti: int
+    first_rb: int
+    config: PuschConfig  # compact window config (rb_start=0)
+    harq_buffer: object | None = None  # (C, N) int8 for retransmissions
+
+
+def process_slot(grid, pdus, f1_cfgs=()):
+    """Decode a heterogeneous multi-UE UL slot.
+
+    grid: (P, S, nof_grid_sc) received slot grid; pdus: list[UlSlotPdu]
+    with MIXED configs (different MCS / rb_count / layers allowed);
+    f1_cfgs: PUCCH F1 configs detected inside the same front-end program.
+
+    Returns (results, f1_results): results[i] is a dict per input PDU
+    (tb_bits, tb_crc_ok, harq_buffer, noise_var, snr_db); f1_results[j]
+    is (bits, metric).
+    """
+    # ---- group by normalized static config (order-preserving) ----------
+    groups: dict[PuschConfig, list[int]] = {}
+    for i, pdu in enumerate(pdus):
+        c = pdu.config
+        if c.uci_mux is not None or c.ptrs_enabled:
+            raise ValueError("UCI-on-PUSCH / PT-RS PDUs take the per-PDU path")
+        key = dataclasses.replace(
+            c, alloc=dataclasses.replace(c.alloc, crb_start=0))
+        groups.setdefault(key, []).append(i)
+
+    cfgs = tuple(groups.keys())
+    rntis_g, sc0_g, rbank_g, harq_g = [], [], [], []
+    from ..support import hostio as _hostio
+
+    for cfg, idxs in groups.items():
+        rntis_g.append(jnp.asarray([pdus[i].rnti for i in idxs], jnp.uint32))
+        sc0_g.append(jnp.asarray([12 * pdus[i].first_rb for i in idxs],
+                                 jnp.int32))
+        first_rbs = tuple(int(pdus[i].first_rb) for i in idxs)
+        rbank_g.append(_hostio.to_device(
+            pusch_mod._multi_pilot_bank(cfg, first_rbs)))
+        if any(pdus[i].harq_buffer is not None for i in idxs):
+            seg = cfg.sch.seg
+            zeros = None
+            bufs = []
+            for i in idxs:
+                b = pdus[i].harq_buffer
+                if b is None:
+                    if zeros is None:
+                        n = seg.nof_codeblocks
+                        nllr = None
+                        for j in idxs:
+                            if pdus[j].harq_buffer is not None:
+                                nllr = pdus[j].harq_buffer.shape[-1]
+                                break
+                        zeros = jnp.zeros((n, nllr), jnp.int8)
+                    b = zeros
+                bufs.append(b)
+            harq_g.append(jnp.stack(bufs))
+        else:
+            harq_g.append(None)
+
+    fronts, f1_outs = _slot_front(grid, tuple(rntis_g), tuple(sc0_g),
+                                  tuple(rbank_g), tuple(harq_g), cfgs,
+                                  tuple(f1_cfgs))
+
+    # ---- decode: batch codeblocks per (bg, z, iters, early_stop) -------
+    by_code: dict[tuple, list[int]] = {}
+    for gi, cfg in enumerate(cfgs):
+        seg = cfg.sch.seg
+        key = (seg.base_graph, seg.lifting_size, cfg.nof_ldpc_iterations,
+               cfg.ldpc_early_stop)
+        by_code.setdefault(key, []).append(gi)
+    bits_g: list = [None] * len(cfgs)
+    for (bg, z, iters, es), gis in by_code.items():
+        flats = [fronts[gi][0] for gi in gis]
+        sizes = [f.shape[0] for f in flats]
+        bits_all = _decode_group(jnp.concatenate(flats, axis=0), bg, z,
+                                 iters, es)
+        off = 0
+        for gi, n in zip(gis, sizes):
+            bits_g[gi] = bits_all[off : off + n]
+            off += n
+
+    finished = _slot_finish(tuple(bits_g), cfgs,
+                            tuple(len(idxs) for idxs in groups.values()))
+
+    # ---- scatter back to input order ----------------------------------
+    results: list[dict | None] = [None] * len(pdus)
+    for (cfg, idxs), (flat, harq, nvs, snrs), (tb, ok) in zip(
+            groups.items(), fronts, finished):
+        for k, i in enumerate(idxs):
+            results[i] = {
+                "tb_bits": tb[k],
+                "tb_crc_ok": ok[k],
+                "harq_buffer": harq[k],
+                "noise_var": nvs[k],
+                "snr_db": 10.0 * jnp.log10(jnp.maximum(snrs[k], 1e-12)),
+            }
+    return results, list(f1_outs)

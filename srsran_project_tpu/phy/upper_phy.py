@@ -206,29 +206,42 @@ class UpperPhy:
                 hostio.to_host(rx_grid).reshape(-1),
                 "cbf16",
             )
-        # Partition PUSCH PDUs: equal-config compact new-data grants with
-        # no UCI/PT-RS batch into ONE device program per config
-        # (pusch.process_multi); everything else takes the per-PDU path.
+        # Heterogeneous multi-UE slot program (phy/ul_slot.py): ALL compact
+        # PUSCH grants without UCI/PT-RS — mixed MCS/alloc widths and
+        # retransmissions included — decode through ONE front-end program
+        # plus per-(bg, Z) codeblock-batched LDPC decodes, with PUCCH F1
+        # occasions folded into the same front-end program.  The per-PDU
+        # path remains for UCI-on-PUSCH / PT-RS / non-compact grants
+        # (reference slot shape: uplink_processor_impl.h:149's mixed PDU
+        # repository).
         multi_outs: dict[int, dict] = {}
-        groups: dict = {}
-        for i, pdu in enumerate(request.pusch):
-            c = pdu.config
-            if (pdu.first_rb is not None and pdu.new_data
-                    and c.uci_mux is None and not c.ptrs_enabled
-                    and c.estimator != "reference"
-                    and c.alloc.crb_start == pdu.first_rb):
-                key = dataclasses.replace(
-                    c, alloc=dataclasses.replace(c.alloc, crb_start=0))
-                groups.setdefault(key, []).append(i)
-        for cfg_g, idxs in groups.items():
-            if len(idxs) < 2:
-                continue
-            pdus = [request.pusch[i] for i in idxs]
-            rntis = np.asarray([p.rnti for p in pdus], np.uint32)
-            offs = [p.first_rb for p in pdus]
-            outs = pusch_mod.process_multi(rx_grid, rntis, offs, cfg_g)
-            for k, i in enumerate(idxs):
-                multi_outs[i] = {key: v[k] for key, v in outs.items()}
+        f1_folded: dict[int, tuple] = {}
+        eligible = [
+            i for i, pdu in enumerate(request.pusch)
+            if (pdu.first_rb is not None and pdu.config.uci_mux is None
+                and not pdu.config.ptrs_enabled
+                and pdu.config.alloc.crb_start == pdu.first_rb)
+        ]
+        if len(eligible) >= 2:
+            from . import ul_slot as ul_slot_mod
+
+            slot_pdus = []
+            for i in eligible:
+                p = request.pusch[i]
+                hb = (None if p.new_data
+                      else self.harq_pool.get(p.rnti, p.harq_id))
+                slot_pdus.append(ul_slot_mod.UlSlotPdu(
+                    rnti=p.rnti, first_rb=p.first_rb, config=p.config,
+                    harq_buffer=hb))
+            f1_idx = [j for j, pp in enumerate(request.pucch)
+                      if isinstance(pp.config, pucch_mod.PucchFormat1Config)]
+            f1_cfgs = tuple(request.pucch[j].config for j in f1_idx)
+            outs, f1_outs = ul_slot_mod.process_slot(
+                rx_grid, slot_pdus, f1_cfgs)
+            for i, out in zip(eligible, outs):
+                multi_outs[i] = out
+            for j, fo in zip(f1_idx, f1_outs):
+                f1_folded[j] = fo
         for i, pdu in enumerate(request.pusch):
             if i in multi_outs:
                 out = multi_outs[i]
@@ -268,7 +281,7 @@ class UpperPhy:
                 self.harq_pool.release(pdu.rnti, pdu.harq_id)
             else:
                 self.harq_pool.put(pdu.rnti, pdu.harq_id, out["harq_buffer"])
-        for pdu in request.pucch:
+        for pdu_j, pdu in enumerate(request.pucch):
             c = pdu.config
             if isinstance(c, pucch_mod.PucchFormat0Config):
                 val, metric, _ = pucch_mod.format0_detect(rx_grid, c)
@@ -286,7 +299,10 @@ class UpperPhy:
                         float(metric) > pucch_mod.F0_DTX_THRESHOLD, float(metric))
                 )
             elif isinstance(c, pucch_mod.PucchFormat1Config):
-                bits, _, metric = pucch_mod.format1_detect(rx_grid, c)
+                if pdu_j in f1_folded:
+                    bits, metric = f1_folded[pdu_j]  # detected in the slot program
+                else:
+                    bits, _, metric = pucch_mod.format1_detect(rx_grid, c)
                 res.uci.append(
                     fapi.UciIndicationPdu(
                         pdu.rnti, np.asarray(bits),

@@ -1,0 +1,115 @@
+"""Heterogeneous multi-UE UL slot program (phy/ul_slot.py): one front-end
+program for MIXED PUSCH configs + PUCCH F1, per-(bg, Z) codeblock-batched
+decode — results must match the per-PDU chain exactly."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srsran_project_tpu.ops.modulation import Modulation
+from srsran_project_tpu.phy import pucch as pucch_mod
+from srsran_project_tpu.phy import pusch as pusch_mod
+from srsran_project_tpu.phy import ul_slot
+from srsran_project_tpu.phy.allocation import Allocation
+
+
+def _mk_cfg(rb_count, mod, rate, tbs, layers=1, dmrs=(2, 11)):
+    return pusch_mod.PuschConfig(
+        tbs=tbs, target_code_rate=rate, modulation=mod,
+        alloc=Allocation(rb_start=0, rb_count=rb_count, sym_start=0,
+                         sym_count=14, dmrs_symbols=dmrs),
+        nof_layers=layers, nof_rx_ports=layers, nof_grid_symbols=14,
+        nof_grid_sc=rb_count * 12, slot_in_frame=3)
+
+
+CARRIER_SC = 52 * 12
+
+
+def _build_slot(with_pucch=True, seed=0):
+    """8-UE slot, two distinct configs, placed at distinct PRB offsets on
+    one 52-PRB carrier, plus one PUCCH F1 occasion on PRB 48."""
+    cfg_a = _mk_cfg(6, Modulation.QAM16, 0.4, 2048)   # UEs 0-4: PRB 0-29
+    cfg_b = _mk_cfg(4, Modulation.QAM64, 0.3, 1024)   # UEs 5-7: PRB 30-41
+    plan = [(cfg_a, rb) for rb in (0, 6, 12, 18, 24)] + \
+           [(cfg_b, rb) for rb in (30, 34, 38)]
+    rng = np.random.default_rng(seed)
+    grid = np.zeros((1, 14, CARRIER_SC), np.complex64)
+    tbs, pdus = [], []
+    for i, (cfg, rb0) in enumerate(plan):
+        tb = rng.integers(0, 2, size=(cfg.tbs,), dtype=np.uint8)
+        tbs.append(tb)
+        cfg_tx = dataclasses.replace(
+            cfg, alloc=dataclasses.replace(cfg.alloc, crb_start=rb0))
+        sub = np.asarray(pusch_mod.transmit(jnp.asarray(tb),
+                                            jnp.uint32(0x4601 + i), cfg_tx))
+        grid[:, :, rb0 * 12 : rb0 * 12 + cfg.nof_grid_sc] += sub
+        pdus.append(ul_slot.UlSlotPdu(rnti=0x4601 + i, first_rb=rb0,
+                                      config=cfg_tx))
+    f1_cfgs = []
+    f1_bits = np.asarray([1, 0], np.uint8)
+    if with_pucch:
+        f1 = pucch_mod.PucchFormat1Config(
+            prb=48, start_symbol=0, nof_symbols=14, initial_cyclic_shift=3,
+            occ_index=1, n_id=42, slot_in_frame=3, nof_harq_bits=2)
+        grid[0, 0:14, 48 * 12 : 49 * 12] += 0.8 * np.exp(1j * 0.5) * np.asarray(
+            pucch_mod.format1_generate(f1, f1_bits))
+        f1_cfgs.append(f1)
+    grid += (rng.standard_normal(grid.shape)
+             + 1j * rng.standard_normal(grid.shape)).astype(np.complex64) * 0.02
+    return jnp.asarray(grid), tbs, pdus, f1_cfgs, f1_bits
+
+
+def test_hetero_slot_matches_per_pdu_chain():
+    grid, tbs, pdus, f1_cfgs, f1_bits = _build_slot()
+    results, f1_res = ul_slot.process_slot(grid, pdus, f1_cfgs)
+    assert len(results) == 8
+    for i, (pdu, res, tb) in enumerate(zip(pdus, results, tbs)):
+        assert bool(np.asarray(res["tb_crc_ok"])), f"UE{i} CRC failed"
+        assert (np.asarray(res["tb_bits"]) == tb).all(), f"UE{i} TB mismatch"
+        # Metric parity with the per-PDU path.
+        win = jax.lax.dynamic_slice(
+            grid, (0, 0, pdu.first_rb * 12),
+            (1, 14, pdu.config.nof_grid_sc))
+        ref = pusch_mod.process(win, jnp.uint32(pdu.rnti), pdu.config)
+        assert np.isclose(float(res["snr_db"]), float(ref["snr_db"]),
+                          atol=1e-3), f"UE{i} snr mismatch"
+        assert np.isclose(float(res["noise_var"]), float(ref["noise_var"]),
+                          rtol=1e-4), f"UE{i} nv mismatch"
+    # PUCCH F1 folded into the same program detects the injected bits.
+    bits, metric = f1_res[0]
+    assert (np.asarray(bits) == f1_bits).all()
+    assert float(metric) > pucch_mod.F1_DTX_THRESHOLD
+
+
+def test_hetero_slot_program_count():
+    """The slot runs in a BOUNDED number of compiled programs independent
+    of UE count: 1 front + 1 decode per distinct (bg, Z) + 1 finish."""
+    grid, tbs, pdus, f1_cfgs, _ = _build_slot(seed=1)
+    seen = set()
+    for pdu in pdus:
+        seg = pdu.config.sch.seg
+        seen.add((seg.base_graph, seg.lifting_size))
+    results, _ = ul_slot.process_slot(grid, pdus, f1_cfgs)
+    assert all(bool(np.asarray(r["tb_crc_ok"])) for r in results)
+    # Structural bound: distinct code groups <= distinct configs (2 here).
+    assert len(seen) <= 2
+
+
+def test_hetero_slot_with_retx():
+    """A retransmission PDU (harq buffer from a failed first tx) decodes in
+    the same slot program as new-data grants of a different config."""
+    grid, tbs, pdus, _, _ = _build_slot(with_pucch=False, seed=2)
+    # First pass: decode normally, keep UE 5's harq buffer; then re-run the
+    # slot pretending UE 5 is a retransmission with its buffer attached —
+    # combine with its own first-tx soft bits must still decode clean.
+    results, _ = ul_slot.process_slot(grid, pdus)
+    harq5 = results[5]["harq_buffer"]
+    pdus2 = list(pdus)
+    pdus2[5] = dataclasses.replace(pdus[5], harq_buffer=harq5)
+    results2, _ = ul_slot.process_slot(grid, pdus2)
+    for i, (res, tb) in enumerate(zip(results2, tbs)):
+        assert bool(np.asarray(res["tb_crc_ok"])), f"UE{i} CRC failed (retx slot)"
+        assert (np.asarray(res["tb_bits"]) == tb).all()

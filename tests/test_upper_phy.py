@@ -248,12 +248,17 @@ def test_multi_ue_slot_batches_into_one_program(monkeypatch):
     from srsran_project_tpu.ran.constants import SubcarrierSpacing
     from srsran_project_tpu.ran.slot_point import SlotPoint
 
+    from srsran_project_tpu.phy import ul_slot as ul_slot_mod
+
     calls = {"dl": 0, "ul": 0}
-    real_dl, real_ul = pdsch_mod.process_multi, pusch_mod.process_multi
+    real_dl, real_ul = pdsch_mod.process_multi, ul_slot_mod.process_slot
     monkeypatch.setattr(pdsch_mod, "process_multi",
                         lambda *a, **k: (calls.__setitem__("dl", calls["dl"] + 1),
                                          real_dl(*a, **k))[1])
-    monkeypatch.setattr(pusch_mod, "process_multi",
+    # UL now routes through the heterogeneous slot program (ONE front-end
+    # program for the whole slot, phy/ul_slot.py) rather than per-config
+    # process_multi calls.
+    monkeypatch.setattr(ul_slot_mod, "process_slot",
                         lambda *a, **k: (calls.__setitem__("ul", calls["ul"] + 1),
                                          real_ul(*a, **k))[1])
 
