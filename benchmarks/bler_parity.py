@@ -173,6 +173,16 @@ def main():
             "TDL emulator.  Both draw uncorrelated\nper-slot taps; agreement "
             "is statistical (95% CI of the reference's\nmeasurement shown)."
             "\n\n"
+            "Rank-N rows run N layers over an NxN i.i.d. MIMO channel "
+            "(identity\nprecoding).  Rank-2 rows use the ZF equalizer on "
+            "both sides — the\nalgorithm the reference's own bler harness "
+            "selects (pxsch_bler_test.cpp:257);\nits open-source MMSE is "
+            "single-layer-only and ranks above 2 are\nenterprise-gated "
+            "(channel_equalizer_generic_impl.cpp is_supported), so\nrank-4 "
+            "rows are TPU-only (4x4 MMSE).  TPU LDPC iteration counts are\n"
+            "per-codeblock syndrome-stop statistics (the Pallas kernel's "
+            "early-stop\ncriterion); the reference's are its CRC-stop "
+            "decoder stats.\n\n"
             "| Profile | Rank | SINR dB | MCS (qam64 tbl) | TBS | ref CRC BLER "
             "(±CI) | TPU (parity kernels) | TPU (fast kernels) | ref LDPC "
             "iters (min/mean/max) | TPU iters |\n"

@@ -143,6 +143,9 @@ class CrcIndicationPdu:
     # Post-equalization SINR measured on this PUSCH (drives closed-loop
     # power control; reference crc_indication.ul_sinr_metric).
     snr_db: float | None = None
+    # Estimator time alignment in seconds (drives the scheduler's TA
+    # maintenance loop; reference crc_indication.time_advance_offset).
+    ta_s: float | None = None
 
 
 @dataclasses.dataclass

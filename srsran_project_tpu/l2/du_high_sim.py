@@ -84,6 +84,9 @@ class DuHighSim:
     def build_dl_tb(self, rnti: int, tbs_bits: int) -> np.ndarray:
         """Assemble one DL-SCH MAC PDU of tbs_bits: CEs then RLC subPDUs, padded."""
         ue = self.ues[rnti]
+        # Drain TA commands the scheduler's TA manager queued for this UE
+        # (l2sim/ue_context_loops.TaManager -> TA-command MAC CE).
+        ue.ta_cmds.extend(self.scheduler.pop_ta_cmds(rnti))
         tb_size = tbs_bits // 8
         subpdus: list[mac_pdu.MacSubPdu] = []
         budget = tb_size

@@ -46,6 +46,23 @@ def cqi_to_mcs(cqi: int, table: str = "qam64") -> int:
     return best
 
 
+def ul_mcs_from_snr(snr_db: float, table: str = "qam64",
+                    margin_db: float = 2.0) -> int:
+    """SRS/PUSCH-SNR-driven UL MCS: the largest MCS whose spectral
+    efficiency fits the Shannon capacity at (snr - margin) dB — the
+    SRS-based UL link-adaptation role of the reference's
+    ue_channel_state_manager wideband SINR feeding grant MCS selection."""
+    import math
+
+    cap = math.log2(1.0 + 10.0 ** ((snr_db - margin_db) / 10.0))
+    tab = MCS_TABLE_64QAM if table == "qam64" else MCS_TABLE_256QAM
+    best = 0
+    for mcs, (mqm, mrate) in enumerate(tab):
+        if _eff(mqm, mrate) <= cap + 1e-9:
+            best = mcs
+    return best
+
+
 @dataclasses.dataclass
 class OllaState:
     offset_db: float = 0.0

@@ -57,6 +57,11 @@ class UeContext:
     dl_bits_acked: int = 0
     ul_bits_ok: int = 0
     avg_rate: float = 1.0  # EWMA served rate (bits/slot) for PF
+    # UE-context loops (l2sim/ue_context_loops): set by add_ue per config.
+    ta_manager: object | None = None
+    drx: object | None = None
+    srs_state: object | None = None
+    pending_ta_cmds: list = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -98,6 +103,18 @@ class SchedulerConfig:
     # Periodic SRS scheduling (l2sim/srs_alloc slot wheel, the reference
     # srs_scheduler_impl role): each UE sounds every period at its offset.
     use_srs: bool = False
+    # UE-context loops (reference lib/scheduler/ue_context):
+    # - TA maintenance (ta_manager.cpp): windowed estimator-TA measurements
+    #   -> TA-command MAC CEs queued per UE (pop via pop_ta_cmds()).
+    # - DRX (ue_drx_controller.cpp): onDuration/inactivity active-time
+    #   gating of scheduling; pending SR keeps the UE schedulable.
+    # - SRS-driven UL link adaptation (ue_channel_state_manager.cpp role):
+    #   SRS wideband SNR selects the UL MCS.
+    use_ta_manager: bool = False
+    ta_manager_cfg: object | None = None  # ue_context_loops.TaManagerConfig
+    scs_mu: int = 1
+    drx: object | None = None  # ue_context_loops.DrxConfig
+    srs_link_adaptation: bool = False
 
 
 class RoundRobinScheduler:
@@ -153,7 +170,26 @@ class RoundRobinScheduler:
         self.ues[rnti] = ue
         if self.cfg.use_srs:
             self.srs_sched.add_ue(rnti)
+        from . import ue_context_loops as ucl
+
+        if self.cfg.use_ta_manager:
+            ue.ta_manager = ucl.TaManager(
+                self.cfg.ta_manager_cfg or ucl.TaManagerConfig(),
+                mu=self.cfg.scs_mu)
+        if self.cfg.drx is not None:
+            ue.drx = ucl.DrxController(self.cfg.drx, scs_mu=self.cfg.scs_mu)
+        if self.cfg.use_srs:
+            ue.srs_state = ucl.SrsChannelState(max_rank=self.cfg.nof_layers)
         return ue
+
+    def pop_ta_cmds(self, rnti: int) -> list:
+        """Drain the pending TA commands for a UE (queued by its
+        TaManager); the DU-high sends each as a TA-command MAC CE."""
+        ue = self.ues.get(rnti)
+        if ue is None or not ue.pending_ta_cmds:
+            return []
+        cmds, ue.pending_ta_cmds = ue.pending_ta_cmds, []
+        return cmds
 
     def _select_ues(self, active, n):
         """Pick n UEs: round robin, or proportional-fair with QoS weights
@@ -219,7 +255,19 @@ class RoundRobinScheduler:
         """
         c = self.cfg
         tdd_dir = c.tdd_pattern.direction(slot.count) if c.tdd_pattern else None
-        active = list(self.ues.values())
+        # Per-UE context loop ticks: DRX active-time windows open/expire and
+        # TA measurement windows close (queueing TA-command MAC CEs).
+        for ue in self.ues.values():
+            if ue.drx is not None:
+                ue.drx.sr_pending = ue.sr_pending
+                ue.drx.slot_indication(slot.count)
+            if ue.ta_manager is not None:
+                cmd = ue.ta_manager.slot_indication(slot.count)
+                if cmd is not None:
+                    ue.pending_ta_cmds.append(cmd)
+        # DRX gates scheduling: only active-time UEs are PDCCH-schedulable.
+        active = [ue for ue in self.ues.values()
+                  if ue.drx is None or ue.drx.is_pdcch_enabled()]
         if not active or c.nof_rb - rb_offset < c.max_ues_per_slot:
             self.last_pdcch_slot = pdcch_slot
             return (fapi.DlTtiRequest(slot=slot), fapi.TxDataRequest(slot=slot),
@@ -279,6 +327,9 @@ class RoundRobinScheduler:
                     tb = rng.integers(0, 2, size=(tbs,), dtype=np.uint8)
                 hp.active, hp.tb, hp.nof_tx = True, tb, 0
                 hp.dl_layers, hp.w = dl_layers, w
+            if ue.drx is not None and new_data:
+                # New-transmission PDCCH (re)starts drx-InactivityTimer.
+                ue.drx.on_new_tx_pdcch(slot.count)
             pdsch_pdus.append(fapi.DlPdschPdu(dl_cfg, ue.rnti, w, len(payloads),
                                               first_rb=rb_offset + i * rb_each))
             payloads.append(tb)
@@ -410,6 +461,9 @@ class RoundRobinScheduler:
                                                     crc.snr_db)
             if self.link_adaptor is not None:
                 self.link_adaptor.handle_crc(crc.rnti, crc.tb_crc_ok)
+            if ue.ta_manager is not None and crc.ta_s is not None:
+                ue.ta_manager.handle_ta_seconds(
+                    crc.ta_s, crc.snr_db if crc.snr_db is not None else 100.0)
             hp = ue.harqs[crc.harq_id]
             if crc.tb_crc_ok:
                 if hp.tb is not None:
@@ -417,6 +471,18 @@ class RoundRobinScheduler:
                 hp.active, hp.tb, hp.nof_tx = False, None, 0
             elif hp.nof_tx >= 3:
                 hp.active, hp.tb, hp.nof_tx = False, None, 0  # drop after 4 tx
+        # SRS indications -> UL channel state (wideband SNR drives the UL
+        # MCS when srs_link_adaptation is on; the SRS-reported TA also
+        # feeds the TA manager like the reference's SRS-based TA source).
+        for srs in getattr(res, "srs", ()) or ():
+            ue = self.ues.get(srs.rnti)
+            if ue is None or ue.srs_state is None:
+                continue
+            ue.srs_state.wideband_snr_db = srs.snr_db
+            if self.cfg.srs_link_adaptation:
+                from .link_adaptation import ul_mcs_from_snr
+
+                ue.mcs = ul_mcs_from_snr(srs.snr_db, ue.mcs_table)
         if self.link_adaptor is not None and self.csi_report_cfg is not None:
             from ..ran import csi as _csi
             from ..ran import precoding as _prec

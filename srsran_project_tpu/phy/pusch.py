@@ -109,6 +109,10 @@ class PuschConfig:
     # pusch_demodulator_impl.cpp:345-351).  Single layer only.
     transform_precoding: bool = False
     n_rs_id: int = 0
+    # Emit the time-alignment estimate (seconds) with the result dict —
+    # feeds the scheduler's TA maintenance loop (reference: the estimator
+    # TA lands in the CRC indication, crc_indication.time_advance_offset).
+    compute_ta: bool = False
 
     @functools.cached_property
     def g_total(self) -> int:
@@ -264,6 +268,8 @@ def _estimate_reference(grid: jax.Array, cfg: PuschConfig, r_all, wf_all):
                              jnp.float32)
         derot = jnp.exp(-2j * np.pi * epochs * cfo).astype(jnp.complex64)
         gflat = (grid * derot[None, :, None]).reshape(npr, -1)
+    if cfg.compute_ta:
+        return gflat, h, nvar_acc, snr_acc, outs["ta_s"].mean()
     return gflat, h, nvar_acc, snr_acc
 
 
@@ -293,7 +299,7 @@ def _estimate_stage(grid: jax.Array, cfg: PuschConfig, r_override=None):
         y_p = jnp.moveaxis(y_p, 0, 1)  # (nl, npr, nsym_d, Np)
         h_l, nv_l, metrics = estimate_channel(
             y_p, r_all[:, None], wf_all[:, None, None, :], pair_pos, a.nof_sc,
-            compute_cfo=cfg.cfo_compensation,
+            compute_cfo=cfg.cfo_compensation, compute_ta=cfg.compute_ta,
         )  # h_l: (nl, npr, nof_sc), nv_l: (nl, npr)
         h = jnp.moveaxis(h_l, 0, -1)  # (npr, nof_sc, nl)
         # Pilot descaling (see _estimate_constants) divides the pilot-domain
@@ -302,7 +308,13 @@ def _estimate_stage(grid: jax.Array, cfg: PuschConfig, r_override=None):
         nvar_acc = nv_l.mean() * beta2
         snr_acc = metrics["snr"].mean() / beta2
         cfo_acc = metrics["cfo_phase_per_dmrs_symbol"].mean() if cfg.cfo_compensation else 0.0
-        return h, nvar_acc, snr_acc, cfo_acc
+        ta_acc = jnp.float32(0.0)
+        if cfg.compute_ta:
+            # Peak bin of the 4096-point delay profile of the pair channel
+            # sampled at the pair spacing: tau = bin / (4096 * df_pair).
+            df_pair = (pair_pos[1] - pair_pos[0]) * cfg.scs_khz * 1e3
+            ta_acc = metrics["ta_peak_bin_4096"].mean() / np.float32(4096.0 * df_pair)
+        return h, nvar_acc, snr_acc, cfo_acc, ta_acc
 
     def noise_by_second_difference(gf):
         """Noise variance from second differences of the despread pair
@@ -325,7 +337,7 @@ def _estimate_stage(grid: jax.Array, cfg: PuschConfig, r_override=None):
     if cfg.estimator == "reference":
         return _estimate_reference(grid, cfg, r_all, wf_all)
 
-    h, nvar_acc, snr_acc, cfo_acc = estimate_all(gflat)
+    h, nvar_acc, snr_acc, cfo_acc, ta_acc = estimate_all(gflat)
     if cfg.cfo_compensation and len(a.dmrs_symbols) > 1:
         # Derotate the grid by the estimated CFO slope (reference CFO-comp
         # strategy), then RE-estimate so the channel phase reference matches
@@ -335,7 +347,7 @@ def _estimate_stage(grid: jax.Array, cfg: PuschConfig, r_override=None):
         sym_idx = jnp.arange(cfg.nof_grid_symbols, dtype=jnp.float32)
         derot = jnp.exp(-1j * slope * sym_idx).astype(jnp.complex64)
         gflat = (grid * derot[None, :, None]).reshape(npr, -1)
-        h, nvar_acc, snr_acc, _ = estimate_all(gflat)
+        h, nvar_acc, snr_acc, _, ta_acc = estimate_all(gflat)
 
     if cfg.noise_method == "second_difference":
         nvar_acc = noise_by_second_difference(gflat)
@@ -366,6 +378,8 @@ def _estimate_stage(grid: jax.Array, cfg: PuschConfig, r_override=None):
         phase = jnp.where(jnp.abs(per_sym) > 0, per_sym / jnp.maximum(jnp.abs(per_sym), 1e-12), 1.0)
         gflat = (grid * jnp.conj(phase)[None, :, None]).reshape(npr, -1)
 
+    if cfg.compute_ta:
+        return gflat, h, nvar_acc, snr_acc, ta_acc
     return gflat, h, nvar_acc, snr_acc
 
 
@@ -379,7 +393,8 @@ def _front_end(grid: jax.Array, rnti: jax.Array, cfg: PuschConfig):
     program is the other extreme — it blows up the compiler super-linearly
     on 100 MHz carriers — so the stage granularity stays.
     """
-    gflat, h, noise_var, snr_acc = checkpoint(_estimate_stage(grid, cfg))
+    est = checkpoint(_estimate_stage(grid, cfg))
+    gflat, h, noise_var, snr_acc = est[:4]
     x_hat, eq_nvar = checkpoint(_equalize_stage(gflat, h, noise_var, cfg))
     if cfg.transform_precoding:
         x_hat, eq_nvar = _deprecode_stage(x_hat, eq_nvar, cfg)
@@ -388,6 +403,8 @@ def _front_end(grid: jax.Array, rnti: jax.Array, cfg: PuschConfig):
     )
     if cfg.sinr_method == "post_equalization":
         snr_acc = sinr_post_eq
+    if cfg.compute_ta:
+        return llr_i8, noise_var, snr_acc, est[4]
     return llr_i8, noise_var, snr_acc
 
 
@@ -581,8 +598,12 @@ def process(
     Deliberately NOT one fused jit: the front end and the LDPC decode are
     separate compiled programs (see _front_end).
     """
-    llr_i8, noise_var, snr_acc = _front_end(grid, jnp.asarray(rnti), cfg)
-    return finish(llr_i8, noise_var, snr_acc, cfg, harq_buffer=harq_buffer)
+    fe = _front_end(grid, jnp.asarray(rnti), cfg)
+    llr_i8, noise_var, snr_acc = fe[:3]
+    out = finish(llr_i8, noise_var, snr_acc, cfg, harq_buffer=harq_buffer)
+    if cfg.compute_ta:
+        out["ta_s"] = fe[3]
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

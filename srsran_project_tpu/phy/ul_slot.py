@@ -56,19 +56,20 @@ def _slot_front(grid, rntis_g, sc0_g, rbank_g, harq_g, cfgs, f1_cfgs):
             win = jax.lax.dynamic_slice(
                 grid, (0, 0, sc0),
                 (grid.shape[0], grid.shape[1], cfg.nof_grid_sc))
-            gflat, h, nv, snr = pusch_mod._estimate_stage(win, cfg,
-                                                          r_override=r_ov)
+            est = pusch_mod._estimate_stage(win, cfg, r_override=r_ov)
+            gflat, h, nv, snr = est[:4]
             x_hat, eq_nvar = pusch_mod._equalize_stage(gflat, h, nv, cfg)
             if cfg.transform_precoding:
                 x_hat, eq_nvar = pusch_mod._deprecode_stage(x_hat, eq_nvar, cfg)
             llr_i8, sinr_pe = pusch_mod._demap_stage(x_hat, eq_nvar, rnti, cfg)
             if cfg.sinr_method == "post_equalization":
                 snr = sinr_pe
-            return llr_i8, nv, snr
+            ta = est[4] if cfg.compute_ta else jnp.float32(0.0)
+            return llr_i8, nv, snr, ta
 
-        llrs, nvs, snrs = jax.vmap(one)(rntis, sc0s, r_b)
+        llrs, nvs, snrs, tas = jax.vmap(one)(rntis, sc0s, r_b)
         harq, flat = _dematch_stage(llrs, hq, cfg.sch)
-        outs.append((flat, harq, nvs, snrs))
+        outs.append((flat, harq, nvs, snrs, tas))
 
     f1_outs = []
     for f1 in f1_cfgs:
@@ -187,7 +188,7 @@ def process_slot(grid, pdus, f1_cfgs=()):
 
     # ---- scatter back to input order ----------------------------------
     results: list[dict | None] = [None] * len(pdus)
-    for (cfg, idxs), (flat, harq, nvs, snrs), (tb, ok) in zip(
+    for (cfg, idxs), (flat, harq, nvs, snrs, tas), (tb, ok) in zip(
             groups.items(), fronts, finished):
         for k, i in enumerate(idxs):
             results[i] = {
@@ -197,4 +198,6 @@ def process_slot(grid, pdus, f1_cfgs=()):
                 "noise_var": nvs[k],
                 "snr_db": 10.0 * jnp.log10(jnp.maximum(snrs[k], 1e-12)),
             }
+            if cfg.compute_ta:
+                results[i]["ta_s"] = tas[k]
     return results, list(f1_outs)

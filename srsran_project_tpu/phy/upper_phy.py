@@ -273,7 +273,9 @@ class UpperPhy:
                     bool(hostio.to_host(out["csi2_ok"])), 0.0))
             res.crc.append(fapi.CrcIndicationPdu(
                 pdu.rnti, pdu.harq_id, ok,
-                snr_db=float(np.asarray(out["snr_db"]))))
+                snr_db=float(np.asarray(out["snr_db"])),
+                ta_s=(float(np.asarray(out["ta_s"]))
+                      if "ta_s" in out else None)))
             if ok:
                 res.rx_data.append(
                     fapi.RxDataIndicationPdu(pdu.rnti, pdu.harq_id, hostio.to_host(out["tb_bits"]))
