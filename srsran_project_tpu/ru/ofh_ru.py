@@ -60,16 +60,29 @@ class RuOfhConfig:
     # eAxC base for PRACH U-plane streams (the reference configures
     # separate prach_eaxc vs ul_eaxc port lists; ru_ofh_configuration).
     prach_eaxc: int = 8
-    # DL transmit pacing (reference T1a window, in symbols ahead of OTA):
-    # a symbol's U-plane frames go on the wire when the OTA clock is
-    # within [t1a_max, t1a_min] symbols BEFORE that symbol's air time.
-    # "sync" mode keeps the legacy behavior (frame immediately inside
-    # handle_dl_data); "paced" queues per-symbol frames and the OTA tick
-    # dispatches them (ofh_data_flow_uplane_downlink_data + the OTA
-    # symbol dispatcher, reference transmitter pipeline).
-    dl_pacing: str = "sync"   # "sync" | "paced"
-    tx_window_t1a_max_symbols: int = 14  # earliest: 1 slot ahead
-    tx_window_t1a_min_symbols: int = 2   # latest: 2 symbols ahead
+    # Transmit pacing (reference T1a windows, in symbols ahead of OTA):
+    # a message goes on the wire when the OTA clock is within
+    # [t - t1a_max, t - t1a_min] of its air time t.  "paced" (the default
+    # OFH profile, like the reference transmitter pipeline) queues frames
+    # and the OTA tick dispatches them inside their windows — U-plane DL
+    # data, the DL C-plane, and the UL-grant / PRACH C-plane each with
+    # their own window (ofh_data_flow_uplane_downlink_data +
+    # ofh_data_flow_cplane_scheduling_commands + the OTA symbol
+    # dispatcher).  Before the first OTA tick (no timing loop attached)
+    # messages are sent immediately.  "sync" frames everything inside the
+    # request handler (legacy/test mode).
+    dl_pacing: str = "paced"   # "paced" | "sync"
+    tx_window_t1a_max_symbols: int = 14  # U-plane DL earliest: 1 slot ahead
+    tx_window_t1a_min_symbols: int = 2   # U-plane DL latest: 2 symbols ahead
+    # C-plane windows lead the U-plane (reference T1a_max_cp_dl/ul).
+    tx_window_t1a_max_cp_dl_symbols: int = 20
+    tx_window_t1a_min_cp_dl_symbols: int = 4
+    tx_window_t1a_max_cp_ul_symbols: int = 20
+    tx_window_t1a_min_cp_ul_symbols: int = 4
+    # eAxC port maps (reference ru_ofh_configuration dl_eaxc/ul_eaxc):
+    # entry i is the eAxC carrying antenna port i.  None = 0..nof_ports-1.
+    dl_eaxc: tuple | None = None
+    ul_eaxc: tuple | None = None
 
 
 class RuOfh:
@@ -100,11 +113,15 @@ class RuOfh:
         self._ul_pending: Dict[SlotPoint, np.ndarray] = {}
         self._ul_filled: Dict[SlotPoint, np.ndarray] = {}
         self._prach_pending: Dict[SlotPoint, PrachBufferContext] = {}
-        # Paced-DL state: per-symbol frames awaiting their T1a window and
-        # the latest OTA time seen (absolute symbols); None until the
-        # first tick.
-        self._dl_queue: List[tuple[int, np.ndarray]] = []
+        # Paced-TX state: (air-time symbol, t1a_min, t1a_max, frame)
+        # entries awaiting their window, and the latest OTA time seen
+        # (absolute symbols); None until the first tick.
+        self._tx_queue: List[tuple[int, int, int, np.ndarray]] = []
         self._ota_symbols: Optional[int] = None
+        self._dl_eaxc = tuple(cfg.dl_eaxc) if cfg.dl_eaxc is not None \
+            else tuple(range(cfg.nof_ports))
+        self._ul_eaxc = tuple(cfg.ul_eaxc) if cfg.ul_eaxc is not None \
+            else tuple(range(cfg.nof_ports))
         self._lock = threading.Lock()
         self.metrics = RuMetrics()
         self._running = False
@@ -168,66 +185,89 @@ class RuOfh:
         if grid.ndim == 2:
             grid = grid[None]
         frame, subframe, slot_id = self._timestamp(context.slot)
-        paced = self.cfg.dl_pacing == "paced"
+        c = self.cfg
         slot_syms = self._slot_symbols(context.slot)
         with self._lock:
             self.metrics.total_dl_requests += 1
             now = self._ota_symbols
-        if paced and now is not None and slot_syms + SYMBOLS_PER_SLOT <= \
-                now + self.cfg.tx_window_t1a_min_symbols:
+        # Paced only once an OTA clock exists; before the first tick every
+        # message goes straight out (no timing loop attached).
+        paced = c.dl_pacing == "paced" and now is not None
+        if paced and slot_syms + SYMBOLS_PER_SLOT <= \
+                now + c.tx_window_t1a_min_symbols:
             # The whole slot's window has closed: late DL request.
             with self._lock:
                 self.metrics.late_dl_requests += 1
             if self.error_notifier is not None:
                 self.error_notifier.on_late_downlink_message(context.slot, 0)
             return
-        for port in range(min(self.cfg.nof_ports, grid.shape[0])):
-            eaxc = port
+        for port in range(min(c.nof_ports, grid.shape[0])):
+            eaxc = self._dl_eaxc[port]
             cpl = native.ofh_cplane_build(
                 [native.CplaneSection(section_id=0, start_prbc=0,
-                                      num_prbc=self.cfg.nof_prb,
+                                      num_prbc=c.nof_prb,
                                       num_symbol=SYMBOLS_PER_SLOT)],
                 rtc_id=eaxc, seq_id=self._next_seq(0x100 + eaxc), direction=1,
                 frame_id=frame, subframe_id=subframe, slot_id=slot_id,
                 start_symbol=0, section_type=1)
-            self.send_frame(cpl)  # C-plane leads the data regardless of pacing
+            if paced:
+                # The DL C-plane paces in its own (earlier) T1a window.
+                self._enqueue_tx(slot_syms, c.tx_window_t1a_min_cp_dl_symbols,
+                                 c.tx_window_t1a_max_cp_dl_symbols, cpl)
+            else:
+                self.send_frame(cpl)
             build = (native.ofh_uplane_build_static
-                     if self.cfg.compression_mode == "static"
+                     if c.compression_mode == "static"
                      else native.ofh_uplane_build)
             for sym in range(min(SYMBOLS_PER_SLOT, grid.shape[1])):
-                res = grid[port, sym, : self.cfg.nof_prb * 12]
+                res = grid[port, sym, : c.nof_prb * 12]
                 msg = build(
                     self._grid_to_q(res), pc_id=eaxc,
                     seq_id=self._next_seq(eaxc), direction=1,
                     frame_id=frame, subframe_id=subframe, slot_id=slot_id,
-                    symbol_id=sym, start_prb=0, width=self.cfg.compression_width)
+                    symbol_id=sym, start_prb=0, width=c.compression_width)
                 if paced:
-                    with self._lock:
-                        self._dl_queue.append((slot_syms + sym, msg))
+                    self._enqueue_tx(slot_syms + sym,
+                                     c.tx_window_t1a_min_symbols,
+                                     c.tx_window_t1a_max_symbols, msg)
                 else:
                     self.send_frame(msg)
         if paced:
-            self._dispatch_dl()
+            self._dispatch_tx()
 
     # -- UL plane ----------------------------------------------------------
     def handle_new_uplink_slot(self, context: ResourceGridContext) -> None:
         frame, subframe, slot_id = self._timestamp(context.slot)
+        slot_syms = self._slot_symbols(context.slot)
         with self._lock:
             self.metrics.total_ul_requests += 1
+            now = self._ota_symbols
             self._ul_pending[context.slot] = np.zeros(
                 (self.cfg.nof_ports, SYMBOLS_PER_SLOT, self.cfg.nof_prb * 12),
                 np.complex64)
             self._ul_filled[context.slot] = np.zeros(
                 (self.cfg.nof_ports, SYMBOLS_PER_SLOT), bool)
+        paced = self.cfg.dl_pacing == "paced" and now is not None
         for port in range(self.cfg.nof_ports):
+            eaxc = self._ul_eaxc[port]
             cpl = native.ofh_cplane_build(
                 [native.CplaneSection(section_id=0, start_prbc=0,
                                       num_prbc=self.cfg.nof_prb,
                                       num_symbol=SYMBOLS_PER_SLOT)],
-                rtc_id=port, seq_id=self._next_seq(0x200 + port), direction=0,
+                rtc_id=eaxc, seq_id=self._next_seq(0x200 + eaxc), direction=0,
                 frame_id=frame, subframe_id=subframe, slot_id=slot_id,
                 start_symbol=0, section_type=1)
-            self.send_frame(cpl)
+            if paced:
+                # UL-grant C-plane rides the same window machinery as the
+                # DL C-plane (reference
+                # ofh_data_flow_cplane_scheduling_commands).
+                self._enqueue_tx(slot_syms,
+                                 self.cfg.tx_window_t1a_min_cp_ul_symbols,
+                                 self.cfg.tx_window_t1a_max_cp_ul_symbols, cpl)
+            else:
+                self.send_frame(cpl)
+        if paced:
+            self._dispatch_tx()
 
     def handle_prach_occasion(self, context: PrachBufferContext) -> None:
         from ..phy.prach import _LONG_FORMATS, _PREAMBLE_INFO
@@ -250,7 +290,16 @@ class RuOfh:
             direction=0, frame_id=frame, subframe_id=subframe,
             slot_id=slot_id, start_symbol=context.start_symbol,
             section_type=3)
-        self.send_frame(cpl)
+        with self._lock:
+            now = self._ota_symbols
+        if self.cfg.dl_pacing == "paced" and now is not None:
+            self._enqueue_tx(
+                self._slot_symbols(context.slot) + context.start_symbol,
+                self.cfg.tx_window_t1a_min_cp_ul_symbols,
+                self.cfg.tx_window_t1a_max_cp_ul_symbols, cpl)
+            self._dispatch_tx()
+        else:
+            self.send_frame(cpl)
 
     # -- RU→DU ingress ------------------------------------------------------
     def send_idle_guard(self, slot: SlotPoint, start_symbol: int = 0,
@@ -295,7 +344,10 @@ class RuOfh:
                     break
             if target is None:
                 return
-            port = hdr["pc_id"]
+            # eAxC -> antenna port via the UL port map.
+            if hdr["pc_id"] not in self._ul_eaxc:
+                return
+            port = self._ul_eaxc.index(hdr["pc_id"])
             sym = hdr["symbol_id"]
             res = (iq[0::2].astype(np.float32) + 1j * iq[1::2].astype(np.float32))
             res = res.astype(np.complex64) / self.cfg.iq_scale
@@ -374,23 +426,29 @@ class RuOfh:
             for slot in stale_prach:
                 self.error_notifier.on_late_prach_message(slot, 0)
 
-    def _dispatch_dl(self) -> None:
-        """Send queued DL symbol frames whose T1a transmit window is open
-        (ota in [sym - t1a_max, sym - t1a_min]); drop + count frames whose
+    def _enqueue_tx(self, sym_abs: int, t1a_min: int, t1a_max: int,
+                    msg: np.ndarray) -> None:
+        with self._lock:
+            self._tx_queue.append((sym_abs, t1a_min, t1a_max, msg))
+
+    def _dispatch_tx(self) -> None:
+        """Send queued frames whose transmit window is open (ota in
+        [t - t1a_max, t - t1a_min] of the frame's air time t, each frame
+        carrying its own C-/U-plane window); drop + count frames whose
         window closed before they were sent."""
         with self._lock:
             now = self._ota_symbols
             if now is None:
                 return
             due, keep, late = [], [], 0
-            for sym_abs, msg in self._dl_queue:
-                if sym_abs - self.cfg.tx_window_t1a_min_symbols < now:
+            for sym_abs, t1a_min, t1a_max, msg in self._tx_queue:
+                if sym_abs - t1a_min < now:
                     late += 1  # too late to reach the RU in time
-                elif sym_abs - self.cfg.tx_window_t1a_max_symbols <= now:
+                elif sym_abs - t1a_max <= now:
                     due.append((sym_abs, msg))
                 else:
-                    keep.append((sym_abs, msg))
-            self._dl_queue = keep
+                    keep.append((sym_abs, t1a_min, t1a_max, msg))
+            self._tx_queue = keep
             self.metrics.late_dl_requests += late
         for _sym, msg in sorted(due, key=lambda t: t[0]):
             self.send_frame(msg)
@@ -404,6 +462,6 @@ class RuOfh:
             self._ota_symbols = now
         self._evict_stale(now)
         if self.cfg.dl_pacing == "paced":
-            self._dispatch_dl()
+            self._dispatch_tx()
         if self.timing_notifier is not None and symbol == 0:
             self.timing_notifier.on_tti_boundary(slot)
