@@ -382,24 +382,43 @@ def worker() -> None:
         # minus the measured wire roundtrip; otherwise block_until_ready.
         rt = _d2h_roundtrip_s() if transfer_alive else 0.0
         def _lat_sample(fn, i):
+            """(total_s, enqueue_s): round-trip latency + the host-side
+            dispatch (enqueue-call) share, so LATENCY.md can decompose
+            dispatch / compute / readback."""
             if transfer_alive:
                 t0 = time.perf_counter()
-                leaf = jax.tree_util.tree_leaves(fn(i))[0]
+                out = fn(i)
+                t_enq = time.perf_counter() - t0
+                leaf = jax.tree_util.tree_leaves(out)[0]
                 float(np.asarray(_scalarize(leaf)))
-                return max(time.perf_counter() - t0 - rt, 0.0)
+                return max(time.perf_counter() - t0 - rt, 0.0), t_enq
             t0 = time.time()
-            jax.block_until_ready(fn(i))
-            return time.time() - t0
-        lat_e, lat_d = [], []
+            out = fn(i)
+            t_enq = time.time() - t0
+            jax.block_until_ready(out)
+            return time.time() - t0, t_enq
+        lat_e, lat_d, enq = [], [], []
         for i in range(30):
-            lat_e.append(_lat_sample(enc_fn, i))
-            lat_d.append(_lat_sample(dec_fn, i))
+            t, e = _lat_sample(enc_fn, i)
+            lat_e.append(t); enq.append(e)
+            t, e = _lat_sample(dec_fn, i)
+            lat_d.append(t); enq.append(e)
         lat = np.asarray(lat_e + lat_d)
         extra["latency_p50_ms"] = round(float(np.percentile(lat, 50)) * 1e3, 3)
         extra["latency_p99_ms"] = round(float(np.percentile(lat, 99)) * 1e3, 3)
         extra["deadline_miss_rate_2p5ms"] = round(float((lat > 2.5e-3).mean()), 3)
+        # Decomposition: dispatch = enqueue-call return time (host+wire
+        # send), readback = measured scalar d2h roundtrip, compute = rest.
+        p50 = float(np.percentile(lat, 50))
+        enq50 = float(np.percentile(np.asarray(enq), 50))
+        extra["latency_dispatch_ms"] = round(enq50 * 1e3, 3)
+        extra["latency_readback_ms"] = round(rt * 1e3, 3)
+        extra["latency_compute_ms"] = round(max(p50 - enq50 - rt, 0.0) * 1e3, 3)
         print(f"# latency p50={extra['latency_p50_ms']} ms p99={extra['latency_p99_ms']} ms "
-              f"miss@2.5ms={extra['deadline_miss_rate_2p5ms']}", file=sys.stderr, flush=True)
+              f"miss@2.5ms={extra['deadline_miss_rate_2p5ms']} "
+              f"(dispatch {extra['latency_dispatch_ms']} + compute "
+              f"{extra['latency_compute_ms']} + readback "
+              f"{extra['latency_readback_ms']} ms)", file=sys.stderr, flush=True)
 
         result_a = dict(result, value=round(rate_a, 1),
                         vs_baseline=round(rate_a / 2000.0, 3), **extra)

@@ -87,17 +87,97 @@ def run(nof_prb: int, ues: list[int], nof_ports: int) -> list[dict]:
     return results
 
 
+def run_hetero(nof_prb: int, nof_ports: int) -> dict:
+    """Heterogeneous 8-UE slot (phy/ul_slot.py): two DIFFERENT configs
+    (MCS 20 x 5 UEs + MCS 10 x 3 UEs, different widths) plus one PUCCH F1
+    occasion decode through ONE front-end program + one LDPC program per
+    distinct (bg, Z) + one finish program — the mixed PDU repository slot
+    (uplink_processor_impl.h:149) as a bounded number of device programs."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from srsran_project_tpu.ops.modulation import Modulation
+    from srsran_project_tpu.phy import pucch as pucch_mod
+    from srsran_project_tpu.phy import pusch, ul_slot
+    from srsran_project_tpu.phy.allocation import Allocation
+    from srsran_project_tpu.ran import tbs as tbs_mod
+    from srsran_project_tpu.ran.constants import NRE
+    from srsran_project_tpu.support import hostio
+
+    rng = np.random.default_rng(0)
+    nof_grid_sc = nof_prb * 12
+    rb_a = (nof_prb - 3) // 7  # 5 UEs of rb_a + 3 UEs of ~2/3 rb_a + F1
+    rb_b = (nof_prb - 1 - 5 * rb_a) // 3
+
+    def mk(rb, mcs):
+        qm, rate = tbs_mod.mcs_to_qm_rate(mcs, "qam64")
+        tbs = tbs_mod.calculate_tbs(rb, 12, NRE * 1, rate, qm, 1)
+        return pusch.PuschConfig(
+            tbs=tbs, target_code_rate=rate, modulation=Modulation(qm),
+            alloc=Allocation(rb_start=0, rb_count=rb, sym_start=1,
+                             sym_count=12, dmrs_symbols=(2, 11)),
+            nof_layers=1, nof_rx_ports=nof_ports, nof_grid_symbols=14,
+            nof_grid_sc=rb * 12, slot_in_frame=3)
+
+    cfg_a, cfg_b = mk(rb_a, 20), mk(rb_b, 10)
+    plan = [(cfg_a, i * rb_a) for i in range(5)] + \
+           [(cfg_b, 5 * rb_a + i * rb_b) for i in range(3)]
+    grid = np.zeros((nof_ports, 14, nof_grid_sc), np.complex64)
+    pdus = []
+    for i, (cfg, rb0) in enumerate(plan):
+        tb = jnp.asarray(rng.integers(0, 2, size=(cfg.tbs,), dtype=np.uint8))
+        cfg_tx = dc.replace(cfg, alloc=dc.replace(cfg.alloc, crb_start=rb0))
+        sub = np.asarray(pusch.transmit(tb, jnp.uint32(0x4601 + i), cfg_tx))
+        grid[:1, :, rb0 * 12: rb0 * 12 + cfg.nof_grid_sc] += sub
+        pdus.append(ul_slot.UlSlotPdu(rnti=0x4601 + i, first_rb=rb0,
+                                      config=cfg_tx))
+    f1 = pucch_mod.PucchFormat1Config(
+        prb=nof_prb - 1, start_symbol=0, nof_symbols=14,
+        initial_cyclic_shift=3, occ_index=1, n_id=42, slot_in_frame=3,
+        nof_harq_bits=2)
+    grid[0, 0:14, (nof_prb - 1) * 12: nof_prb * 12] += 0.8 * np.asarray(
+        pucch_mod.format1_generate(f1, np.asarray([1, 0], np.uint8)))
+    grid += (rng.standard_normal(grid.shape)
+             + 1j * rng.standard_normal(grid.shape)).astype(np.complex64) \
+        * np.float32(10 ** (-25.0 / 20) * np.sqrt(0.5))
+    grid_d = hostio.to_device(grid.astype(np.complex64))
+
+    t, sync = timeit_rb(lambda: ul_slot.process_slot(grid_d, pdus, (f1,))[0]
+                        [0]["tb_bits"])
+    results, f1_res = ul_slot.process_slot(grid_d, pdus, (f1,))
+    nof_fail = sum(1 for r in results
+                   if not bool(np.asarray(r["tb_crc_ok"])))
+    out = {
+        "metric": f"hetero_slot_rate_{nof_prb}prb_8ue_2cfg_pucch",
+        "value": round(1.0 / t, 1), "unit": "slots/s",
+        "ul_ms_per_slot": round(t * 1e3, 3),
+        "ue_count": 8, "distinct_configs": 2, "pucch_f1": 1,
+        "crc_fail": nof_fail,
+        "f1_bits_ok": bool((np.asarray(f1_res[0][0]) ==
+                            np.asarray([1, 0])).all()),
+        "sync_method": sync,
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--ues", default="4,8,16")
     ap.add_argument("--prb", type=int, default=273)
     ap.add_argument("--ports", type=int, default=1)
+    ap.add_argument("--hetero", action="store_true",
+                    help="mixed-config 8-UE + PUCCH slot (phy/ul_slot.py)")
     args = ap.parse_args()
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if args.hetero:
+        run_hetero(args.prb, args.ports)
+        return
     run(args.prb, [int(x) for x in args.ues.split(",")], args.ports)
 
 

@@ -53,7 +53,9 @@ class SlotPipeline:
             t0 = time.monotonic()
             grid = self.phy.process_dl_tti(request, tx_data)
             collector.record("dl_slot_dispatch", time.monotonic() - t0)
-        self._inflight.append(("dl", request.slot, grid, deadline_s))
+        # DL payload is a device future: completion time is known only at
+        # materialization (ready_hint None -> block + stamp there).
+        self._inflight.append(("dl", request.slot, grid, deadline_s, None))
 
     # -- uplink --------------------------------------------------------
     def push_ul_slot(self, request: fapi.UlTtiRequest, rx_grid, deadline_s: float, prach_fd=None):
@@ -62,13 +64,17 @@ class SlotPipeline:
             t0 = time.monotonic()
             res = self.phy.process_ul_tti(request, rx_grid, prach_fd=prach_fd)
             collector.record("ul_slot_dispatch", time.monotonic() - t0)
-        self._inflight.append(("ul", request.slot, res, deadline_s))
+        # UL results are host-materialized inside process_ul_tti (CRC/UCI
+        # readouts), so the slot COMPLETED now — stamp the ready time so a
+        # lazy drain doesn't bill queue-residence time as lateness.
+        self._inflight.append(("ul", request.slot, res, deadline_s,
+                               time.monotonic()))
 
     # -- collection ----------------------------------------------------
-    def _materialize(self, kind, slot, payload, deadline_s):
+    def _materialize(self, kind, slot, payload, deadline_s, ready_hint=None):
         if kind == "dl":
             jax.block_until_ready(payload)
-        now = time.monotonic()
+        now = ready_hint if ready_hint is not None else time.monotonic()
         self.stats.processed += 1
         if now > deadline_s:
             self.stats.late += 1
