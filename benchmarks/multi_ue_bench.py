@@ -128,7 +128,7 @@ def run_hetero(nof_prb: int, nof_ports: int) -> dict:
     for i, (cfg, rb0) in enumerate(plan):
         tb = jnp.asarray(rng.integers(0, 2, size=(cfg.tbs,), dtype=np.uint8))
         cfg_tx = dc.replace(cfg, alloc=dc.replace(cfg.alloc, crb_start=rb0))
-        sub = np.asarray(pusch.transmit(tb, jnp.uint32(0x4601 + i), cfg_tx))
+        sub = hostio.to_host(pusch.transmit(tb, jnp.uint32(0x4601 + i), cfg_tx))
         grid[:1, :, rb0 * 12: rb0 * 12 + cfg.nof_grid_sc] += sub
         pdus.append(ul_slot.UlSlotPdu(rnti=0x4601 + i, first_rb=rb0,
                                       config=cfg_tx))
@@ -136,7 +136,7 @@ def run_hetero(nof_prb: int, nof_ports: int) -> dict:
         prb=nof_prb - 1, start_symbol=0, nof_symbols=14,
         initial_cyclic_shift=3, occ_index=1, n_id=42, slot_in_frame=3,
         nof_harq_bits=2)
-    grid[0, 0:14, (nof_prb - 1) * 12: nof_prb * 12] += 0.8 * np.asarray(
+    grid[0, 0:14, (nof_prb - 1) * 12: nof_prb * 12] += 0.8 * hostio.to_host(
         pucch_mod.format1_generate(f1, np.asarray([1, 0], np.uint8)))
     grid += (rng.standard_normal(grid.shape)
              + 1j * rng.standard_normal(grid.shape)).astype(np.complex64) \
@@ -145,16 +145,35 @@ def run_hetero(nof_prb: int, nof_ports: int) -> dict:
 
     t, sync = timeit_rb(lambda: ul_slot.process_slot(grid_d, pdus, (f1,))[0]
                         [0]["tb_bits"])
+    # Per-PDU comparison: the same slot as 8 individual process() calls +
+    # a standalone F1 detect — the host-loop shape the slot program
+    # replaces (each PDU pays its own program dispatches).
+    import jax
+
+    def per_pdu():
+        outs = []
+        for pdu in pdus:
+            win = jax.lax.dynamic_slice(
+                grid_d, (0, 0, pdu.first_rb * 12),
+                (grid_d.shape[0], grid_d.shape[1], pdu.config.nof_grid_sc))
+            outs.append(pusch.process(win, jnp.uint32(pdu.rnti),
+                                      pdu.config)["tb_bits"])
+        outs.append(pucch_mod.format1_detect(grid_d, f1)[0])
+        return outs
+
+    t_pdu, _ = timeit_rb(per_pdu, n=5)
     results, f1_res = ul_slot.process_slot(grid_d, pdus, (f1,))
     nof_fail = sum(1 for r in results
-                   if not bool(np.asarray(r["tb_crc_ok"])))
+                   if not bool(hostio.to_host(r["tb_crc_ok"])))
     out = {
         "metric": f"hetero_slot_rate_{nof_prb}prb_8ue_2cfg_pucch",
         "value": round(1.0 / t, 1), "unit": "slots/s",
         "ul_ms_per_slot": round(t * 1e3, 3),
+        "per_pdu_ms_per_slot": round(t_pdu * 1e3, 3),
+        "speedup_vs_per_pdu": round(t_pdu / t, 2),
         "ue_count": 8, "distinct_configs": 2, "pucch_f1": 1,
         "crc_fail": nof_fail,
-        "f1_bits_ok": bool((np.asarray(f1_res[0][0]) ==
+        "f1_bits_ok": bool((hostio.to_host(f1_res[0][0]) ==
                             np.asarray([1, 0])).all()),
         "sync_method": sync,
     }

@@ -184,10 +184,14 @@ def sharded_front_end(grid: jax.Array, cfg: PuschConfig, mesh: Mesh,
             # CDM-shared configs where the raw pair residual reads
             # |h_other|^2 + sigma^2.  Cross-shard neighbours come from the
             # halo already exchanged for the RC filter; the two global-edge
-            # pairs have no physical neighbour and are masked out.
-            d2 = (ext[..., halo - 1: halo - 1 + n_pairs]
-                  - 2.0 * ext[..., halo: halo + n_pairs]
-                  + ext[..., halo + 1: halo + 1 + n_pairs])
+            # pairs have no physical neighbour and are masked out.  The
+            # stencil runs on the BULK-DELAY-DEROTATED pairs (ext_d, same
+            # slope the smoother uses) like the unsharded estimator: the
+            # (1,-2,1) cancels level+slope but not curvature, which at
+            # high delay spread otherwise reads as noise.
+            d2 = (ext_d[..., halo - 1: halo - 1 + n_pairs]
+                  - 2.0 * ext_d[..., halo: halo + n_pairs]
+                  + ext_d[..., halo + 1: halo + 1 + n_pairs])
             jj = jnp.arange(n_pairs)
             edge = ((jj == 0) & (idx == 0)) | ((jj == n_pairs - 1) & (idx == size - 1))
             w_valid = jnp.where(edge, 0.0, 1.0)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import scrambling, sequences
+from ..support import hostio
 from ..ran.constants import NRE
 
 
@@ -213,11 +214,13 @@ def format1_generate(cfg: PucchFormat1Config, bits: np.ndarray) -> np.ndarray:
         w_dmrs = _occ(max(len(dmrs_syms), 1), cfg.occ_index)
         for i, l in enumerate(data_syms):
             alpha = _alpha(cfg.initial_cyclic_shift, 0, ncs[l])
-            seq = np.asarray(sequences.generate(u, v, NRE, jnp.float32(alpha)))
+            # hostio: sequences.generate lives on the accelerator and a
+            # raw complex d2h poisons the tunneled-TPU session.
+            seq = hostio.to_host(sequences.generate(u, v, NRE, jnp.float32(alpha)))
             out[syms.index(l)] = d * w_data[i] * seq
         for i, l in enumerate(dmrs_syms):
             alpha = _alpha(cfg.initial_cyclic_shift, 0, ncs[l])
-            seq = np.asarray(sequences.generate(u, v, NRE, jnp.float32(alpha)))
+            seq = hostio.to_host(sequences.generate(u, v, NRE, jnp.float32(alpha)))
             out[syms.index(l)] = w_dmrs[i] * seq
     return out
 

@@ -99,6 +99,25 @@ def _decode_group(flat, bg, z, nof_iterations, early_stop):
     return ldpc_decoder.decode(flat, bg, z, nof_iterations)[0]
 
 
+@functools.lru_cache(maxsize=None)
+def _grant_arrays_device(rntis: tuple, first_rbs: tuple):
+    """Device-resident per-group grant arrays: every h2d on the TPU
+    tunnel costs ms; the scheduler reproduces the same grant shapes in
+    steady state, so these cache like the pilot banks."""
+    return (jnp.asarray(rntis, jnp.uint32),
+            jnp.asarray([12 * r for r in first_rbs], jnp.int32))
+
+
+@functools.lru_cache(maxsize=None)
+def _pilot_bank_device(cfg: PuschConfig, first_rbs: tuple):
+    """Device-resident per-grant DM-RS pilot bank: uploaded once per
+    (config, PRB-offset tuple) — an h2d on the TPU tunnel costs tens of
+    ms, so re-uploading per slot would dominate the slot program."""
+    from ..support import hostio
+
+    return hostio.to_device(pusch_mod._multi_pilot_bank(cfg, first_rbs))
+
+
 @dataclasses.dataclass
 class UlSlotPdu:
     """One PUSCH grant of the heterogeneous slot."""
@@ -131,15 +150,13 @@ def process_slot(grid, pdus, f1_cfgs=()):
 
     cfgs = tuple(groups.keys())
     rntis_g, sc0_g, rbank_g, harq_g = [], [], [], []
-    from ..support import hostio as _hostio
-
     for cfg, idxs in groups.items():
-        rntis_g.append(jnp.asarray([pdus[i].rnti for i in idxs], jnp.uint32))
-        sc0_g.append(jnp.asarray([12 * pdus[i].first_rb for i in idxs],
-                                 jnp.int32))
         first_rbs = tuple(int(pdus[i].first_rb) for i in idxs)
-        rbank_g.append(_hostio.to_device(
-            pusch_mod._multi_pilot_bank(cfg, first_rbs)))
+        rntis, sc0s = _grant_arrays_device(
+            tuple(int(pdus[i].rnti) for i in idxs), first_rbs)
+        rntis_g.append(rntis)
+        sc0_g.append(sc0s)
+        rbank_g.append(_pilot_bank_device(cfg, first_rbs))
         if any(pdus[i].harq_buffer is not None for i in idxs):
             seg = cfg.sch.seg
             zeros = None

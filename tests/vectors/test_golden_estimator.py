@@ -152,15 +152,19 @@ def test_estimator_refjax_production_kernel_golden():
 def test_estimator_fast_path_bounded_by_goldens():
     """The TPU-optimized fast estimator (ops/estimator.py, the default
     production path) is bounded against the SAME reference vectors: per-RE
-    CE deviation under 25% of the channel scale on single-CDM cases, noise
-    variance within 10x, TA within one 4096-grid sample.  This documents —
-    with reference data, not a self-consistent loopback — how far the
-    9-tap/time-average design sits from the reference's 31-tap estimator:
-    measured on this suite, per-RE CE error reaches ~21% of the channel
-    scale on a 0.56 us-delay channel (the symmetric smoother lags fast
-    phase rotation) and the noise residual inflates up to ~9x at high
-    delay spread.  Production configurations that need reference-grade
-    estimates select estimator="reference"
+    CE deviation under 20% of the channel scale on single-CDM cases
+    (measured worst case 18.1% at the 10 dB point, where the residual is
+    estimation noise passing through different smoothers, not bias — the
+    bulk-delay derotation removed the round-3 high-delay-spread lag),
+    TA within the documented grid tolerance, and the PRODUCTION noise
+    metric (the second-difference estimator pusch.py defaults to) within
+    2x of the reference's noise variance.  The estimator's INTERNAL
+    pair-residual metric still inflates up to ~9x at high delay spread
+    (channel slope within a pair reads as noise) — bounded at 10x and not
+    used by the decode chain.  End-to-end cost of the fast path at the
+    4-layer flagship shape: BLER_PARITY.md rank-4 rows measure fast vs
+    parity kernels within 0.01 BLER of each other.  Configurations that
+    need reference-grade estimates select estimator="reference"
     (test_estimator_refjax_production_kernel_golden)."""
     import jax.numpy as jnp
 
@@ -195,8 +199,21 @@ def test_estimator_fast_path_bounded_by_goldens():
         ref_h = ref_ce[0, np.asarray(dmrs_syms)].mean(axis=0)
         scale = max(1.0, float(np.abs(ref_h).max()))
         err = np.abs(np.asarray(h) - ref_h).max()
-        assert err < 0.25 * scale, (case, err / scale)
+        assert err < 0.20 * scale, (case, err / scale)
+        # Internal pair-residual metric: loose bound, not used by decode.
         assert 0.3 * case["noise_var"] < float(nv) < 10.0 * case["noise_var"], case
+        # PRODUCTION noise metric (pusch.py noise_by_second_difference):
+        # (1,-2,1) over sym+OCC-averaged pair estimates cancels channel
+        # level and slope; must track the reference noise within 2x.
+        ls = y * np.conj(pilots[0])
+        pair = ls.reshape(len(dmrs_syms), -1, 2).mean(axis=-1)
+        h_pair = pair.mean(axis=0)
+        slope = np.angle(np.sum(h_pair[1:] * np.conj(h_pair[:-1])))
+        h_pair = h_pair * np.exp(-1j * slope * np.arange(len(h_pair)))
+        d2 = h_pair[2:] - 2.0 * h_pair[1:-1] + h_pair[:-2]
+        nv_sd = float((np.abs(d2) ** 2).mean()) * len(dmrs_syms) / 3.0
+        assert 0.5 * case["noise_var"] < nv_sd < 2.0 * case["noise_var"], (
+            case, nv_sd / case["noise_var"])
         # TA: the fast path reports the 4096-bin delay peak of the pair
         # channel sampled at pair spacing (stride 2 REs x 2 = 4 x 30 kHz);
         # tolerance = one sample of the REFERENCE correlator at this
