@@ -20,6 +20,13 @@ import jax
 import jax.numpy as jnp
 
 
+def BATCH2(x):
+    """dot_general batch-dims spec: all leading dims of x (and the other
+    operand) are batch dims for the trailing 2-D matmul."""
+    nb = tuple(range(x.ndim - 2))
+    return (nb, nb)
+
+
 def _inv2(c):
     """Closed-form inverse of (..., 2, 2) complex matrices."""
     a = c[..., 0, 0]
@@ -52,18 +59,28 @@ def _inv_small(c: jax.Array) -> jax.Array:
         pad = pad.at[..., 3, 3].set(1.0)
         return _inv_small(pad)[..., :3, :3]
     if nl == 4:
+        # All 2x2 products at HIGHEST precision: the MXU's default bf16
+        # passes put ~1% error on each entry, which the inverse's
+        # conditioning amplifies to O(1..10) absolute error (measured vs
+        # a float64 oracle on TPU; CPU is always exact).
+        def _mm(x, y):
+            nb = tuple(range(x.ndim - 2))
+            return jax.lax.dot_general(
+                x, y, (((x.ndim - 1,), (y.ndim - 2,)), (nb, nb)),
+                precision=jax.lax.Precision.HIGHEST)
+
         a = c[..., :2, :2]
         b = c[..., :2, 2:]
         bh = c[..., 2:, :2]
         d = c[..., 2:, 2:]
         ai = _inv2(a)
-        s = d - bh @ ai @ b          # Schur complement of A
+        s = d - _mm(_mm(bh, ai), b)  # Schur complement of A
         si = _inv2(s)
-        aib = ai @ b
-        bhai = bh @ ai
-        tl = ai + aib @ si @ bhai
-        tr = -aib @ si
-        bl = -si @ bhai
+        aib = _mm(ai, b)
+        bhai = _mm(bh, ai)
+        tl = ai + _mm(_mm(aib, si), bhai)
+        tr = -_mm(aib, si)
+        bl = -_mm(si, bhai)
         top = jnp.concatenate([tl, tr], axis=-1)
         bot = jnp.concatenate([bl, si], axis=-1)
         return jnp.concatenate([top, bot], axis=-2)
@@ -142,7 +159,13 @@ def equalize_weights(
     """
     nlayers = h.shape[-1]
     hh = jnp.conj(jnp.swapaxes(h, -1, -2))  # (..., L, P)
-    gram = hh @ h
+    # HIGHEST precision: the MXU's default bf16 passes on these 4x4
+    # matmuls cost O(1) absolute weight error on conditioned channels
+    # (verified against a float64 oracle; the Pallas kernel and the SoA
+    # elementwise path are exact to ~1e-4).
+    gram = jax.lax.dot_general(
+        hh, h, (((hh.ndim - 1,), (h.ndim - 2,)), BATCH2(hh)),
+        precision=jax.lax.Precision.HIGHEST)
     nv = jnp.maximum(jnp.asarray(noise_var, h.real.dtype), 1e-12)[..., None]
     beta2 = jnp.asarray(tx_scaling, h.real.dtype) ** 2
     eye = jnp.eye(nlayers, dtype=h.dtype)
@@ -153,9 +176,12 @@ def equalize_weights(
     else:
         raise ValueError(method)
     cinv = _inv_small(c)
-    w = (cinv @ hh) * jnp.asarray(tx_scaling, h.dtype)
+    w = jax.lax.dot_general(
+        cinv, hh, (((cinv.ndim - 1,), (hh.ndim - 2,)), BATCH2(cinv)),
+        precision=jax.lax.Precision.HIGHEST) * jnp.asarray(tx_scaling, h.dtype)
     if method == "mmse":
-        mu = jnp.einsum("...ij,...ji->...i", cinv, beta2 * gram).real
+        mu = jnp.einsum("...ij,...ji->...i", cinv, beta2 * gram,
+                        precision=jax.lax.Precision.HIGHEST).real
         mu = jnp.clip(mu, 1e-9, 1.0 - 1e-9)
         w = w / mu[..., None].astype(h.dtype)
         eq_nvar = (1.0 - mu) / mu
@@ -188,7 +214,9 @@ def equalize(
     if nlayers == 4 and h.shape[-2] == 4 and method == "mmse":
         return _equalize_mmse4_soa(y, h, noise_var, tx_scaling)
     hh = jnp.conj(jnp.swapaxes(h, -1, -2))  # (..., L, P)
-    gram = hh @ h  # (..., L, L)
+    gram = jax.lax.dot_general(
+        hh, h, (((hh.ndim - 1,), (h.ndim - 2,)), BATCH2(hh)),
+        precision=jax.lax.Precision.HIGHEST)  # (..., L, L)
     z = (hh @ y[..., None])[..., 0]  # (..., L) matched filter
     nv = jnp.maximum(jnp.asarray(noise_var, h.real.dtype), 1e-12)[..., None]
     beta2 = jnp.asarray(tx_scaling, h.real.dtype) ** 2
@@ -207,7 +235,8 @@ def equalize(
 
     if method == "mmse":
         # Bias mu_l = [C^-1 (beta^2 G)]_ll; unbiased estimate and 1/SINR.
-        mu = jnp.einsum("...ij,...ji->...i", cinv, beta2 * gram).real
+        mu = jnp.einsum("...ij,...ji->...i", cinv, beta2 * gram,
+                        precision=jax.lax.Precision.HIGHEST).real
         mu = jnp.clip(mu, 1e-9, 1.0 - 1e-9)
         x_hat = xt / mu.astype(h.dtype)
         eq_nvar = (1.0 - mu) / mu

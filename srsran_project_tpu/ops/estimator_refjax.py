@@ -178,7 +178,10 @@ def _fd_smooth(p, cfg: RefEstimatorConfig, c):
                      jnp.unwrap(jnp.angle(p[..., -nof_v:]), axis=-1), False)
     enlarged = jnp.concatenate([head, p, tail], axis=-1)
 
-    conv = lambda v: jnp.convolve(v, taps.astype(v.dtype), mode="same")
+    # HIGHEST precision: TPU convolutions default to bf16 passes (~1%
+    # per-tap error), which would break the reference-parity tolerance.
+    conv = lambda v: jnp.convolve(v, taps.astype(v.dtype), mode="same",
+                                  precision=jax.lax.Precision.HIGHEST)
     flat = enlarged.reshape(-1, enlarged.shape[-1])
     out = jax.vmap(conv)(flat).reshape(enlarged.shape)
     return out[..., nof_v : nof_v + p.shape[-1]]

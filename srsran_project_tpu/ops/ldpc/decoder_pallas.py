@@ -40,7 +40,8 @@ def _edge_plan(bg: int, z: int, nof_layers: int):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "bg", "z", "nof_iterations", "nof_layers", "batch_tile", "interpret", "early_stop"
+        "bg", "z", "nof_iterations", "nof_layers", "batch_tile", "interpret",
+        "early_stop", "bits_only"
     ),
 )
 def decode_pallas(
@@ -52,6 +53,7 @@ def decode_pallas(
     batch_tile: int = DEFAULT_BATCH_TILE,
     interpret: bool = False,
     early_stop: bool = False,
+    bits_only: bool = False,
 ):
     """Pallas-kernel LDPC decode.
 
@@ -76,7 +78,11 @@ def decode_pallas(
     nb = g.n
     batch = llrs.shape[0]
     pad_b = (-batch) % batch_tile
-    x = jnp.pad(llrs.astype(jnp.float32), ((0, pad_b), (0, 0)))
+    # int8 LLRs stay int8 on the wire into VMEM (4x less HBM read traffic
+    # at the 141-CB slot; the kernel clamps to +-64 after the in-VMEM cast,
+    # numerically identical to the f32 path since int8 is within +-127).
+    in_dtype = llrs.dtype if llrs.dtype == jnp.int8 else jnp.float32
+    x = jnp.pad(llrs.astype(in_dtype), ((0, pad_b), (0, 0)))
     bt = batch_tile
     nof_tiles = x.shape[0] // bt
 
@@ -90,7 +96,8 @@ def decode_pallas(
     def kernel(in_ref, app_out_ref, iters_out_ref, app_scr, r_scr):
         # Load channel LLRs into the APP scratch (with puncture prefix).
         app_scr[:, : 2 * z] = jnp.zeros((bt, 2 * z), jnp.float32)
-        app_scr[:, 2 * z :] = jnp.clip(in_ref[:], -INPUT_CLAMP, INPUT_CLAMP)
+        app_scr[:, 2 * z :] = jnp.clip(in_ref[:].astype(jnp.float32),
+                                       -INPUT_CLAMP, INPUT_CLAMP)
         r_scr[:] = jnp.zeros_like(r_scr)
 
         def one_iteration(carry):
@@ -160,19 +167,27 @@ def decode_pallas(
                 0, nof_iterations, lambda it, c: one_iteration((it, c))[1], jnp.zeros((), jnp.int32)
             )
             final_i = jnp.full((), nof_iterations, jnp.int32)
-        app_out_ref[:] = app_scr[:]
+        if bits_only:
+            # Emit only the hard-decision payload bits: the a-posteriori
+            # f32 array is 13x the bytes and the decode was measured
+            # HBM-bound on exactly that write at the x32 slot batch.
+            app_out_ref[:] = (app_scr[:, : g.kb * z] < 0).astype(jnp.uint8)
+        else:
+            app_out_ref[:] = app_scr[:]
         iters_out_ref[:] = jnp.full_like(iters_out_ref, final_i)
 
+    out_cols = g.kb * z if bits_only else nb * z
+    out_dtype = jnp.uint8 if bits_only else jnp.float32
     app, iters = pl.pallas_call(
         kernel,
         grid=(nof_tiles,),
         in_specs=[pl.BlockSpec((bt, x.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM)],
         out_specs=(
-            pl.BlockSpec((bt, nb * z), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, out_cols), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((x.shape[0], nb * z), jnp.float32),
+            jax.ShapeDtypeStruct((x.shape[0], out_cols), out_dtype),
             jax.ShapeDtypeStruct((x.shape[0], 1), jnp.int32),
         ),
         scratch_shapes=[
@@ -182,6 +197,9 @@ def decode_pallas(
         interpret=interpret,
     )(x)
 
+    if bits_only:
+        bits = app[:batch]
+        return bits, None, iters[:batch, 0]
     app = app[:batch]
     bits = (app[:, : g.kb * z] < 0).astype(jnp.uint8)
     return bits, app, iters[:batch, 0]

@@ -155,7 +155,15 @@ def _grid_chain(cw: jax.Array, precoding: jax.Array, cfg: PdschConfig,
 
     grid_l = grid_l.reshape(nl, cfg.nof_grid_symbols, cfg.nof_grid_sc)
     w = precoding.astype(jnp.complex64)
-    return jnp.einsum("lp,lsk->psk", w, grid_l)
+    # Exact f32 precoding as scalar-weight elementwise multiply-adds: a
+    # default-precision einsum runs bf16 MXU passes (~1% EVM floor on
+    # every transmitted RE) and a HIGHEST-precision einsum costs ~0.3
+    # ms/slot; the unrolled form is exact AND memory-bound-fast (the
+    # weight per (l, p) is a scalar).
+    nof_ports = w.shape[1]
+    return jnp.stack(
+        [sum(w[l, p] * grid_l[l] for l in range(nl))
+         for p in range(nof_ports)], axis=0)
 
 
 # TS 38.211 Table 7.4.1.2.2-1 (DM-RS type 1): subcarrier k_RE_ref per

@@ -497,8 +497,21 @@ def _equalize_stage(gflat: jax.Array, h: jax.Array, noise_var: jax.Array, cfg: P
                      if s not in a.dmrs_symbols]
         y = jnp.stack([g3[:, s, a.sc_start : a.sc_start + a.nof_sc]
                        for s in data_syms], axis=1)  # (P, nsym_d, nof_sc)
-        w, eq_sc = equalize_weights(
-            jnp.moveaxis(h, 0, 1), noise_var, method=cfg.equalizer)
+        from .sch import _use_pallas_decoder as _on_tpu
+
+        if (cfg.nof_layers == 4 and cfg.nof_rx_ports == 4
+                and cfg.equalizer == "mmse" and _on_tpu()):
+            # Pallas VMEM-resident weights: one pass instead of ~60 XLA
+            # elementwise kernels (+0.65 ms/slot in-chain), and exact —
+            # the XLA 4x4 path's MXU matmuls needed HIGHEST precision
+            # pinning (see ops/equalizer.py).
+            from ..ops.equalizer_pallas import equalize_weights_pallas
+
+            w, eq_sc = equalize_weights_pallas(jnp.moveaxis(h, 0, 1),
+                                               noise_var)
+        else:
+            w, eq_sc = equalize_weights(
+                jnp.moveaxis(h, 0, 1), noise_var, method=cfg.equalizer)
         # x[s, n, l] = sum_p w[n, l, p] y[p, s, n]: SoA multiply-adds (the
         # RE axis rides the vector lanes; contraction dim is 4).
         nl, npr = cfg.nof_layers, cfg.nof_rx_ports

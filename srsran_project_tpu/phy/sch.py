@@ -183,11 +183,18 @@ def decode_transport_block(
         if _use_pallas_decoder():
             return ldpc_decoder_pallas.decode_pallas(
                 llr_in, seg.base_graph, seg.lifting_size, iters,
-                early_stop=kernel_early_stop,
+                early_stop=kernel_early_stop, bits_only=True,
             )[0]
         return ldpc_decoder.decode(llr_in, seg.base_graph, seg.lifting_size, iters)[0]
 
     llr_f = flat
+    if _use_pallas_decoder() and cfg.decoder != "reference_i8":
+        # int8 LLRs straight into the Pallas kernel: the decode was
+        # measured HBM-bound on its f32 LLR read + f32 a-posteriori write
+        # at the x32 slot batch; int8 in + hard-bits-only out cuts the
+        # kernel's HBM traffic ~6x (numerics identical: the kernel clamps
+        # to +-64 after the in-VMEM cast and int8 is within +-127).
+        llr_f = buf.reshape((-1,) + buf.shape[-1:])
     if cfg.decoder == "reference_i8":
         # Keep the integer lanes: decode_i8 applies the reference's own
         # +-64 input clamp (ldpc_decoder_impl.h:205).
