@@ -88,6 +88,64 @@ def dmrs_pilots(cfg: PdschConfig, nof_pilots: int) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def _grid_rows_fast(layered, precoding, cfg: PdschConfig, dmrs_override):
+    """Static row-wise grid assembly for uniform full-row allocations.
+
+    layered: (nl, ndata) data symbols in symbol-major order.  Data rows
+    reshape straight into the grid; type-1 DM-RS rows interleave pilot
+    values with zeros at the CDM-group offset (stride 2) — no scatters.
+    Output identical to the scatter path (asserted by the parity test)."""
+    a = cfg.alloc
+    nl = cfg.nof_layers
+    nof_sc = a.nof_sc
+    data_syms = [s for s in range(a.sym_start, a.sym_start + a.sym_count)
+                 if s not in a.dmrs_symbols]
+    data3 = layered.reshape(nl, len(data_syms), nof_sc)
+
+    beta = dmrs_mod.sch_to_dmrs_beta(a.nof_cdm_groups_without_data)
+    vals_l, delta_l = [], []
+    for layer in range(nl):
+        _idx, wf, _, seq_idx = alloc_mod.pilot_re_indices(a, layer, cfg.nof_grid_sc)
+        if dmrs_override is not None:
+            r = dmrs_override[layer]
+        else:
+            nof_pilots_total = int(seq_idx[-1]) + 1
+            r = dmrs_pilots(cfg, nof_pilots_total)[:, jnp.asarray(seq_idx)]
+        vals_l.append(np.float32(beta) * r * jnp.asarray(wf, dtype=jnp.complex64))
+        delta_l.append(int(dmrs_mod.cdm_group(1, layer)))  # type-1 delta == group
+
+    dmrs_in = [s for s in a.dmrs_symbols
+               if a.sym_start <= s < a.sym_start + a.sym_count]
+    rows = []  # list of (nl, nof_sc) per slot symbol inside the alloc window
+    zero_row = jnp.zeros((nl, nof_sc), jnp.complex64)
+    for s in range(cfg.nof_grid_symbols):
+        if s in data_syms:
+            rows.append(data3[:, data_syms.index(s)])
+        elif s in dmrs_in:
+            si = list(a.dmrs_symbols).index(s)
+            layer_rows = []
+            for layer in range(nl):
+                v = vals_l[layer][si]  # (nof_sc//2,)
+                z = jnp.zeros_like(v)
+                pair = (jnp.stack([v, z], axis=-1) if delta_l[layer] == 0
+                        else jnp.stack([z, v], axis=-1))
+                layer_rows.append(pair.reshape(-1))
+            rows.append(jnp.stack(layer_rows))
+        else:
+            rows.append(zero_row)
+    win = jnp.stack(rows, axis=1)  # (nl, S, nof_sc)
+    if a.sc_start or nof_sc != cfg.nof_grid_sc:
+        left = jnp.zeros((nl, cfg.nof_grid_symbols, a.sc_start), jnp.complex64)
+        right = jnp.zeros(
+            (nl, cfg.nof_grid_symbols,
+             cfg.nof_grid_sc - a.sc_start - nof_sc), jnp.complex64)
+        win = jnp.concatenate([left, win, right], axis=-1)
+    w = precoding.astype(jnp.complex64)
+    return jnp.stack(
+        [sum(w[l, p] * win[l] for l in range(nl))
+         for p in range(w.shape[1])], axis=0)
+
+
 def _bit_chain(tb_bits: jax.Array, rnti: jax.Array, cfg: PdschConfig) -> jax.Array:
     """Segment + LDPC encode + rate match + scramble: (A,) -> (G,) bits.
 
@@ -111,6 +169,16 @@ def _grid_chain(cw: jax.Array, precoding: jax.Array, cfg: PdschConfig,
     syms = map_bits(cw, cfg.modulation)  # (G/Qm,)
     nl = cfg.nof_layers
     layered = syms.reshape(-1, nl).T  # (nl, ndata): symbol i -> layer i%nl
+
+    from .pusch import _uniform_data_rows
+
+    if (_uniform_data_rows(a) and not cfg.transform_precoding
+            and not cfg.ptrs_enabled and a.dmrs_config_type == 1):
+        # Scatter-free assembly (the flagship shape): every data symbol is
+        # a FULL contiguous row of the allocation and type-1 DM-RS sits at
+        # stride 2, so the grid builds from static reshapes/stacks instead
+        # of a 468k-index scatter (+0.33 ms/slot in the x32 encode chain).
+        return _grid_rows_fast(layered, precoding, cfg, dmrs_override)
 
     grid_l = jnp.zeros((nl, cfg.nof_grid_symbols * cfg.nof_grid_sc), dtype=jnp.complex64)
     didx = jnp.asarray(alloc_mod.data_re_indices(a, cfg.nof_grid_symbols, cfg.nof_grid_sc))

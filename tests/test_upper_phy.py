@@ -322,3 +322,39 @@ def test_crb0_offset_grants_do_not_batch(monkeypatch):
         off = pdu.first_rb * 12
         expect[:, :, off : off + sub.shape[2]] += sub
     np.testing.assert_allclose(grid, expect, atol=1e-6)
+
+
+def test_grid_assembly_fast_path_matches_scatter():
+    """The scatter-free row assembly (_grid_rows_fast, flagship shapes)
+    is bit-identical to the index-scatter grid builder."""
+    import jax.numpy as jnp
+
+    from srsran_project_tpu.ops.modulation import Modulation
+    from srsran_project_tpu.phy import pdsch as pdsch_mod
+    from srsran_project_tpu.phy import pusch as pusch_mod
+
+    rb = 24
+    cfg = pdsch_mod.PdschConfig(
+        tbs=2048, target_code_rate=0.4, modulation=Modulation.QAM16,
+        alloc=Allocation(rb_start=2, rb_count=rb, sym_start=1, sym_count=12,
+                         dmrs_symbols=(2, 11)),
+        nof_layers=2, nof_ports=2, nof_grid_symbols=14,
+        nof_grid_sc=(rb + 4) * 12, slot_in_frame=3)
+    assert pusch_mod._uniform_data_rows(cfg.alloc)
+    rng = np.random.default_rng(0)
+    cw = jnp.asarray(rng.integers(0, 2, size=(cfg.sch.nof_total_bits,),
+                                  dtype=np.uint8))
+    w = jnp.asarray(np.eye(2, dtype=np.complex64))
+    fast = np.asarray(pdsch_mod._grid_chain(cw, w, cfg))
+
+    # Force the scatter branch by monkeypatching the uniformity check and
+    # clearing the jit cache (the branch resolves at trace time).
+    orig = pusch_mod._uniform_data_rows
+    pdsch_mod._grid_chain._clear_cache()
+    try:
+        pusch_mod._uniform_data_rows = lambda a: False
+        scatter = np.asarray(pdsch_mod._grid_chain(cw, w, cfg))
+    finally:
+        pusch_mod._uniform_data_rows = orig
+        pdsch_mod._grid_chain._clear_cache()
+    assert np.array_equal(fast, scatter)
