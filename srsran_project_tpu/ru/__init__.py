@@ -23,7 +23,7 @@ from .interface import (
 )
 from .dummy import RuDummy, RuDummyConfig
 from .generic import RuGeneric, RuGenericConfig
-from .ofh_ru import RuOfh, RuOfhConfig
+from .ofh_ru import RuOfh, RuOfhConfig, RuOfhMultiSector
 from .factory import create_ru
 
 __all__ = [
@@ -44,5 +44,6 @@ __all__ = [
     "RuGenericConfig",
     "RuOfh",
     "RuOfhConfig",
+    "RuOfhMultiSector",
     "create_ru",
 ]

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from .dummy import RuDummy, RuDummyConfig
 from .generic import RuGeneric, RuGenericConfig
-from .ofh_ru import RuOfh, RuOfhConfig
+from .ofh_ru import RuOfh, RuOfhConfig, RuOfhMultiSector
 
 
 def create_ru(kind: str, config, symbol_notifier, **kwargs):
@@ -21,6 +21,11 @@ def create_ru(kind: str, config, symbol_notifier, **kwargs):
         assert isinstance(config, RuGenericConfig)
         return RuGeneric(config, symbol_notifier, **kwargs)
     if kind == "ofh":
+        # A list/tuple of sector configs selects the multi-sector RU
+        # (reference ru_ofh_impl's sector vector).
+        if isinstance(config, (list, tuple)):
+            assert all(isinstance(c, RuOfhConfig) for c in config)
+            return RuOfhMultiSector(list(config), symbol_notifier, **kwargs)
         assert isinstance(config, RuOfhConfig)
         return RuOfh(config, symbol_notifier, **kwargs)
     raise ValueError(f"unknown RU kind: {kind!r}")

@@ -465,3 +465,73 @@ class RuOfh:
             self._dispatch_tx()
         if self.timing_notifier is not None and symbol == 0:
             self.timing_notifier.on_tti_boundary(slot)
+
+
+class RuOfhMultiSector:
+    """Multi-sector OFH RU: one OFH transmitter/receiver pipeline per
+    sector behind the single radio_unit facade (reference ru_ofh_impl
+    holds a sector vector, lib/ru/ofh/ru_ofh_impl.cpp; per-sector eAxC
+    maps and Ethernet flows come from each sector's RuOfhConfig).
+
+    DL/UL plane requests route on ``context.sector``; the OTA tick drives
+    every sector's window machinery; metrics aggregate across sectors.
+    ``send_frames`` may be one callable shared by all sectors or a list
+    with one callable per sector (distinct Ethernet flows).
+    """
+
+    def __init__(self, cfgs, symbol_notifier, send_frames=None,
+                 timing_notifier=None, error_notifier=None):
+        if callable(send_frames) or send_frames is None:
+            send_frames = [send_frames] * len(cfgs)
+        if len(send_frames) != len(cfgs):
+            raise ValueError("need one send_frame per sector (or one shared)")
+        # Only sector 0 forwards TTI boundaries (one OTA clock).
+        self.sectors = [
+            RuOfh(cfg, symbol_notifier, send_frame=tx,
+                  timing_notifier=(timing_notifier if i == 0 else None),
+                  error_notifier=error_notifier)
+            for i, (cfg, tx) in enumerate(zip(cfgs, send_frames))
+        ]
+
+    # -- controller --------------------------------------------------------
+    def start(self) -> None:
+        for s in self.sectors:
+            s.start()
+
+    def stop(self) -> None:
+        for s in self.sectors:
+            s.stop()
+
+    def get_controller(self):
+        return self
+
+    def get_downlink_plane_handler(self):
+        return self
+
+    def get_uplink_plane_handler(self):
+        return self
+
+    def get_metrics(self) -> RuMetrics:
+        agg = RuMetrics()
+        for s in self.sectors:
+            m = s.get_metrics()
+            for f in dataclasses.fields(RuMetrics):
+                setattr(agg, f.name, getattr(agg, f.name) + getattr(m, f.name))
+        return agg
+
+    # -- plane handlers (route on context.sector) --------------------------
+    def handle_dl_data(self, context: ResourceGridContext, grid) -> None:
+        self.sectors[context.sector].handle_dl_data(context, grid)
+
+    def handle_new_uplink_slot(self, context: ResourceGridContext) -> None:
+        self.sectors[context.sector].handle_new_uplink_slot(context)
+
+    def handle_prach_occasion(self, context: PrachBufferContext) -> None:
+        self.sectors[context.sector].handle_prach_occasion(context)
+
+    def push_uplane_frame(self, sector: int, data: np.ndarray) -> None:
+        self.sectors[sector].push_uplane_frame(data)
+
+    def ota_tick(self, slot: SlotPoint, symbol: int = 0) -> None:
+        for s in self.sectors:
+            s.ota_tick(slot, symbol)

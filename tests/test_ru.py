@@ -603,3 +603,44 @@ def test_ofh_paced_soak_sustained_slot_rate():
     ctx, got, valid = col.symbols[-1]
     assert valid
     assert np.allclose(np.asarray(got), grids[ctx.slot.count], atol=2e-2)
+
+
+@pytest.mark.skipif(native.get_lib() is None, reason="native lib unavailable")
+def test_ofh_multi_sector_routes_and_aggregates():
+    """RuOfhMultiSector (reference ru_ofh_impl's sector vector): DL/UL
+    requests route on context.sector, each sector frames on its own
+    Ethernet flow with its own eAxC map, ingress completes per sector,
+    metrics aggregate."""
+    from srsran_project_tpu.ru import RuOfhMultiSector, create_ru
+
+    col = Collector()
+    cfgs = [RuOfhConfig(scs=SCS, nof_prb=12, nof_ports=1, dl_pacing="sync",
+                        dl_eaxc=(s * 2,), ul_eaxc=(s * 2,))
+            for s in range(2)]
+    wires = [[], []]
+    ru = create_ru("ofh", cfgs, col,
+                   send_frames=[wires[0].append, wires[1].append])
+    assert isinstance(ru, RuOfhMultiSector)
+    slot = SlotPoint.from_sfn_slot(SCS, 4, 2)
+    ru.ota_tick(slot)
+    rng = np.random.default_rng(2)
+    grids = []
+    for s in range(2):
+        g = (rng.standard_normal((1, 14, 144))
+             + 1j * rng.standard_normal((1, 14, 144))).astype(np.complex64) * 0.1
+        grids.append(g)
+        ru.handle_new_uplink_slot(ResourceGridContext(slot=slot, sector=s))
+        ru.handle_dl_data(ResourceGridContext(slot=slot, sector=s), g)
+    # Each sector's flow carries its own C-planes + 14 U-planes.
+    assert len(wires[0]) == 16 and len(wires[1]) == 16
+    # Sector 1's U-plane frames carry its mapped eAxC (2).
+    up1 = [f for f in wires[1] if f[1] == 0x00]
+    assert all(f[5] == 2 for f in up1)
+    # Loop each sector's U-plane back into ITS receiver.
+    for s in range(2):
+        for f in wires[s]:
+            if f[1] == 0x00:
+                ru.push_uplane_frame(s, f)
+    assert len(col.symbols) == 28  # 14 symbols x 2 sectors
+    m = ru.get_metrics()
+    assert m.total_dl_requests == 2 and m.total_ul_requests == 2
