@@ -51,10 +51,14 @@ def main() -> int:
     ap.add_argument("--remote-port", type=int, default=None,
                     help="serve the remote-control WebSocket endpoint here "
                          "(reference apps/services/remote_control; 0 = ephemeral)")
-    ap.add_argument("--ru", default="none", choices=["none", "generic"],
+    ap.add_argument("--ru", default="none", choices=["none", "generic", "ofh"],
                     help="route DL/UL through the RU abstraction layer: "
                          "'generic' OFDM-modulates to baseband, loops it back "
-                         "as uplink and demodulates through RuGeneric")
+                         "as uplink and demodulates through RuGeneric; 'ofh' "
+                         "frames the grid as paced eCPRI C/U-plane messages "
+                         "(T1a windows against a per-symbol OTA clock, BFP "
+                         "compression) and loops the wire back as the RU's "
+                         "uplink")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--dump-config", action="store_true")
     args = ap.parse_args()
@@ -137,6 +141,33 @@ def main() -> int:
         ru.start()
         ru_ctx = {"tx": ru_tx, "rx": ru_rx,
                   "ResourceGridContext": ResourceGridContext}
+    elif args.ru == "ofh":
+        # DL grid -> paced OFH transmitter (C/U-plane in their T1a windows
+        # against the OTA symbol clock) -> wire loopback -> OFH receiver ->
+        # UL grid: the lib/ru/ofh pipeline with the Ethernet flow looped
+        # in-process.  DL data is submitted one slot ahead of air time, as
+        # a DU would.
+        from srsran_project_tpu.ru import (ResourceGridContext, RuOfh,
+                                           RuOfhConfig)
+
+        ru_rx = {}
+
+        class _OfhCollector:
+            def on_new_uplink_symbol(self, context, grid_, is_valid):
+                if is_valid:
+                    ru_rx[context.slot] = grid_
+
+            def on_new_prach_window_data(self, context, buffer):
+                pass
+
+        wire = []
+        ru = RuOfh(RuOfhConfig(scs=SubcarrierSpacing(cell.scs),
+                               nof_prb=cell.nof_rb,
+                               nof_ports=cell.nof_ports),
+                   _OfhCollector(), send_frame=wire.append)
+        ru.start()
+        ru_ctx = {"wire": wire, "rx": ru_rx,
+                  "ResourceGridContext": ResourceGridContext}
 
     def run_slot(i: int) -> bool:
         nonlocal key
@@ -146,7 +177,29 @@ def main() -> int:
         with tracing.l1_tracer.span(f"dl_slot_{i}"):
             grid = phy.process_dl_tti(dl, fapi.TxDataRequest(slot=slot, payloads=[tb]))
         key, sub = jax.random.split(key)
-        if ru is not None:
+        if args.ru == "ofh":
+            Ctx = ru_ctx["ResourceGridContext"]
+            air = slot + 1  # DL data arrives one slot ahead of air time
+            ru.ota_tick(slot)
+            ru.handle_new_uplink_slot(Ctx(slot=air))
+            ru.handle_dl_data(Ctx(slot=air), hostio.to_host(grid))
+            # Tick the OTA clock through this slot + the air slot; every
+            # paced frame dispatches inside its window and loops back as
+            # the RU's uplink on the same eAxC map.
+            for tick_slot, sym in [(slot, sy) for sy in range(14)] +                                   [(air, sy) for sy in range(14)]:
+                ru.ota_tick(tick_slot, sym)
+                while ru_ctx["wire"]:
+                    f = ru_ctx["wire"].pop(0)
+                    if f[1] == 0x00:  # U-plane
+                        ru.push_uplane_frame(f)
+            rx = np.asarray(ru_ctx["rx"].pop(air))
+            nstd = np.sqrt(float(np.mean(np.abs(rx) ** 2))
+                           * 10.0 ** (-args.snr_db / 10.0) / 2.0)
+            rx = rx + nstd * (rng.standard_normal(rx.shape)
+                              + 1j * rng.standard_normal(rx.shape)
+                              ).astype(np.complex64)
+            rx_grid = hostio.to_device(rx.astype(np.complex64))
+        elif ru is not None:
             Ctx = ru_ctx["ResourceGridContext"]
             ru.handle_dl_data(Ctx(slot=slot), np.asarray(grid))
             ru.handle_new_uplink_slot(Ctx(slot=slot))
