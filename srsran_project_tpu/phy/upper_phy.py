@@ -146,27 +146,13 @@ class UpperPhy:
                     grid, (0, 0, off), (grid.shape[0], grid.shape[1], sub.shape[2])
                 )
                 grid = jax.lax.dynamic_update_slice(grid, window + sub, (0, 0, off))
-        for pdu in request.pdcch:
-            g = pdcch_mod.process(jnp.asarray(pdu.payload, jnp.uint8), jnp.uint32(pdu.rnti), pdu.config)
-            grid = grid.at[0].add(g)
-        for pdu in request.ssb:
-            g = ssb_mod.assemble_ssb(jnp.asarray(pdu.payload, jnp.uint8), pdu.config)
-            grid = grid.at[
-                0,
-                pdu.first_symbol : pdu.first_symbol + ssb_mod.SSB_NSYM,
-                pdu.first_subcarrier : pdu.first_subcarrier + ssb_mod.SSB_NSC,
-            ].add(g)
-        for pdu in request.csi_rs:
-            c = csi_rs_mod.CsiRsConfig(
-                rb_start=pdu.rb_start,
-                rb_count=pdu.rb_count,
-                symbol=pdu.symbol,
-                scrambling_id=pdu.scrambling_id,
-                slot_in_frame=request.slot.slot_in_frame,
-                nof_grid_symbols=cfg.nof_grid_symbols,
-                nof_grid_sc=cfg.nof_grid_sc,
-            )
-            grid = grid.at[0].add(csi_rs_mod.generate(c))
+        # All broadcast PDUs (PDCCH/SSB/CSI-RS) accumulate in ONE compiled
+        # program (phy/dl_slot.py — the DL twin of the heterogeneous UL
+        # slot program): control-heavy slots stay at a bounded dispatch
+        # count regardless of PDU fan-out.
+        from . import dl_slot as dl_slot_mod
+
+        grid = dl_slot_mod.assemble_broadcast(grid, request, cfg)
         self._notify("dl_grid", request.slot, grid)
         return grid
 

@@ -358,3 +358,49 @@ def test_grid_assembly_fast_path_matches_scatter():
         pusch_mod._uniform_data_rows = orig
         pdsch_mod._grid_chain._clear_cache()
     assert np.array_equal(fast, scatter)
+
+
+def test_broadcast_bundle_matches_per_pdu():
+    """The one-program broadcast accumulator (phy/dl_slot.py) is
+    bit-identical to per-PDU processor calls + grid adds."""
+    import jax.numpy as jnp
+
+    from srsran_project_tpu.phy import csi_rs as csi_rs_mod
+    from srsran_project_tpu.phy import dl_slot as dl_slot_mod
+
+    phy_cfg = UpperPhyConfig(nof_ports=1, nof_grid_sc=624)
+    rng = np.random.default_rng(5)
+    dci = rng.integers(0, 2, size=(40,), dtype=np.uint8)
+    dci2 = rng.integers(0, 2, size=(28,), dtype=np.uint8)
+    mib = rng.integers(0, 2, size=(32,), dtype=np.uint8)
+    pc1 = pdcch_mod.PdcchConfig(payload_bits=40, aggregation_level=2,
+                                cce_index=0, coreset_rb_start=20,
+                                coreset_rb_count=24, symbol=0)
+    pc2 = pdcch_mod.PdcchConfig(payload_bits=28, aggregation_level=1,
+                                cce_index=2, coreset_rb_start=20,
+                                coreset_rb_count=24, symbol=0)
+    req = fapi.DlTtiRequest(
+        slot=_slot(),
+        pdcch=[fapi.DlPdcchPdu(pc1, 0x4601, dci),
+               fapi.DlPdcchPdu(pc2, 0x4602, dci2)],
+        ssb=[fapi.DlSsbPdu(ssb_mod.SsbConfig(pci=42), mib,
+                           first_subcarrier=360, first_symbol=1)],
+        csi_rs=[fapi.DlCsiRsPdu(row=1, rb_start=0, rb_count=10, symbol=13,
+                                scrambling_id=7)],
+    )
+    grid0 = jnp.zeros((1, 14, 624), jnp.complex64)
+    bundled = np.asarray(dl_slot_mod.assemble_broadcast(grid0, req, phy_cfg))
+
+    ref = np.zeros((1, 14, 624), np.complex64)
+    for pdu in req.pdcch:
+        ref[0] += np.asarray(pdcch_mod.process(
+            jnp.asarray(pdu.payload, jnp.uint8), jnp.uint32(pdu.rnti),
+            pdu.config))
+    g = np.asarray(ssb_mod.assemble_ssb(jnp.asarray(mib, jnp.uint8),
+                                        req.ssb[0].config))
+    ref[0, 1:1 + ssb_mod.SSB_NSYM, 360:360 + ssb_mod.SSB_NSC] += g
+    c = csi_rs_mod.CsiRsConfig(rb_start=0, rb_count=10, symbol=13,
+                               scrambling_id=7, slot_in_frame=0,
+                               nof_grid_symbols=14, nof_grid_sc=624)
+    ref[0] += np.asarray(csi_rs_mod.generate(c))
+    np.testing.assert_allclose(bundled, ref, atol=1e-6)
