@@ -57,6 +57,9 @@ class UeContext:
     dl_bits_acked: int = 0
     ul_bits_ok: int = 0
     avg_rate: float = 1.0  # EWMA served rate (bits/slot) for PF
+    # UL MCS when UL link adaptation diverges from DL (SRS-driven); None
+    # means the shared ``mcs`` drives both directions.
+    ul_mcs: int | None = None
     # UE-context loops (l2sim/ue_context_loops): set by add_ue per config.
     ta_manager: object | None = None
     drx: object | None = None
@@ -221,8 +224,13 @@ class RoundRobinScheduler:
         program *structure* but compile per distinct PRB offset (bounded by
         max_ues_per_slot since offsets are i*rb_each)."""
         qm, rate = tbs_mod.mcs_to_qm_rate(ue.mcs, ue.mcs_table)
-        mod = {1: Modulation.BPSK, 2: Modulation.QPSK, 4: Modulation.QAM16,
-               6: Modulation.QAM64, 8: Modulation.QAM256}[qm]
+        # UL direction may run its own MCS (SRS-driven link adaptation);
+        # the shared ``mcs`` drives both when no UL estimate exists.
+        ul_m = ue.ul_mcs if ue.ul_mcs is not None else ue.mcs
+        ul_qm, ul_rate = tbs_mod.mcs_to_qm_rate(ul_m, ue.mcs_table)
+        _MODS = {1: Modulation.BPSK, 2: Modulation.QPSK, 4: Modulation.QAM16,
+                 6: Modulation.QAM64, 8: Modulation.QAM256}
+        mod = _MODS[qm]
         c = self.cfg
         alloc = Allocation(rb_start=0, rb_count=rb_count, sym_start=c.sym_start,
                            sym_count=c.sym_count, dmrs_symbols=c.dmrs_symbols,
@@ -232,13 +240,15 @@ class RoundRobinScheduler:
         dl_tbs = tbs_mod.calculate_tbs(rb_count, c.sym_count, NRE * len(c.dmrs_symbols),
                                        rate, qm, dl_layers)
         ul_tbs = tbs_mod.calculate_tbs(rb_count, c.sym_count, NRE * len(c.dmrs_symbols),
-                                       rate, qm, c.nof_layers)
-        common = dict(target_code_rate=rate, modulation=mod, alloc=alloc,
-                      nof_grid_symbols=14, nof_grid_sc=rb_count * NRE, rv=rv)
+                                       ul_rate, ul_qm, c.nof_layers)
+        common = dict(alloc=alloc, nof_grid_symbols=14,
+                      nof_grid_sc=rb_count * NRE, rv=rv)
         dl_cfg = PdschConfig(nof_ports=c.nof_ports, tbs=dl_tbs,
-                             nof_layers=dl_layers, **common)
+                             nof_layers=dl_layers, target_code_rate=rate,
+                             modulation=mod, **common)
         ul_cfg = PuschConfig(nof_rx_ports=c.nof_ports, tbs=ul_tbs,
-                             nof_layers=c.nof_layers, **common)
+                             nof_layers=c.nof_layers, target_code_rate=ul_rate,
+                             modulation=_MODS[ul_qm], **common)
         return dl_cfg, ul_cfg, dl_tbs, ul_tbs
 
     def run_slot(self, slot: SlotPoint, rng: np.random.Generator,
@@ -482,7 +492,10 @@ class RoundRobinScheduler:
             if self.cfg.srs_link_adaptation:
                 from .link_adaptation import ul_mcs_from_snr
 
-                ue.mcs = ul_mcs_from_snr(srs.snr_db, ue.mcs_table)
+                # UL-only: writing the shared mcs would both clobber the
+                # DL MCS and be overwritten by the CSI/OLLA adaptor in
+                # the same indication batch (review r4 finding).
+                ue.ul_mcs = ul_mcs_from_snr(srs.snr_db, ue.mcs_table)
         if self.link_adaptor is not None and self.csi_report_cfg is not None:
             from ..ran import csi as _csi
             from ..ran import precoding as _prec

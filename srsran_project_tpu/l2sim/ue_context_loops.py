@@ -147,10 +147,18 @@ class DrxController:
         if self.active_end is None:
             m = slot_count % self.period
             in_window = self.window[0] <= m < self.window[1]
-            if not in_window and self.window[1] >= self.period:
-                in_window = m < self.window[1] % self.period
+            wrapped = (not in_window and self.window[1] >= self.period
+                       and m < self.window[1] % self.period)
             if in_window:
                 self.active_end = slot_count + (self.window[1] - m)
+            elif wrapped:
+                # Wrapped tail of a window crossing the cycle boundary:
+                # the remaining duration is measured against the WRAPPED
+                # end (window[1] % period), not the unwrapped one — the
+                # latter would keep the UE active nearly a full extra
+                # cycle (review r4 finding; the reference's arithmetic
+                # has the same wrap defect for these configs).
+                self.active_end = slot_count + (self.window[1] % self.period - m)
 
     def is_pdcch_enabled(self) -> bool:
         if self.cfg is None:

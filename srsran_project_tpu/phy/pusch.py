@@ -643,14 +643,16 @@ def _multi_front_end(grid, rntis, first_scs, r_batch, cfg: PuschConfig):
     def one(rnti, sc0, r_ov):
         win = jax.lax.dynamic_slice(
             grid, (0, 0, sc0), (grid.shape[0], grid.shape[1], w))
-        gflat, h, noise_var, snr_acc = _estimate_stage(win, cfg, r_override=r_ov)
+        est = _estimate_stage(win, cfg, r_override=r_ov)
+        gflat, h, noise_var, snr_acc = est[:4]
         x_hat, eq_nvar = _equalize_stage(gflat, h, noise_var, cfg)
         if cfg.transform_precoding:
             x_hat, eq_nvar = _deprecode_stage(x_hat, eq_nvar, cfg)
         llr_i8, sinr_post_eq = _demap_stage(x_hat, eq_nvar, rnti, cfg)
         if cfg.sinr_method == "post_equalization":
             snr_acc = sinr_post_eq
-        return llr_i8, noise_var, snr_acc
+        ta = est[4] if cfg.compute_ta else jnp.float32(0.0)
+        return llr_i8, noise_var, snr_acc, ta
 
     return jax.vmap(one)(rntis, first_scs, r_batch)
 
@@ -690,19 +692,22 @@ def process_multi(grid, rntis, first_rbs, cfg: PuschConfig, harq_buffers=None):
     from ..support import hostio as _hostio
     r_batch = _hostio.to_device(_multi_pilot_bank(cfg, first_rbs))
     first_scs = jnp.asarray([12 * r for r in first_rbs], jnp.int32)
-    llr_i8, noise_var, snr_acc = _multi_front_end(
+    llr_i8, noise_var, snr_acc, tas = _multi_front_end(
         grid, jnp.asarray(rntis, jnp.uint32), first_scs, r_batch, cfg)
     tb, ok, harq = decode_transport_block(
         llr_i8, cfg.sch, cfg.nof_ldpc_iterations, harq_buffers,
         early_stop=cfg.ldpc_early_stop,
     )
-    return {
+    out = {
         "tb_bits": tb,
         "tb_crc_ok": ok,
         "harq_buffer": harq,
         "noise_var": noise_var,
         "snr_db": 10.0 * jnp.log10(jnp.maximum(snr_acc, 1e-12)),
     }
+    if cfg.compute_ta:
+        out["ta_s"] = tas
+    return out
 
 
 def finish(llr_i8, noise_var, snr_acc, cfg: PuschConfig, harq_buffer=None):

@@ -47,7 +47,7 @@ def _slot_front(grid, rntis_g, sc0_g, rbank_g, harq_g, cfgs, f1_cfgs):
     cfgs: tuple[PuschConfig] (crb_start-normalized, one per group);
     rntis_g/sc0_g/rbank_g/harq_g: per-group stacked arrays (harq may be
     None for an all-new-data group).  Returns (per-group tuples of
-    (flat (Ni*C, N) f32, harq (Ni, C, N) i8, nv (Ni,), snr (Ni,)),
+    (codeword-buffer (Ni, C, N) i8, nv (Ni,), snr (Ni,), ta (Ni,)),
     per-F1 tuples of (bits, metric)).
     """
     outs = []
@@ -68,8 +68,11 @@ def _slot_front(grid, rntis_g, sc0_g, rbank_g, harq_g, cfgs, f1_cfgs):
             return llr_i8, nv, snr, ta
 
         llrs, nvs, snrs, tas = jax.vmap(one)(rntis, sc0s, r_b)
-        harq, flat = _dematch_stage(llrs, hq, cfg.sch)
-        outs.append((flat, harq, nvs, snrs, tas))
+        harq, _flat = _dematch_stage(llrs, hq, cfg.sch)
+        # The int8 codeword buffer IS the decoder input (the Pallas kernel
+        # takes int8 LLRs directly; the f32 view would cost 4x the HBM
+        # read) — review r4 finding.
+        outs.append((harq, nvs, snrs, tas))
 
     f1_outs = []
     for f1 in f1_cfgs:
@@ -88,27 +91,34 @@ def _slot_finish(bits_g, cfgs, lead_ns):
         for bits, cfg, n in zip(bits_g, cfgs, lead_ns))
 
 
-def _decode_group(flat, bg, z, nof_iterations, early_stop):
+def _decode_group(llr_i8, bg, z, nof_iterations, early_stop):
+    """(C', N) int8 codeword-buffer LLRs -> (C', K) bits, batching every
+    grant's codeblocks: Pallas kernel (int8 in, hard bits out) on TPU,
+    the XLA min-sum on CPU."""
     from .sch import _use_pallas_decoder
     from ..ops.ldpc import decoder as ldpc_decoder
     from ..ops.ldpc import decoder_pallas as ldpc_decoder_pallas
 
     if _use_pallas_decoder():
         return ldpc_decoder_pallas.decode_pallas(
-            flat, bg, z, nof_iterations, early_stop=early_stop)[0]
-    return ldpc_decoder.decode(flat, bg, z, nof_iterations)[0]
+            llr_i8, bg, z, nof_iterations, early_stop=early_stop,
+            bits_only=True)[0]
+    return ldpc_decoder.decode(llr_i8.astype(jnp.float32), bg, z,
+                               nof_iterations)[0]
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=512)
 def _grant_arrays_device(rntis: tuple, first_rbs: tuple):
     """Device-resident per-group grant arrays: every h2d on the TPU
     tunnel costs ms; the scheduler reproduces the same grant shapes in
-    steady state, so these cache like the pilot banks."""
+    steady state, so these cache like the pilot banks.  BOUNDED: a
+    churning UE population would otherwise pin device arrays without
+    limit (review r4 finding)."""
     return (jnp.asarray(rntis, jnp.uint32),
             jnp.asarray([12 * r for r in first_rbs], jnp.int32))
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=256)
 def _pilot_bank_device(cfg: PuschConfig, first_rbs: tuple):
     """Device-resident per-grant DM-RS pilot bank: uploaded once per
     (config, PRB-offset tuple) — an h2d on the TPU tunnel costs tens of
@@ -191,7 +201,8 @@ def process_slot(grid, pdus, f1_cfgs=()):
         by_code.setdefault(key, []).append(gi)
     bits_g: list = [None] * len(cfgs)
     for (bg, z, iters, es), gis in by_code.items():
-        flats = [fronts[gi][0] for gi in gis]
+        flats = [fronts[gi][0].reshape((-1,) + fronts[gi][0].shape[-1:])
+                 for gi in gis]  # (Ni*C, N) int8 codeword buffers
         sizes = [f.shape[0] for f in flats]
         bits_all = _decode_group(jnp.concatenate(flats, axis=0), bg, z,
                                  iters, es)
@@ -205,7 +216,7 @@ def process_slot(grid, pdus, f1_cfgs=()):
 
     # ---- scatter back to input order ----------------------------------
     results: list[dict | None] = [None] * len(pdus)
-    for (cfg, idxs), (flat, harq, nvs, snrs, tas), (tb, ok) in zip(
+    for (cfg, idxs), (harq, nvs, snrs, tas), (tb, ok) in zip(
             groups.items(), fronts, finished):
         for k, i in enumerate(idxs):
             results[i] = {

@@ -122,6 +122,15 @@ class RuOfh:
             else tuple(range(cfg.nof_ports))
         self._ul_eaxc = tuple(cfg.ul_eaxc) if cfg.ul_eaxc is not None \
             else tuple(range(cfg.nof_ports))
+        # Misconfigured maps fail loudly here rather than as silent frame
+        # loss: ingress routes pc_id >= prach_eaxc to the PRACH path
+        # before the UL map lookup, and short maps IndexError per port.
+        if len(self._dl_eaxc) < cfg.nof_ports or len(self._ul_eaxc) < cfg.nof_ports:
+            raise ValueError("dl_eaxc/ul_eaxc must cover nof_ports")
+        if any(e >= cfg.prach_eaxc for e in self._ul_eaxc):
+            raise ValueError(
+                f"ul_eaxc {self._ul_eaxc} collides with the PRACH eAxC "
+                f"range (>= {cfg.prach_eaxc}); raise prach_eaxc or renumber")
         self._lock = threading.Lock()
         self.metrics = RuMetrics()
         self._running = False
@@ -193,9 +202,12 @@ class RuOfh:
         # Paced only once an OTA clock exists; before the first tick every
         # message goes straight out (no timing loop attached).
         paced = c.dl_pacing == "paced" and now is not None
-        if paced and slot_syms + SYMBOLS_PER_SLOT <= \
-                now + c.tx_window_t1a_min_symbols:
-            # The whole slot's window has closed: late DL request.
+        if paced and slot_syms - c.tx_window_t1a_min_cp_dl_symbols < now:
+            # The slot's DL C-PLANE window has closed: a conformant RU
+            # discards U-plane sections with no preceding C-plane, so the
+            # whole request is late (review r4 finding — previously the
+            # gate only checked the U-plane window and could transmit a
+            # slot whose C-plane had been dropped).
             with self._lock:
                 self.metrics.late_dl_requests += 1
             if self.error_notifier is not None:
@@ -213,7 +225,8 @@ class RuOfh:
             if paced:
                 # The DL C-plane paces in its own (earlier) T1a window.
                 self._enqueue_tx(slot_syms, c.tx_window_t1a_min_cp_dl_symbols,
-                                 c.tx_window_t1a_max_cp_dl_symbols, cpl)
+                                 c.tx_window_t1a_max_cp_dl_symbols, cpl,
+                                 plane="dl", slot=context.slot)
             else:
                 self.send_frame(cpl)
             build = (native.ofh_uplane_build_static
@@ -229,7 +242,8 @@ class RuOfh:
                 if paced:
                     self._enqueue_tx(slot_syms + sym,
                                      c.tx_window_t1a_min_symbols,
-                                     c.tx_window_t1a_max_symbols, msg)
+                                     c.tx_window_t1a_max_symbols, msg,
+                                     plane="dl", slot=context.slot)
                 else:
                     self.send_frame(msg)
         if paced:
@@ -263,7 +277,8 @@ class RuOfh:
                 # ofh_data_flow_cplane_scheduling_commands).
                 self._enqueue_tx(slot_syms,
                                  self.cfg.tx_window_t1a_min_cp_ul_symbols,
-                                 self.cfg.tx_window_t1a_max_cp_ul_symbols, cpl)
+                                 self.cfg.tx_window_t1a_max_cp_ul_symbols, cpl,
+                                 plane="ul", slot=context.slot)
             else:
                 self.send_frame(cpl)
         if paced:
@@ -296,7 +311,8 @@ class RuOfh:
             self._enqueue_tx(
                 self._slot_symbols(context.slot) + context.start_symbol,
                 self.cfg.tx_window_t1a_min_cp_ul_symbols,
-                self.cfg.tx_window_t1a_max_cp_ul_symbols, cpl)
+                self.cfg.tx_window_t1a_max_cp_ul_symbols, cpl,
+                plane="prach", slot=context.slot)
             self._dispatch_tx()
         else:
             self.send_frame(cpl)
@@ -427,29 +443,58 @@ class RuOfh:
                 self.error_notifier.on_late_prach_message(slot, 0)
 
     def _enqueue_tx(self, sym_abs: int, t1a_min: int, t1a_max: int,
-                    msg: np.ndarray) -> None:
+                    msg: np.ndarray, plane: str = "dl",
+                    slot: Optional[SlotPoint] = None) -> None:
         with self._lock:
-            self._tx_queue.append((sym_abs, t1a_min, t1a_max, msg))
+            self._tx_queue.append((sym_abs, t1a_min, t1a_max, msg, plane, slot))
 
     def _dispatch_tx(self) -> None:
         """Send queued frames whose transmit window is open (ota in
         [t - t1a_max, t - t1a_min] of the frame's air time t, each frame
         carrying its own C-/U-plane window); drop + count frames whose
-        window closed before they were sent."""
+        window closed before they were sent, attributed to THEIR plane
+        (a late UL-grant C-plane is uplink lateness, not downlink —
+        review r4 finding)."""
+        late_slots = []
         with self._lock:
             now = self._ota_symbols
             if now is None:
                 return
-            due, keep, late = [], [], 0
-            for sym_abs, t1a_min, t1a_max, msg in self._tx_queue:
+            due, keep = [], []
+            for entry in self._tx_queue:
+                sym_abs, t1a_min, t1a_max, msg, plane, slot = entry
                 if sym_abs - t1a_min < now:
-                    late += 1  # too late to reach the RU in time
+                    # Too late to reach the RU in time.
+                    if plane == "ul":
+                        self.metrics.late_ul_requests += 1
+                        # The RU never receives this grant: drop the
+                        # pending context now so the eviction sweep does
+                        # not count the same slot late a second time.
+                        if slot is not None:
+                            self._ul_pending.pop(slot, None)
+                            self._ul_filled.pop(slot, None)
+                    elif plane == "prach":
+                        self.metrics.late_prach_requests += 1
+                        if slot is not None:
+                            self._prach_pending.pop(slot, None)
+                    else:
+                        self.metrics.late_dl_requests += 1
+                    late_slots.append((plane, slot))
                 elif sym_abs - t1a_max <= now:
                     due.append((sym_abs, msg))
                 else:
-                    keep.append((sym_abs, t1a_min, t1a_max, msg))
+                    keep.append(entry)
             self._tx_queue = keep
-            self.metrics.late_dl_requests += late
+        if self.error_notifier is not None:
+            for plane, slot in dict.fromkeys(late_slots):
+                if slot is None:
+                    continue
+                if plane == "ul":
+                    self.error_notifier.on_late_uplink_message(slot, 0)
+                elif plane == "prach":
+                    self.error_notifier.on_late_prach_message(slot, 0)
+                else:
+                    self.error_notifier.on_late_downlink_message(slot, 0)
         for _sym, msg in sorted(due, key=lambda t: t[0]):
             self.send_frame(msg)
 

@@ -424,14 +424,43 @@ def test_ofh_ru_evicts_stale_pending_contexts():
     ru = RuOfh(cfg, col, send_frame=lambda f: None)
     slot = SlotPoint.from_sfn_slot(SCS, 1, 0)
     ru.ota_tick(slot)
-    ru.handle_new_uplink_slot(ResourceGridContext(slot=slot))
-    ru.handle_prach_occasion(PrachBufferContext(slot=slot, format="B4"))
+    # Requests arrive IN their C-plane windows (one slot ahead of air
+    # time) — a request whose C-plane window already closed is dropped
+    # and un-registered immediately instead (separate test below).
+    air = slot + 1
+    ru.handle_new_uplink_slot(ResourceGridContext(slot=air))
+    ru.handle_prach_occasion(PrachBufferContext(slot=air, format="B4"))
     assert ru._ul_pending and ru._prach_pending
     # No U-plane ever arrives; OTA time passes beyond the late window.
-    ru.ota_tick(slot + 3)
+    ru.ota_tick(air + 3)
     assert not ru._ul_pending and not ru._ul_filled and not ru._prach_pending
     m = ru.get_metrics()
     assert m.late_ul_requests >= 1 and m.late_prach_requests == 1
+
+
+@pytest.mark.skipif(native.get_lib() is None, reason="native lib unavailable")
+def test_ofh_ru_late_cplane_counted_on_its_own_plane():
+    """A UL-grant / PRACH C-plane whose window closed is dropped, counted
+    on ITS plane's late counter (not late_dl), its pending context is
+    removed immediately (no double count at eviction), and the error
+    notifier fires for the right plane (review r4 finding)."""
+    col, err = Collector(), Errors()
+    cfg = RuOfhConfig(scs=SCS, nof_prb=12)
+    ru = RuOfh(cfg, col, send_frame=lambda f: None, error_notifier=err)
+    slot = SlotPoint.from_sfn_slot(SCS, 2, 0)
+    ru.ota_tick(slot)
+    # Same-slot requests: the C-plane needs >= 4 symbols of advance.
+    ru.handle_new_uplink_slot(ResourceGridContext(slot=slot))
+    ru.handle_prach_occasion(PrachBufferContext(slot=slot, format="B4"))
+    m = ru.get_metrics()
+    assert m.late_ul_requests == 1 and m.late_prach_requests == 1
+    assert m.late_dl_requests == 0
+    assert not ru._ul_pending and not ru._prach_pending
+    assert err.ul == [slot] and err.prach == [slot]
+    # OTA progress adds no second count for the same slots.
+    ru.ota_tick(slot + 3)
+    m2 = ru.get_metrics()
+    assert m2.late_ul_requests == 1 and m2.late_prach_requests == 1
 
 
 @pytest.mark.skipif(native.get_lib() is None, reason="native lib unavailable")

@@ -176,13 +176,18 @@ def test_srs_snr_drives_ul_mcs_in_scheduler():
     res.srs.append(fapi.SrsIndicationPdu(0x4601, snr_db=28.0,
                                          phase_slope=0.0, h=h))
     sched.handle_results(res)
-    high = ue.mcs
+    high = ue.ul_mcs  # SRS drives the UL-dedicated MCS, not the shared one
+    assert ue.mcs == 10  # DL MCS untouched
     res2 = fapi.SlotResults(slot=_slot(1))
     res2.srs.append(fapi.SrsIndicationPdu(0x4601, snr_db=3.0,
                                           phase_slope=0.0, h=h))
     sched.handle_results(res2)
-    low = ue.mcs
+    low = ue.ul_mcs
     assert high > 20 and low < 8, (high, low)
+    # The UL grant config follows the UL MCS.
+    _dl, ul_cfg, _t, _ut = sched._grant_configs(ue, 12, 0)
+    from srsran_project_tpu.ran.tbs import mcs_to_qm_rate
+    assert int(ul_cfg.modulation) == mcs_to_qm_rate(low, "qam64")[0]
 
 
 def test_srs_channel_matrix_rank_selection():
@@ -194,3 +199,20 @@ def test_srs_channel_matrix_rank_selection():
     st2.update_srs_channel_matrix(np.asarray([[1.0, 1.0], [1.0, 1.0]],
                                              np.complex128))
     assert st2.rank == 1
+
+
+def test_drx_on_duration_wrapping_cycle_boundary():
+    """An onDuration window crossing the long-cycle boundary ends at the
+    WRAPPED end — the unwrapped arithmetic kept the UE active for almost
+    a full extra cycle (review r4 finding)."""
+    drx = ucl.DrxConfig(long_cycle_ms=8, long_start_offset_ms=7,
+                        on_duration_ms=2, inactivity_ms=0)
+    c = ucl.DrxController(drx, scs_mu=0)  # period 8, window (7, 9) wraps
+    active = []
+    for s in range(20):
+        c.slot_indication(s)
+        if c.is_pdcch_enabled():
+            active.append(s)
+    # Slot 0 sits in the PREVIOUS cycle's wrapped tail (window
+    # slots {-1, 0}) — part of the periodic pattern.
+    assert active == [0, 7, 8, 15, 16], active
