@@ -115,22 +115,32 @@ def main() -> int:
           f"tbs={cell.tbs} bits, channel={args.channel}@{args.snr_db}dB", file=sys.stderr)
 
     ru = None
+    ru_rx = {}
+
+    class _RuCollector:
+        def on_new_uplink_symbol(self, context, grid_, is_valid):
+            if is_valid:
+                ru_rx[context.slot] = grid_
+
+        def on_new_prach_window_data(self, context, buffer):
+            pass
+
+    def _add_awgn(x, snr_db):
+        """AWGN at snr_db against the OCCUPIED-sample power (zero REs of a
+        partially-filled grid must not dilute the measurement)."""
+        m = np.abs(x) ** 2
+        sig = float(m[m > 0].mean()) if (m > 0).any() else 1.0
+        nstd = np.sqrt(sig * 10.0 ** (-snr_db / 10.0) / 2.0)
+        return x + nstd * (rng.standard_normal(x.shape)
+                           + 1j * rng.standard_normal(x.shape)
+                           ).astype(np.complex64)
+
     if args.ru == "generic":
         # DL grid -> RU (OFDM modulate -> baseband) -> loopback -> RU
         # (demodulate) -> upper PHY: the reference's ru_generic role with
         # the sample stream looped in-process (ZMQ-sim analogue).
         from srsran_project_tpu.ru import (ResourceGridContext, RuGeneric,
                                            RuGenericConfig)
-
-        ru_rx = {}
-
-        class _RuCollector:
-            def on_new_uplink_symbol(self, context, grid_, is_valid):
-                if is_valid:
-                    ru_rx[context.slot] = grid_
-
-            def on_new_prach_window_data(self, context, buffer):
-                pass
 
         ru_tx = {}
         ru = RuGeneric(RuGenericConfig(scs=SubcarrierSpacing(cell.scs),
@@ -150,21 +160,11 @@ def main() -> int:
         from srsran_project_tpu.ru import (ResourceGridContext, RuOfh,
                                            RuOfhConfig)
 
-        ru_rx = {}
-
-        class _OfhCollector:
-            def on_new_uplink_symbol(self, context, grid_, is_valid):
-                if is_valid:
-                    ru_rx[context.slot] = grid_
-
-            def on_new_prach_window_data(self, context, buffer):
-                pass
-
         wire = []
         ru = RuOfh(RuOfhConfig(scs=SubcarrierSpacing(cell.scs),
                                nof_prb=cell.nof_rb,
                                nof_ports=cell.nof_ports),
-                   _OfhCollector(), send_frame=wire.append)
+                   _RuCollector(), send_frame=wire.append)
         ru.start()
         ru_ctx = {"wire": wire, "rx": ru_rx,
                   "ResourceGridContext": ResourceGridContext}
@@ -206,12 +206,8 @@ def main() -> int:
             # Modulate + transmit; loop the baseband back with AWGN at the
             # configured SNR, demodulate through the RU's uplink plane.
             ru.advance_slot(slot)
-            samples = np.asarray(ru_ctx["tx"].pop(slot))
-            sig_pow = float(np.mean(np.abs(samples) ** 2))
-            nstd = np.sqrt(sig_pow * 10.0 ** (-args.snr_db / 10.0) / 2.0)
-            samples = samples + nstd * (
-                rng.standard_normal(samples.shape)
-                + 1j * rng.standard_normal(samples.shape)).astype(np.complex64)
+            samples = _add_awgn(np.asarray(ru_ctx["tx"].pop(slot)),
+                                args.snr_db)
             ru.push_ul_samples(slot, samples)
             ru.handle_new_uplink_slot(Ctx(slot=slot))
             ru.advance_slot(slot)

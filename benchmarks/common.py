@@ -54,6 +54,11 @@ def timeit_rb(fn, n: int = 20) -> tuple[float, str]:
         last = jax.tree_util.tree_leaves(outs[-1])[0]
         float(np.asarray(_scalarize(last)))
         raw = time.perf_counter() - t0
+        # Subtract the SMALLER of the before/after roundtrip samples: if
+        # the wire drifted upward during the window, subtracting the
+        # inflated value would over-report the rate; the conservative
+        # choice only ever under-reports it.
+        rt = min(rt, d2h_roundtrip_s())
         if raw <= rt * 1.05:
             # The whole timed window is within the wire roundtrip's noise
             # band: the subtraction would report near-zero (observed as a

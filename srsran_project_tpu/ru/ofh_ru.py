@@ -233,19 +233,26 @@ class RuOfh:
                      if c.compression_mode == "static"
                      else native.ofh_uplane_build)
             for sym in range(min(SYMBOLS_PER_SLOT, grid.shape[1])):
-                res = grid[port, sym, : c.nof_prb * 12]
-                msg = build(
-                    self._grid_to_q(res), pc_id=eaxc,
-                    seq_id=self._next_seq(eaxc), direction=1,
-                    frame_id=frame, subframe_id=subframe, slot_id=slot_id,
-                    symbol_id=sym, start_prb=0, width=c.compression_width)
-                if paced:
-                    self._enqueue_tx(slot_syms + sym,
-                                     c.tx_window_t1a_min_symbols,
-                                     c.tx_window_t1a_max_symbols, msg,
-                                     plane="dl", slot=context.slot)
-                else:
-                    self.send_frame(msg)
+                # The eCPRI section numPrbu field is 8+2 bits but the
+                # native builder (and O-RAN practice) caps one section at
+                # 255 PRBs: wide carriers (273 PRB @ 100 MHz) split into
+                # multiple sections per symbol at startPrbu offsets.
+                for prb0 in range(0, c.nof_prb, 255):
+                    nprb = min(255, c.nof_prb - prb0)
+                    res = grid[port, sym, prb0 * 12 : (prb0 + nprb) * 12]
+                    msg = build(
+                        self._grid_to_q(res), pc_id=eaxc,
+                        seq_id=self._next_seq(eaxc), direction=1,
+                        frame_id=frame, subframe_id=subframe, slot_id=slot_id,
+                        symbol_id=sym, start_prb=prb0,
+                        width=c.compression_width)
+                    if paced:
+                        self._enqueue_tx(slot_syms + sym,
+                                         c.tx_window_t1a_min_symbols,
+                                         c.tx_window_t1a_max_symbols, msg,
+                                         plane="dl", slot=context.slot)
+                    else:
+                        self.send_frame(msg)
         if paced:
             self._dispatch_tx()
 
@@ -259,8 +266,10 @@ class RuOfh:
             self._ul_pending[context.slot] = np.zeros(
                 (self.cfg.nof_ports, SYMBOLS_PER_SLOT, self.cfg.nof_prb * 12),
                 np.complex64)
+            # Subcarriers received per (port, symbol): a symbol may
+            # arrive as several <=255-PRB sections.
             self._ul_filled[context.slot] = np.zeros(
-                (self.cfg.nof_ports, SYMBOLS_PER_SLOT), bool)
+                (self.cfg.nof_ports, SYMBOLS_PER_SLOT), np.int32)
         paced = self.cfg.dl_pacing == "paced" and now is not None
         for port in range(self.cfg.nof_ports):
             eaxc = self._ul_eaxc[port]
@@ -370,8 +379,8 @@ class RuOfh:
             sc0 = hdr["start_prb"] * 12
             grid = self._ul_pending[target]
             grid[port, sym, sc0 : sc0 + res.size] = res
-            self._ul_filled[target][port, sym] = True
-            if self._ul_filled[target].all():
+            self._ul_filled[target][port, sym] += res.size
+            if (self._ul_filled[target] >= self.cfg.nof_prb * 12).all():
                 complete = target
                 grid = self._ul_pending.pop(target)
                 del self._ul_filled[target]
@@ -461,10 +470,17 @@ class RuOfh:
             if now is None:
                 return
             due, keep = [], []
+            counted = set()
             for entry in self._tx_queue:
                 sym_abs, t1a_min, t1a_max, msg, plane, slot = entry
                 if sym_abs - t1a_min < now:
-                    # Too late to reach the RU in time.
+                    # Too late to reach the RU in time.  UL/PRACH C-plane
+                    # lateness is a per-SLOT condition (one request fans
+                    # out to one frame per port) — count it once.
+                    if plane in ("ul", "prach") and (plane, slot) in counted:
+                        late_slots.append((plane, slot))
+                        continue
+                    counted.add((plane, slot))
                     if plane == "ul":
                         self.metrics.late_ul_requests += 1
                         # The RU never receives this grant: drop the
