@@ -673,3 +673,28 @@ def test_ofh_multi_sector_routes_and_aggregates():
     assert len(col.symbols) == 28  # 14 symbols x 2 sectors
     m = ru.get_metrics()
     assert m.total_dl_requests == 2 and m.total_ul_requests == 2
+
+
+@pytest.mark.skipif(native.get_lib() is None, reason="native lib unavailable")
+def test_ofh_ru_wide_carrier_sections_roundtrip():
+    """Carriers beyond the eCPRI 255-PRB single-section limit (273 PRB
+    flagship) frame as multiple sections per symbol at startPrbu offsets
+    and reassemble through the RE-count fill accounting (review r4)."""
+    col = Collector()
+    cfg = RuOfhConfig(scs=SCS, nof_prb=273, nof_ports=1, dl_pacing="sync")
+    frames = []
+    ru = RuOfh(cfg, col, send_frame=frames.append)
+    slot = SlotPoint.from_sfn_slot(SCS, 5, 1)
+    rng = np.random.default_rng(6)
+    grid = (rng.standard_normal((1, 14, 273 * 12))
+            + 1j * rng.standard_normal((1, 14, 273 * 12))
+            ).astype(np.complex64) * 0.1
+    ru.ota_tick(slot)
+    ru.handle_new_uplink_slot(ResourceGridContext(slot=slot))
+    ru.handle_dl_data(ResourceGridContext(slot=slot), grid)
+    uplane = [f for f in frames if f[1] == 0x00]
+    assert len(uplane) == 14 * 2  # two sections per symbol (255 + 18 PRB)
+    for f in uplane:
+        ru.push_uplane_frame(f)
+    assert len(col.symbols) == 14
+    assert np.allclose(np.asarray(col.symbols[0][1]), grid, atol=2e-2)
