@@ -162,7 +162,7 @@ def run_hetero(nof_prb: int, nof_ports: int) -> dict:
         return outs
 
     t_pdu, _ = timeit_rb(per_pdu, n=5)
-    results, f1_res = ul_slot.process_slot(grid_d, pdus, (f1,))
+    results, f1_res, _f0 = ul_slot.process_slot(grid_d, pdus, (f1,))
     nof_fail = sum(1 for r in results
                    if not bool(hostio.to_host(r["tb_crc_ok"])))
     out = {

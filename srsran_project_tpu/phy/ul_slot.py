@@ -39,8 +39,9 @@ from .pusch import PuschConfig
 from .sch import _dematch_stage, _desegment_stage
 
 
-@functools.partial(jax.jit, static_argnames=("cfgs", "f1_cfgs"))
-def _slot_front(grid, rntis_g, sc0_g, rbank_g, harq_g, cfgs, f1_cfgs):
+@functools.partial(jax.jit, static_argnames=("cfgs", "f1_cfgs", "f0_cfgs"))
+def _slot_front(grid, rntis_g, sc0_g, rbank_g, harq_g, cfgs, f1_cfgs,
+                f0_cfgs=()):
     """One compiled program: batched front end + rate dematch for every
     config group, plus PUCCH F1 detection.
 
@@ -74,13 +75,17 @@ def _slot_front(grid, rntis_g, sc0_g, rbank_g, harq_g, cfgs, f1_cfgs):
         # read) — review r4 finding.
         outs.append((harq, nvs, snrs, tas))
 
+    from . import pucch as pucch_mod
+
     f1_outs = []
     for f1 in f1_cfgs:
-        from . import pucch as pucch_mod
-
         bits, _llrs, metric = pucch_mod.format1_detect(grid, f1)
         f1_outs.append((bits, metric))
-    return tuple(outs), tuple(f1_outs)
+    f0_outs = []
+    for f0 in f0_cfgs:
+        val, metric, _powers = pucch_mod.format0_detect(grid, f0)
+        f0_outs.append((val, metric))
+    return tuple(outs), tuple(f1_outs), tuple(f0_outs)
 
 
 @functools.partial(jax.jit, static_argnames=("cfgs", "lead_ns"))
@@ -137,16 +142,17 @@ class UlSlotPdu:
     harq_buffer: object | None = None  # (C, N) int8 for retransmissions
 
 
-def process_slot(grid, pdus, f1_cfgs=()):
+def process_slot(grid, pdus, f1_cfgs=(), f0_cfgs=()):
     """Decode a heterogeneous multi-UE UL slot.
 
     grid: (P, S, nof_grid_sc) received slot grid; pdus: list[UlSlotPdu]
     with MIXED configs (different MCS / rb_count / layers allowed);
-    f1_cfgs: PUCCH F1 configs detected inside the same front-end program.
+    f1_cfgs/f0_cfgs: PUCCH F1/F0 configs detected inside the same
+    front-end program.
 
-    Returns (results, f1_results): results[i] is a dict per input PDU
-    (tb_bits, tb_crc_ok, harq_buffer, noise_var, snr_db); f1_results[j]
-    is (bits, metric).
+    Returns (results, f1_results, f0_results): results[i] is a dict per
+    input PDU (tb_bits, tb_crc_ok, harq_buffer, noise_var, snr_db);
+    f1_results[j] is (bits, metric); f0_results[k] is (value, metric).
     """
     # ---- group by normalized static config (order-preserving) ----------
     groups: dict[PuschConfig, list[int]] = {}
@@ -188,9 +194,9 @@ def process_slot(grid, pdus, f1_cfgs=()):
         else:
             harq_g.append(None)
 
-    fronts, f1_outs = _slot_front(grid, tuple(rntis_g), tuple(sc0_g),
-                                  tuple(rbank_g), tuple(harq_g), cfgs,
-                                  tuple(f1_cfgs))
+    fronts, f1_outs, f0_outs = _slot_front(
+        grid, tuple(rntis_g), tuple(sc0_g), tuple(rbank_g), tuple(harq_g),
+        cfgs, tuple(f1_cfgs), tuple(f0_cfgs))
 
     # ---- decode: batch codeblocks per (bg, z, iters, early_stop) -------
     by_code: dict[tuple, list[int]] = {}
@@ -228,4 +234,4 @@ def process_slot(grid, pdus, f1_cfgs=()):
             }
             if cfg.compute_ta:
                 results[i]["ta_s"] = tas[k]
-    return results, list(f1_outs)
+    return results, list(f1_outs), list(f0_outs)

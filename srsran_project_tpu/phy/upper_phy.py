@@ -202,6 +202,7 @@ class UpperPhy:
         # repository).
         multi_outs: dict[int, dict] = {}
         f1_folded: dict[int, tuple] = {}
+        f0_folded: dict[int, tuple] = {}
         eligible = [
             i for i, pdu in enumerate(request.pusch)
             if (pdu.first_rb is not None and pdu.config.uci_mux is None
@@ -222,12 +223,17 @@ class UpperPhy:
             f1_idx = [j for j, pp in enumerate(request.pucch)
                       if isinstance(pp.config, pucch_mod.PucchFormat1Config)]
             f1_cfgs = tuple(request.pucch[j].config for j in f1_idx)
-            outs, f1_outs = ul_slot_mod.process_slot(
-                rx_grid, slot_pdus, f1_cfgs)
+            f0_idx = [j for j, pp in enumerate(request.pucch)
+                      if isinstance(pp.config, pucch_mod.PucchFormat0Config)]
+            f0_cfgs = tuple(request.pucch[j].config for j in f0_idx)
+            outs, f1_outs, f0_outs = ul_slot_mod.process_slot(
+                rx_grid, slot_pdus, f1_cfgs, f0_cfgs)
             for i, out in zip(eligible, outs):
                 multi_outs[i] = out
             for j, fo in zip(f1_idx, f1_outs):
                 f1_folded[j] = fo
+            for j, fo in zip(f0_idx, f0_outs):
+                f0_folded[j] = fo
         for i, pdu in enumerate(request.pusch):
             if i in multi_outs:
                 out = multi_outs[i]
@@ -272,7 +278,10 @@ class UpperPhy:
         for pdu_j, pdu in enumerate(request.pucch):
             c = pdu.config
             if isinstance(c, pucch_mod.PucchFormat0Config):
-                val, metric, _ = pucch_mod.format0_detect(rx_grid, c)
+                if pdu_j in f0_folded:
+                    val, metric = f0_folded[pdu_j]  # detected in the slot program
+                else:
+                    val, metric, _ = pucch_mod.format0_detect(rx_grid, c)
                 # candidate index encodes HARQ bits; with an SR opportunity
                 # the upper half of the candidate set means "SR positive" —
                 # appended as a trailing bit in uci_bits.

@@ -64,7 +64,7 @@ def _build_slot(with_pucch=True, seed=0):
 
 def test_hetero_slot_matches_per_pdu_chain():
     grid, tbs, pdus, f1_cfgs, f1_bits = _build_slot()
-    results, f1_res = ul_slot.process_slot(grid, pdus, f1_cfgs)
+    results, f1_res, _f0 = ul_slot.process_slot(grid, pdus, f1_cfgs)
     assert len(results) == 8
     for i, (pdu, res, tb) in enumerate(zip(pdus, results, tbs)):
         assert bool(np.asarray(res["tb_crc_ok"])), f"UE{i} CRC failed"
@@ -92,7 +92,7 @@ def test_hetero_slot_program_count():
     for pdu in pdus:
         seg = pdu.config.sch.seg
         seen.add((seg.base_graph, seg.lifting_size))
-    results, _ = ul_slot.process_slot(grid, pdus, f1_cfgs)
+    results, _, _ = ul_slot.process_slot(grid, pdus, f1_cfgs)
     assert all(bool(np.asarray(r["tb_crc_ok"])) for r in results)
     # Structural bound: distinct code groups <= distinct configs (2 here).
     assert len(seen) <= 2
@@ -105,11 +105,41 @@ def test_hetero_slot_with_retx():
     # First pass: decode normally, keep UE 5's harq buffer; then re-run the
     # slot pretending UE 5 is a retransmission with its buffer attached —
     # combine with its own first-tx soft bits must still decode clean.
-    results, _ = ul_slot.process_slot(grid, pdus)
+    results, _, _ = ul_slot.process_slot(grid, pdus)
     harq5 = results[5]["harq_buffer"]
     pdus2 = list(pdus)
     pdus2[5] = dataclasses.replace(pdus[5], harq_buffer=harq5)
-    results2, _ = ul_slot.process_slot(grid, pdus2)
+    results2, _, _ = ul_slot.process_slot(grid, pdus2)
     for i, (res, tb) in enumerate(zip(results2, tbs)):
         assert bool(np.asarray(res["tb_crc_ok"])), f"UE{i} CRC failed (retx slot)"
         assert (np.asarray(res["tb_bits"]) == tb).all()
+
+
+def test_hetero_slot_folds_pucch_f0():
+    """PUCCH F0 occasions also fold into the slot program: the detected
+    candidate value matches the standalone detector."""
+    grid_np = np.zeros((1, 14, CARRIER_SC), np.complex64)
+    f0 = pucch_mod.PucchFormat0Config(prb=50, start_symbol=13, nof_symbols=1,
+                                      initial_cyclic_shift=0, n_id=3,
+                                      nof_harq_bits=1)
+    sig = pucch_mod.format0_generate(f0, 1)
+    grid_np[0, 13, 50 * 12: 51 * 12] = np.asarray(sig[0])
+    cfg = _mk_cfg(6, Modulation.QPSK, 0.3, 512)
+    rng = np.random.default_rng(9)
+    tb = rng.integers(0, 2, size=(cfg.tbs,), dtype=np.uint8)
+    sub = np.asarray(pusch_mod.transmit(jnp.asarray(tb), jnp.uint32(0x4601),
+                                        cfg))
+    grid_np[:, :, : cfg.nof_grid_sc] += sub
+    grid_np += (rng.standard_normal(grid_np.shape)
+                + 1j * rng.standard_normal(grid_np.shape)
+                ).astype(np.complex64) * 0.02
+    grid = jnp.asarray(grid_np)
+    pdus = [ul_slot.UlSlotPdu(rnti=0x4601, first_rb=0, config=cfg),
+            ul_slot.UlSlotPdu(rnti=0x4602, first_rb=6, config=cfg)]
+    # Second UE region is noise-only; only structural routing matters.
+    results, _f1, f0_res = ul_slot.process_slot(grid, pdus, (), (f0,))
+    assert bool(np.asarray(results[0]["tb_crc_ok"]))
+    val, metric = f0_res[0]
+    ref_val, ref_metric, _ = pucch_mod.format0_detect(grid, f0)
+    assert int(np.asarray(val)) == int(np.asarray(ref_val)) == 1
+    assert float(metric) > pucch_mod.F0_DTX_THRESHOLD
