@@ -84,6 +84,26 @@ def main():
         llr = front(x, r)
         return _dematch_stage(llr, None, pc.sch)[1]
 
+    def planes(x, r):
+        """Front end + the fused path's bit-plane extraction only."""
+        from srsran_project_tpu.phy.sch import _e_groups
+        llr = front(x, r)
+        qm = pc.sch.qm
+        outs = []
+        off = 0
+        for _s, count, e in _e_groups(pc.sch.cb_e_bits):
+            span = llr[off : off + count * e]
+            p = span.reshape(count, e // qm, qm)
+            outs.append(sum(p[..., b].astype(jnp.int32).sum() for b in range(qm)))
+            off += count * e
+        return sum(outs)
+
+    def ldpc_fused(x, r):
+        from srsran_project_tpu.phy.sch import _fused_decode
+        llr = front(x, r)
+        return _fused_decode(llr, pc.sch, pc.nof_ldpc_iterations,
+                             early_stop=pc.ldpc_early_stop)[0]
+
     def full(x, r):
         g = demod(x, r)
         llr, nv, snr = pusch._front_end(g, r, pc)[:3]
@@ -94,7 +114,8 @@ def main():
 
     ladder = [("ofdm_demod", demod), ("+estimate", estimate),
               ("+equalize", equalize), ("+demap+descramble", front),
-              ("+rate_dematch", dematch), ("+ldpc+crc (full)", full)]
+              ("+plane_extract", planes),
+              ("+ldpc_fused (bits)", ldpc_fused), ("+ldpc+crc (full)", full)]
     prev = 0.0
     rows = []
     for name, fn in ladder:

@@ -118,6 +118,24 @@ def _advance_matrix(name: str, nof_bits: int) -> np.ndarray:
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _fold_matrix(name: str, nof_chunks: int) -> np.ndarray:
+    """(nof_chunks * n, n) GF(2) fold matrix: row block j is the advance
+    matrix T_{(nof_chunks-1-j)*_CHUNK} — chunk j's partial CRC, advanced by
+    the number of message bits that FOLLOW it, contributes linearly to the
+    final CRC.  One matmul replaces the log-depth pairwise fold tree (the
+    tree was ~12 levels of tiny ops at 1 Mbit TBs and dominated the
+    measured desegment cost)."""
+    poly, n = POLYS[name]
+    t_chunk = _advance_matrix(name, _CHUNK).astype(np.int64)
+    out = np.empty((nof_chunks, n, n), dtype=np.uint8)
+    cur = np.eye(n, dtype=np.int64)
+    for j in range(nof_chunks):
+        out[nof_chunks - 1 - j] = cur.astype(np.uint8)
+        cur = (cur @ t_chunk) % 2
+    return out.reshape(nof_chunks * n, n)
+
+
 @functools.partial(jax.jit, static_argnames=("name",))
 def crc(bits: jax.Array, name: str) -> jax.Array:
     """CRC of messages, MXU-friendly and compile-light.
@@ -125,30 +143,28 @@ def crc(bits: jax.Array, name: str) -> jax.Array:
     bits: (..., L) 0/1 array.  Returns (..., crc_len) uint8, MSB first.
 
     Strategy: front-pad with zeros (leading zeros do not change a CRC) to a
-    power-of-two number of _CHUNK-bit chunks; per-chunk partial CRCs are one
-    (CHUNK, n) matmul; a log-depth tree folds pairs with
-    combine(hi, lo) = hi @ T_span + lo over GF(2).  All matmuls are exact
-    integer counts in f32 (< 2^24), reduced mod 2.
+    whole number of _CHUNK-bit chunks; per-chunk partial CRCs are one
+    (CHUNK, n) matmul; ONE (K*n, n) fold matmul combines every chunk's
+    contribution (CRC is linear over GF(2), so each chunk's partial CRC
+    advanced by its tail length adds into the final value).  All matmuls
+    are exact: 0/1 inputs are exact in bf16 MXU passes and the f32
+    accumulator holds integer counts < 2^24; counts reduce mod 2.
     """
     length = bits.shape[-1]
     n = POLYS[name][1]
-    nof_chunks = max(1, -(-length // _CHUNK))
-    k = 1 << (nof_chunks - 1).bit_length()
+    k = max(1, -(-length // _CHUNK))
     pad = k * _CHUNK - length
     x = jnp.pad(bits.astype(jnp.float32), [(0, 0)] * (bits.ndim - 1) + [(pad, 0)])
     x = x.reshape(x.shape[:-1] + (k, _CHUNK))
     a = jnp.asarray(generator_matrix(name, _CHUNK), dtype=jnp.float32)
     part = jnp.matmul(x, a, preferred_element_type=jnp.float32)
     part = (part.astype(jnp.int32) & 1).astype(jnp.float32)  # (..., K, n)
-    span = _CHUNK
-    while part.shape[-2] > 1:
-        t = jnp.asarray(_advance_matrix(name, span), dtype=jnp.float32)
-        hi = part[..., 0::2, :]
-        lo = part[..., 1::2, :]
-        comb = jnp.matmul(hi, t, preferred_element_type=jnp.float32) + lo
-        part = (comb.astype(jnp.int32) & 1).astype(jnp.float32)
-        span *= 2
-    return part[..., 0, :].astype(jnp.int32).astype(jnp.uint8)
+    if k == 1:
+        return part[..., 0, :].astype(jnp.int32).astype(jnp.uint8)
+    m = jnp.asarray(_fold_matrix(name, k), dtype=jnp.float32)
+    flat = part.reshape(part.shape[:-2] + (k * n,))
+    comb = jnp.matmul(flat, m, preferred_element_type=jnp.float32)
+    return (comb.astype(jnp.int32) & 1).astype(jnp.uint8)
 
 
 def crc_append(bits: jax.Array, name: str) -> jax.Array:

@@ -150,6 +150,59 @@ def _dematch_stage(llrs: jax.Array, harq_buffer, cfg: SchConfig):
     return buf, flat
 
 
+@functools.lru_cache(maxsize=None)
+def _fused_decode_ok(cfg: SchConfig) -> bool:
+    """The fused dematch+decode kernel covers the no-repetition case (every
+    E_r fits one pass over the usable circular buffer, the overwhelmingly
+    common geometry); repetition falls back to the two-stage path."""
+    seg = cfg.seg
+    k_prime = seg.nof_payload_bits_per_cb
+    n_cb = cfg.n_cb or seg.full_codeword_bits
+    usable = sum(ln for _, ln in rm._valid_runs(
+        seg.base_graph, seg.lifting_size, k_prime, cfg.rv, n_cb))
+    return max(cfg.cb_e_bits) <= usable
+
+
+def _fused_decode(llrs: jax.Array, cfg: SchConfig, nof_iterations: int,
+                  early_stop: bool, interpret: bool = False):
+    """Rate dematch + LDPC decode with the fused Pallas kernel: the qm
+    de-interleave bit-planes are extracted as whole-stream strided slices
+    (one XLA op each — replacing the measured 0.21 ms/slot of per-codeblock
+    int8 transpose/concat glue), and the kernel assembles the circular
+    buffer in VMEM (the (C, N) HBM buffer round trip disappears).
+
+    One kernel call per E-group: the de-interleave stride is E/qm, so the
+    de-stream -> buffer map is E-specific — a low-E codeblock folded into
+    the high-E map lands ~qm*nl interior LLRs on the wrong buffer
+    positions (a bug the LDPC decoder quietly corrected at high SNR; the
+    zero-iteration parity tests in tests/test_fused_dematch_decode.py now
+    pin the assembly itself).
+
+    Returns (bits (lead*C, K) rows flattened like the two-stage path,
+    iters (lead*C,)).
+    """
+    seg = cfg.seg
+    qm = cfg.qm
+    n_cb = cfg.n_cb or seg.full_codeword_bits
+    bits_groups, iters_groups = [], []
+    off = 0
+    for _start, count, e in _e_groups(cfg.cb_e_bits):
+        span = llrs[..., off : off + count * e]
+        p = span.reshape(span.shape[:-1] + (count, e // qm, qm))
+        planes = tuple(p[..., b].reshape((-1, e // qm)) for b in range(qm))
+        bits_g, iters_g = ldpc_decoder_pallas.decode_dematch_pallas(
+            planes, seg.base_graph, seg.lifting_size,
+            seg.nof_payload_bits_per_cb, e, cfg.rv, qm, n_cb,
+            nof_iterations, early_stop=early_stop, interpret=interpret)
+        bits_groups.append(bits_g.reshape(span.shape[:-1] + (count, -1)))
+        iters_groups.append(iters_g.reshape(span.shape[:-1] + (count,)))
+        off += count * e
+    bits = jnp.concatenate(bits_groups, axis=-2)  # (..., C, K)
+    iters = jnp.concatenate(iters_groups, axis=-1)
+    return (bits.reshape((-1,) + bits.shape[-1:]),
+            iters.reshape(-1))
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "lead_shape"))
 def _desegment_stage(bits: jax.Array, cfg: SchConfig, lead_shape: tuple):
     """CB reshape + TB desegmentation + CRC verdict, one compiled program."""
@@ -172,6 +225,17 @@ def decode_transport_block(
     (re)transmissions; pass None for a new transmission.
     """
     seg = cfg.seg
+    if (harq_buffer is None and cfg.decoder != "reference_i8"
+            and _use_pallas_decoder() and llrs.dtype == jnp.int8
+            and _fused_decode_ok(cfg)):
+        # Hot path: dematch fused into the Pallas decode kernel.  The HARQ
+        # buffer is still produced through the two-stage dematch for
+        # callers that keep it (process()/finish() retransmission state);
+        # fused slot programs that drop it get the whole computation DCE'd.
+        bits, _iters = _fused_decode(llrs, cfg, nof_iterations, early_stop)
+        new_harq, _ = _dematch_stage(llrs, None, cfg)
+        tb, ok = _desegment_stage(bits, cfg, llrs.shape[:-1])
+        return tb, ok, new_harq
     new_harq, flat = checkpoint(_dematch_stage(llrs, harq_buffer, cfg))
     buf = new_harq
 
@@ -184,6 +248,7 @@ def decode_transport_block(
             return ldpc_decoder_pallas.decode_pallas(
                 llr_in, seg.base_graph, seg.lifting_size, iters,
                 early_stop=kernel_early_stop, bits_only=True,
+                n_cb=cfg.n_cb,
             )[0]
         return ldpc_decoder.decode(llr_in, seg.base_graph, seg.lifting_size, iters)[0]
 
