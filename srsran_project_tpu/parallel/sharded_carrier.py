@@ -39,17 +39,46 @@ from ..phy.pusch import PuschConfig, _pusch_c_init
 from .sharded_estimator import _halo_exchange
 
 
-def _check_shardable(cfg: PuschConfig, nof_shards: int) -> int:
+def _check_shardable(cfg: PuschConfig, nof_shards: int) -> tuple[int, int]:
+    """Shard geometry: (local_sc, pad_sc).
+
+    Carriers whose PRB count does not divide the mesh (273 PRB / 8 devices
+    — the flagship; SURVEY §7's pad-to-shardable + mask prescription) are
+    zero-PADDED with whole PRBs on the right so every shard runs the same
+    uniform-pilot program; the pad lives entirely in the LAST shard and is
+    masked out of every estimate/metric (edge-hold extension keeps the
+    smoother's band-edge semantics identical to the unsharded estimator;
+    reference mask machinery counterpart:
+    pusch_demodulator_impl.cpp:286-291)."""
     a = cfg.alloc
     assert a.rb_start == 0 and a.dmrs_config_type == 1, "full-band type-1 only"
     assert a.nof_sc == cfg.nof_grid_sc, "allocation must span the carrier"
     assert a.nof_cdm_groups_without_data == 2, "no data on DM-RS symbols"
     assert not cfg.cfo_compensation and not cfg.ptrs_enabled and cfg.uci is None
-    local_sc = cfg.nof_grid_sc // nof_shards
-    assert local_sc * nof_shards == cfg.nof_grid_sc and local_sc % 12 == 0, (
-        "shard width must be whole PRBs with uniform pilot geometry",
-        cfg.nof_grid_sc, nof_shards)
-    return local_sc
+    prbs_per_shard = -(-a.rb_count // nof_shards)
+    local_sc = prbs_per_shard * 12
+    pad_sc = local_sc * nof_shards - cfg.nof_grid_sc
+    assert pad_sc < local_sc, (a.rb_count, nof_shards)
+    if pad_sc:
+        assert cfg.noise_method == "second_difference", (
+            "padded sharding masks the second-difference noise stencil only")
+    return local_sc, pad_sc
+
+
+def padded_width(cfg: PuschConfig, nof_shards: int) -> int:
+    """Grid width (subcarriers) expected by sharded_front_end on this mesh
+    size — nof_grid_sc rounded up to whole PRBs per shard."""
+    local_sc, pad_sc = _check_shardable(cfg, nof_shards)
+    return local_sc * nof_shards
+
+
+def pad_grid(grid: jax.Array, cfg: PuschConfig, nof_shards: int) -> jax.Array:
+    """Zero-pad (..., nsc) on the right to the shardable width."""
+    w = padded_width(cfg, nof_shards)
+    pad = w - grid.shape[-1]
+    if pad == 0:
+        return grid
+    return jnp.pad(grid, [(0, 0)] * (grid.ndim - 1) + [(0, pad)])
 
 
 @functools.lru_cache(maxsize=None)
@@ -113,19 +142,34 @@ def sharded_front_end(grid: jax.Array, cfg: PuschConfig, mesh: Mesh,
     decode_transport_block after descrambling.
     """
     nof_shards = mesh.shape[axis]
-    local_sc = _check_shardable(cfg, nof_shards)
+    local_sc, pad_sc = _check_shardable(cfg, nof_shards)
+    if pad_sc and grid.shape[-1] == cfg.nof_grid_sc:
+        grid = pad_grid(grid, cfg, nof_shards)
+    assert grid.shape[-1] == local_sc * nof_shards, (
+        "pad the grid to padded_width() first (pad_grid helper)",
+        grid.shape, local_sc * nof_shards)
     (ks_layers, wf_layers, n_pairs, li, frac, data_syms, nsym_d) = (
         _local_geometry(cfg, local_sc))
     nl, npr = cfg.nof_layers, cfg.nof_rx_ports
     qm = int(cfg.modulation) if cfg.modulation != Modulation.PI_2_BPSK else 1
     taps = _rc_filter_taps()
     halo = len(taps) // 2 + 1  # filter halo + one interp pair
+    # Pad geometry (last shard only): pairs/subcarriers beyond the real
+    # band are edge-held for the smoother and masked from every reduction.
+    n_pairs_pad = pad_sc // 4  # 3 pilot pairs per padded PRB (type 1)
+    n_real_pairs = n_pairs - n_pairs_pad
+    real_sc = local_sc - pad_sc
 
     pilots_g = jnp.asarray(_global_pilots(cfg))  # (nsym_d, Np_global)
+    if pad_sc:
+        pilots_g = jnp.concatenate(
+            [pilots_g, jnp.ones((nsym_d, pad_sc // 2), pilots_g.dtype)], -1)
     r_sh = pilots_g.reshape(nsym_d, nof_shards, -1)  # shard axis in middle
 
     def local(g, r_loc):
         # g: (npr, nsym, local_sc); r_loc: (nsym_d, 1, Np_loc)
+        idx = jax.lax.axis_index(axis)
+        size = jax.lax.axis_size(axis)
         r_loc = r_loc[:, 0]
         ks = jnp.asarray(ks_layers)  # (nl, Np_loc)
         wf = jnp.asarray(wf_layers)  # (nl, Np_loc)
@@ -136,11 +180,24 @@ def sharded_front_end(grid: jax.Array, cfg: PuschConfig, mesh: Mesh,
         h_pair_sym = pair.mean(axis=-1)  # (nl, npr, nsym_d, n_pairs)
         h_pair = h_pair_sym.mean(axis=-2)  # time avg: (nl, npr, n_pairs)
 
+        jjp = jnp.arange(n_pairs)
+        is_last = idx == size - 1
+        if pad_sc:
+            # Mask of REAL pairs (pad pairs of the last shard excluded) and
+            # edge-hold extension of the channel into the pad, so the RC
+            # smoother sees exactly the unsharded estimator's band-edge
+            # clamp at the true carrier edge.
+            pair_valid = jnp.where(is_last,
+                                   (jjp < n_real_pairs).astype(jnp.float32),
+                                   jnp.ones((n_pairs,), jnp.float32))
+            h_pair = jnp.where(pair_valid > 0, h_pair,
+                               h_pair[..., n_real_pairs - 1][..., None])
+        else:
+            pair_valid = jnp.ones((n_pairs,), jnp.float32)
+
         # Halo exchange + RC smoothing; keep one extra smoothed pair per
         # side for the boundary-straddling interpolation.
         ext = _halo_exchange(h_pair, halo, axis)  # (nl, npr, n+2*halo)
-        idx = jax.lax.axis_index(axis)
-        size = jax.lax.axis_size(axis)
 
         # Bulk-delay compensation, matching ops/estimator.estimate_channel:
         # a global per-(layer, port) phase slope over adjacent pairs (the
@@ -149,7 +206,10 @@ def sharded_front_end(grid: jax.Array, cfg: PuschConfig, mesh: Mesh,
         # exactly at every subcarrier.
         prod = ext[..., halo : halo + n_pairs] * \
             jnp.conj(ext[..., halo - 1 : halo - 1 + n_pairs])
-        tmask = jnp.where((jnp.arange(n_pairs) == 0) & (idx == 0), 0.0, 1.0)
+        # Exclude the global left edge AND any product touching a pad pair
+        # (edge-held pads give angle-0 products that bias the slope).
+        tmask = jnp.where((jnp.arange(n_pairs) == 0) & (idx == 0),
+                          0.0, 1.0) * pair_valid
         slope = jnp.angle(jax.lax.psum(
             (prod * tmask).sum(axis=-1), axis))[..., None]  # (nl, npr, 1)
         g_ext = (idx * n_pairs - halo) + jnp.arange(
@@ -193,7 +253,10 @@ def sharded_front_end(grid: jax.Array, cfg: PuschConfig, mesh: Mesh,
                   - 2.0 * ext_d[..., halo: halo + n_pairs]
                   + ext_d[..., halo + 1: halo + 1 + n_pairs])
             jj = jnp.arange(n_pairs)
-            edge = ((jj == 0) & (idx == 0)) | ((jj == n_pairs - 1) & (idx == size - 1))
+            # The last VALID pair (n_real_pairs-1 on a padded last shard)
+            # has no physical right neighbour; pad pairs are excluded too.
+            edge = ((jj == 0) & (idx == 0)) | \
+                ((jj >= n_real_pairs - 1) & (idx == size - 1))
             w_valid = jnp.where(edge, 0.0, 1.0)
             nv_num = jax.lax.psum(((jnp.abs(d2) ** 2) * w_valid).sum(), axis)
             nv_den = jax.lax.psum((w_valid.sum() * nl * npr), axis)
@@ -204,8 +267,10 @@ def sharded_front_end(grid: jax.Array, cfg: PuschConfig, mesh: Mesh,
             resid = ls - h_rep
             nv_loc = (jnp.abs(resid) ** 2).mean() * 2.0 * _beta2(cfg)
             nv = jnp.maximum(jax.lax.pmean(nv_loc, axis), 1e-10)
-        rsrp_loc = (jnp.abs(h_pair_sym) ** 2).mean()
-        rsrp = jax.lax.pmean(rsrp_loc, axis)
+        rsrp_num = jax.lax.psum(
+            ((jnp.abs(h_pair_sym) ** 2) * pair_valid).sum(), axis)
+        rsrp_den = jax.lax.psum(pair_valid.sum() * nl * npr * nsym_d, axis)
+        rsrp = rsrp_num / jnp.maximum(rsrp_den, 1.0)
 
         # Equalize + demap the local data REs (all sc of data symbols).
         y_d = g[:, jnp.asarray(data_syms)]  # (npr, nsym_data, local_sc)
@@ -220,10 +285,21 @@ def sharded_front_end(grid: jax.Array, cfg: PuschConfig, mesh: Mesh,
         # decision-directed EVM of the equalized symbols (default), or the
         # pilot-domain rsrp/nv.
         if cfg.sinr_method == "post_equalization":
-            from ..ops.modulation.evm import evm
+            from ..ops.modulation.mapper import constellation
 
-            e = evm(x_hat.reshape(-1), cfg.modulation)
-            e2 = jax.lax.pmean(e * e, axis)
+            # Decision-directed EVM with pad subcarriers masked (zero-input
+            # pad REs equalize to junk that would bias the metric).
+            lut = jnp.asarray(constellation(cfg.modulation))
+            err2 = jnp.min(jnp.abs(x_hat[..., None] - lut) ** 2, -1)  # (nd, nl)
+            if pad_sc:
+                sc_valid = jnp.where(
+                    is_last, (jnp.arange(local_sc) < real_sc).astype(jnp.float32),
+                    jnp.ones((local_sc,), jnp.float32))
+            else:
+                sc_valid = jnp.ones((local_sc,), jnp.float32)
+            w_re = jnp.tile(sc_valid, nsym_data)[:, None]  # (nd, 1)
+            e2 = jax.lax.psum((err2 * w_re).sum(), axis) / \
+                jax.lax.psum(w_re.sum() * nl, axis)
             snr = 1.0 / jnp.maximum(e2, 1e-12)
         else:
             snr = rsrp / nv
@@ -241,6 +317,11 @@ def sharded_front_end(grid: jax.Array, cfg: PuschConfig, mesh: Mesh,
         out_specs=(P(None, axis), P(), P()),
     )
     llr2d, nv, snr = fn(grid, r_sh)
+    if pad_sc:
+        # Pad REs sit at the tail of every symbol row (the last shard's
+        # padded PRBs): slice them off so the LLR stream is bit-identical
+        # in layout to the unsharded front end.
+        llr2d = llr2d[:, : cfg.nof_grid_sc * nl * qm]
     return llr2d.reshape(-1), nv, snr
 
 

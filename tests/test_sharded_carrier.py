@@ -100,3 +100,50 @@ def test_shard_geometry_rejected(wide_cfg, sp_mesh):
         nof_layers=2, nof_rx_ports=2, nof_grid_symbols=14, nof_grid_sc=3168)
     with pytest.raises(AssertionError):
         sharded_carrier._check_shardable(bad, 8)
+
+
+@pytest.fixture(scope="module")
+def padded_cfg():
+    """39 PRB on 8 shards: pads to 40 PRB (5 PRB/shard), exercising the
+    flagship's 273-on-8 pad-to-shardable + mask machinery at test size."""
+    nof_rb = 39
+    return pusch_mod.PuschConfig(
+        tbs=4096,
+        target_code_rate=0.4,
+        modulation=Modulation.QAM16,
+        alloc=Allocation(rb_start=0, rb_count=nof_rb, sym_start=1, sym_count=13,
+                         dmrs_symbols=(2,)),
+        nof_layers=2,
+        nof_rx_ports=2,
+        nof_grid_symbols=14,
+        nof_grid_sc=nof_rb * 12,
+    )
+
+
+def test_padded_front_end_matches_unsharded(padded_cfg, sp_mesh):
+    """Non-divisible carrier: the padded+masked sharded front end matches
+    the unsharded processor (LLR layout bit-identical, nv/snr unbiased)."""
+    cfg = padded_cfg
+    assert sharded_carrier.padded_width(cfg, 8) == 40 * 12
+    tb, grid = _rx_grid(cfg, seed=3)
+    llr_sh, nv_sh, snr_sh = sharded_carrier.sharded_front_end(grid, cfg, sp_mesh)
+    from srsran_project_tpu.ops import scrambling
+    llr_sh = scrambling.descramble_llrs(
+        llr_sh, pusch_mod._pusch_c_init(jnp.uint32(0x4601), cfg.n_id))
+    llr_ref, nv_ref, snr_ref = pusch_mod._front_end(
+        grid, jnp.uint32(0x4601), cfg)
+    a = np.asarray(llr_sh, np.int32)
+    b = np.asarray(llr_ref, np.int32)
+    assert a.shape == b.shape
+    diff = np.abs(a - b)
+    assert diff.max() <= 1, diff.max()
+    assert (diff > 0).mean() < 2e-3, (diff > 0).mean()
+    np.testing.assert_allclose(float(nv_sh), float(nv_ref), rtol=0.10)
+    np.testing.assert_allclose(float(snr_sh), float(snr_ref), rtol=0.10)
+
+
+def test_padded_decode_end_to_end(padded_cfg, sp_mesh):
+    tb, grid = _rx_grid(padded_cfg, seed=4)
+    out = sharded_carrier.sharded_decode(grid, 0x4601, padded_cfg, sp_mesh)
+    assert bool(np.asarray(out["tb_crc_ok"]))
+    np.testing.assert_array_equal(np.asarray(out["tb_bits"]), np.asarray(tb))
