@@ -153,18 +153,26 @@ def detect_ref(llrs: jax.Array, k: int, e: int, qm: int):
             out = jnp.where(out == -b, 0, res)
         return out
 
+    # The reference first rate-dematches E onto the MOTHER length (Qm for
+    # 1 bit, 3*Qm for 2 bits, 32 otherwise) with saturating LLR folds
+    # (short_block_detector_impl.cpp rate_dematch), THEN detects.  Folding
+    # matters whenever E exceeds the mother length (repetition) — caught
+    # by the round-5 uci_decoder golden suite (E=16 at QAM16, k=2).
     if k == 1:
-        bit = (x[..., 0] <= 0).astype(jnp.uint8)
+        tmp = sat_fold(x, max(qm, 1))
+        bit = (tmp[..., 0] <= 0).astype(jnp.uint8)
         return bit[..., None], jnp.ones(batch, bool)
 
     if k == 2:
-        if e == 3:
-            l0, l1, l2 = x[..., 0], x[..., 1], x[..., 2]
+        n = 3 * qm if qm > 1 else 3
+        x2 = sat_fold(x, n)
+        if n == 3:
+            l0, l1, l2 = x2[..., 0], x2[..., 1], x2[..., 2]
         else:
-            step = e // 3 - 2
-            l0 = x[..., 0] + x[..., step + 3]
-            l1 = x[..., 1] + x[..., 2 * step + 4]
-            l2 = x[..., step + 2] + x[..., 2 * step + 5]
+            step = qm - 2
+            l0 = x2[..., 0] + x2[..., step + 3]
+            l1 = x2[..., 1] + x2[..., 2 * step + 4]
+            l2 = x2[..., step + 2] + x2[..., 2 * step + 5]
         lv = jnp.stack([l0, l1, l2], axis=-1).astype(jnp.float64)
         table2 = jnp.asarray(
             np.array([[1, 1, 1], [-1, 1, -1], [1, -1, -1], [-1, -1, 1]], np.float64)

@@ -72,6 +72,11 @@ void gen_prach_demodulator_suite();
 void gen_harq_retx_suite();
 void gen_bler_parity_suite();
 
+// Suites defined in gen_tail.cpp.
+void gen_uci_decoder_suite();
+void gen_transform_precoder_suite();
+void gen_dmrs_pusch_suite();
+
 namespace {
 
 void start_suite(const std::string& name) {
@@ -672,6 +677,9 @@ int main(int argc, char** argv) {
       {"prach_demodulator", gen_prach_demodulator_suite},
       {"harq_retx", gen_harq_retx_suite},
       {"bler_parity", gen_bler_parity_suite},
+      {"uci_decoder", gen_uci_decoder_suite},
+      {"transform_precoder", gen_transform_precoder_suite},
+      {"dmrs_pusch", gen_dmrs_pusch_suite},
   };
   if (argc == 2) {
     for (auto& [name, fn] : suites) fn();
