@@ -37,6 +37,10 @@ def main() -> int:
     ap.add_argument("--trace", default=None, help="write Chrome trace JSON here")
     ap.add_argument("--ues", type=int, default=0,
                     help="multi-UE scheduler mode: number of UEs (0 = single full-band UE)")
+    ap.add_argument("--cells", type=int, default=1,
+                    help="scheduler-mode cell count: one per-cell scheduler "
+                         "+ PHY + FAPI stream each (reference "
+                         "cell_scheduler-per-cell architecture)")
     ap.add_argument("--tdd", action="store_true", help="7D1S2U TDD pattern (scheduler mode)")
     ap.add_argument("--policy", default="rr", choices=["rr", "qos"])
     ap.add_argument("--common", action="store_true",
@@ -219,6 +223,58 @@ def main() -> int:
         with tracing.l1_tracer.span(f"ul_slot_{i}"):
             res = phy.process_ul_tti(ul, rx_grid)
         return res.crc[0].tb_crc_ok
+
+    if args.ues > 0 and args.cells > 1:
+        # Multi-cell scheduler mode (reference cell_scheduler.cpp:92 — one
+        # scheduler per cell): N cells, each with its own carrier, PHY
+        # instance, channel and per-slot FAPI stream; UEs attach
+        # round-robin across cells and are scheduled only on their serving
+        # cell.  Per-cell metrics print at the end.
+        from srsran_project_tpu.l2sim.multi_cell import MultiCellScheduler
+        from srsran_project_tpu.l2sim.scheduler import SchedulerConfig
+
+        cell_ids = list(range(args.cells))
+        msched = MultiCellScheduler({cid: SchedulerConfig(
+            nof_grid_sc=cell.nof_sc, nof_rb=cell.nof_rb,
+            max_ues_per_slot=4, nof_layers=1, nof_ports=cell.nof_ports,
+            policy=args.policy) for cid in cell_ids})
+        for i in range(args.ues):
+            msched.add_ue(0x100 + i, cell_ids[i % args.cells], mcs=10)
+        phys = {cid: UpperPhy(UpperPhyConfig(
+            nof_ports=cell.nof_ports, nof_grid_sc=cell.nof_sc))
+            for cid in cell_ids}
+        t_start = time.monotonic()
+        crc_ok = nof_grants = 0
+        with staging.sync_stages():
+            first = True
+            for i in range(args.slots):
+                slot = SlotPoint.from_sfn_slot(
+                    SubcarrierSpacing(cell.scs), i // 20, i % 20)
+                streams = msched.run_slot(slot, rng)
+                for cid, (dl, txd, ulr, grants) in streams.items():
+                    if not dl.pdsch:
+                        continue
+                    grid = phys[cid].process_dl_tti(dl, txd)
+                    key, sub = jax.random.split(key)
+                    rx_grid, _, _ = chem.apply_channel(grid, sub, ch_cfg)
+                    res = phys[cid].process_ul_tti(ulr, rx_grid)
+                    msched.handle_results(cid, res)
+                    crc_ok += sum(c.tb_crc_ok for c in res.crc)
+                    nof_grants += len(res.crc)
+                if first:
+                    first = False
+                    staging._SYNC = False
+        elapsed = time.monotonic() - t_start
+        for cid, mrep in msched.metrics_report().items():
+            print(f"# cell {cid}: {mrep}", file=sys.stderr)
+        print(f"# multi-cell mode: {args.cells} cells, {args.ues} UEs, "
+              f"{nof_grants} grants, {crc_ok} CRC OK in {elapsed:.2f}s",
+              file=sys.stderr)
+        bler = 1.0 - crc_ok / max(nof_grants, 1)
+        if args.metrics_json:
+            print(json.dumps({"cells": msched.metrics_report(),
+                              "slots": args.slots, "bler": bler}))
+        return 0 if bler < 1.0 else 1
 
     if args.ues > 0:
         # Scheduler-driven multi-UE mode: RR/QoS policy + HARQ lifecycle.
