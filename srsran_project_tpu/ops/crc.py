@@ -91,7 +91,7 @@ def generator_matrix(name: str, length: int) -> np.ndarray:
 # plus log2(K) tiny (crc_len, crc_len) advance matrices — no O(L) constants
 # baked into the compiled program (a 1 Mbit TB would otherwise embed a
 # ~100 MB generator matrix in the HLO).
-_CHUNK = 512
+_CHUNK = 1024
 
 
 @functools.lru_cache(maxsize=None)

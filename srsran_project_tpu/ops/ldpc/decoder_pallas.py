@@ -28,7 +28,30 @@ from jax.experimental.pallas import tpu as pltpu
 from . import graphs
 from .decoder import INPUT_CLAMP, SCALING
 
-DEFAULT_BATCH_TILE = 16  # measured 12% over 8 at the 141-CB Z=384 slot; 32 exceeds the 16M VMEM scoped limit
+DEFAULT_BATCH_TILE = 16  # measured 12% over 8 at the 141-CB Z=384 slot; 32 exceeds the 16M VMEM scoped limit at the FULL graph
+_VMEM_BUDGET_BYTES = 14 << 20  # leave headroom under the 16 MB scoped limit
+
+
+def _auto_batch_tile(z: int, ncols: int, total_edges: int,
+                     in_bytes_per_row: int, requested: int) -> int:
+    """Largest power-of-two tile <= 2*requested whose scratch (APP + R +
+    input block) fits the VMEM budget: the LBRM layer truncation shrinks
+    the R scratch enough that tile 32 fits the flagship shape (the full
+    46-layer graph still caps at 16)."""
+    bt = max(requested, 1)
+    while bt * 2 <= 2 * requested:
+        cand = bt * 2
+        need = cand * (ncols * z * 4 + total_edges * z * 4 + in_bytes_per_row)
+        if need > _VMEM_BUDGET_BYTES:
+            break
+        bt = cand
+        if bt >= 2 * requested:
+            break
+    need = bt * (ncols * z * 4 + total_edges * z * 4 + in_bytes_per_row)
+    while bt > 1 and need > _VMEM_BUDGET_BYTES:
+        bt //= 2
+        need = bt * (ncols * z * 4 + total_edges * z * 4 + in_bytes_per_row)
+    return bt
 
 
 def _edge_plan(bg: int, z: int, nof_layers: int):
@@ -181,14 +204,17 @@ def decode_pallas(
     nb = g.n
     ncols = g.kb + max(4, nof_layers)
     width_in = min(llrs.shape[1], (ncols - 2) * z)
-    batch = llrs.shape[0]
-    pad_b = (-batch) % batch_tile
     # int8 LLRs stay int8 on the wire into VMEM (4x less HBM read traffic
     # at the 141-CB slot; the kernel clamps to +-64 after the in-VMEM cast,
     # numerically identical to the f32 path since int8 is within +-127).
     in_dtype = llrs.dtype if llrs.dtype == jnp.int8 else jnp.float32
+    edge_count = sum(len(edges) for edges in layers)
+    bt = _auto_batch_tile(z, ncols, edge_count,
+                          width_in * (1 if in_dtype == jnp.int8 else 4),
+                          batch_tile)
+    batch = llrs.shape[0]
+    pad_b = (-batch) % bt
     x = jnp.pad(llrs.astype(in_dtype), ((0, pad_b), (0, 0)))
-    bt = batch_tile
     nof_tiles = x.shape[0] // bt
 
     # Total number of edges (for the R scratch layout).
@@ -332,8 +358,9 @@ def decode_dematch_pallas(
     f_start = k_prime - 2 * z
     f_end = g.kb * z - 2 * z
     epq = e // qm
+    edge_count = sum(len(edges) for edges in layers)
+    bt = _auto_batch_tile(z, ncols, edge_count, qm * epq, batch_tile)
     batch = llr_planes[0].shape[0]
-    bt = batch_tile
     pad_b = (-batch) % bt
     planes = tuple(jnp.pad(p.astype(jnp.int8), ((0, pad_b), (0, 0)))
                    for p in llr_planes)
