@@ -118,13 +118,21 @@ def _beta2(cfg: PuschConfig) -> float:
 
 @functools.lru_cache(maxsize=None)
 def _global_pilots(cfg: PuschConfig) -> np.ndarray:
-    """(nsym_d, Np_global) DM-RS values r(m) (host LFSR; type-1 full band)."""
-    n_total = cfg.alloc.rb_count * dmrs_mod.pilots_per_prb(1)
+    """(nsym_d, Np_global) DM-RS values r(m) (host LFSR; type-1 full band).
+
+    crb_start repoints the Gold-sequence index to the allocation's absolute
+    CRB (TS 38.211 reference point CRB0) — windowed general allocations
+    (sharded_decode_windowed) re-home compact windows this way."""
+    ppb = dmrs_mod.pilots_per_prb(1)
+    n_total = cfg.alloc.rb_count * ppb
+    n_skip = cfg.alloc.crb_start * ppb
     out = []
     for sym in cfg.alloc.dmrs_symbols:
         c_init = dmrs_mod.dmrs_c_init(cfg.slot_in_frame, sym,
                                       cfg.dmrs_scrambling_id, cfg.n_scid)
-        c = scrambling.gold_ref(int(c_init), 2 * n_total).astype(np.float32)
+        c = scrambling.gold_ref(int(c_init),
+                                2 * (n_skip + n_total)).astype(np.float32)
+        c = c[2 * n_skip :]
         out.append(((1.0 - 2.0 * c[0::2]) + 1j * (1.0 - 2.0 * c[1::2])) / np.sqrt(2))
     # Divide out the TX-side SCH-to-DMRS boost so the conj-multiply LS is
     # referenced to data-RE amplitude (see pusch._estimate_constants).
@@ -323,6 +331,29 @@ def sharded_front_end(grid: jax.Array, cfg: PuschConfig, mesh: Mesh,
         # in layout to the unsharded front end.
         llr2d = llr2d[:, : cfg.nof_grid_sc * nl * qm]
     return llr2d.reshape(-1), nv, snr
+
+
+def sharded_decode_windowed(grid: jax.Array, rnti, cfg: PuschConfig,
+                            mesh: Mesh, axis: str = "sp", **kw):
+    """General-allocation sharded decode: a PARTIAL-band allocation
+    (rb_start > 0 and/or rb_count < carrier) is sliced out of the full
+    grid and re-homed as a compact full-band window config — crb_start
+    keeps the absolute-CRB pilot/Gold indexing — then runs the padded
+    sharded path (the reference handles arbitrary allocations through
+    its RE-mask machinery, pusch_demodulator_impl.cpp:286-291; here the
+    window slice plus pad-to-shardable+mask cover the same space)."""
+    import dataclasses
+
+    a = cfg.alloc
+    if a.rb_start == 0 and a.nof_sc == cfg.nof_grid_sc:
+        return sharded_decode(grid, rnti, cfg, mesh, axis=axis, **kw)
+    window = grid[..., a.sc_start : a.sc_start + a.nof_sc]
+    cfg_w = dataclasses.replace(
+        cfg,
+        alloc=dataclasses.replace(a, rb_start=0,
+                                  crb_start=a.crb_start + a.rb_start),
+        nof_grid_sc=a.nof_sc)
+    return sharded_decode(window, rnti, cfg_w, mesh, axis=axis, **kw)
 
 
 def sharded_decode(grid: jax.Array, rnti, cfg: PuschConfig, mesh: Mesh,

@@ -147,3 +147,36 @@ def test_padded_decode_end_to_end(padded_cfg, sp_mesh):
     out = sharded_carrier.sharded_decode(grid, 0x4601, padded_cfg, sp_mesh)
     assert bool(np.asarray(out["tb_crc_ok"]))
     np.testing.assert_array_equal(np.asarray(out["tb_bits"]), np.asarray(tb))
+
+
+def test_windowed_general_allocation(sp_mesh):
+    """A partial-band allocation (rb_start=7, 30 PRB inside a 52-PRB
+    carrier) decodes through the windowed sharded path: the window slice +
+    crb re-homing + pad-to-shardable cover the general-allocation space."""
+    import dataclasses
+
+    grid_prbs = 52
+    cfg = pusch_mod.PuschConfig(
+        tbs=4096, target_code_rate=0.4, modulation=Modulation.QAM16,
+        alloc=Allocation(rb_start=7, rb_count=30, sym_start=1, sym_count=13,
+                         dmrs_symbols=(2,)),
+        nof_layers=2, nof_rx_ports=2, nof_grid_symbols=14,
+        nof_grid_sc=grid_prbs * 12)
+    rng = np.random.default_rng(5)
+    tb = jnp.asarray(rng.integers(0, 2, size=(cfg.tbs,), dtype=np.uint8))
+    sub = pusch_mod.transmit(tb, jnp.uint32(0x4601), cfg)  # window-size grid?
+    # transmit builds the FULL grid for this cfg (alloc inside nof_grid_sc).
+    grid = np.asarray(sub)
+    assert grid.shape[-1] == grid_prbs * 12
+    nvar = 10 ** (-22.0 / 10)
+    noise = (rng.standard_normal(grid.shape) + 1j * rng.standard_normal(grid.shape))
+    grid = jnp.asarray((grid + noise * np.sqrt(nvar / 2)).astype(np.complex64))
+
+    out = sharded_carrier.sharded_decode_windowed(grid, 0x4601, cfg, sp_mesh)
+    assert bool(np.asarray(out["tb_crc_ok"]))
+    np.testing.assert_array_equal(np.asarray(out["tb_bits"]), np.asarray(tb))
+    # Metric parity with the unsharded per-PDU chain on the same grid.
+    ref = pusch_mod.process(grid, jnp.uint32(0x4601), cfg)
+    assert bool(np.asarray(ref["tb_crc_ok"]))
+    np.testing.assert_allclose(float(out["noise_var"]),
+                               float(ref["noise_var"]), rtol=0.15)
