@@ -136,13 +136,21 @@ def _fold_matrix(name: str, nof_chunks: int) -> np.ndarray:
     return out.reshape(nof_chunks * n, n)
 
 
+# Messages at or below this length take the DIRECT path: one (L, n)
+# matmul with the plain generator matrix as the program constant (a
+# codeblock-sized constant is ~800 KB — cheap; the chunked path exists
+# for megabit TBs whose full generator matrix would be ~100 MB of HLO).
+_DIRECT_MAX = 16384
+
+
 @functools.partial(jax.jit, static_argnames=("name",))
 def crc(bits: jax.Array, name: str) -> jax.Array:
     """CRC of messages, MXU-friendly and compile-light.
 
     bits: (..., L) 0/1 array.  Returns (..., crc_len) uint8, MSB first.
 
-    Strategy: front-pad with zeros (leading zeros do not change a CRC) to a
+    Codeblock-scale messages (L <= 16384): ONE (L, n) generator matmul.
+    Larger: front-pad with zeros (leading zeros do not change a CRC) to a
     whole number of _CHUNK-bit chunks; per-chunk partial CRCs are one
     (CHUNK, n) matmul; ONE (K*n, n) fold matmul combines every chunk's
     contribution (CRC is linear over GF(2), so each chunk's partial CRC
@@ -152,6 +160,11 @@ def crc(bits: jax.Array, name: str) -> jax.Array:
     """
     length = bits.shape[-1]
     n = POLYS[name][1]
+    if length <= _DIRECT_MAX:
+        a = jnp.asarray(generator_matrix(name, length), dtype=jnp.float32)
+        out = jnp.matmul(bits.astype(jnp.float32), a,
+                         preferred_element_type=jnp.float32)
+        return (out.astype(jnp.int32) & 1).astype(jnp.uint8)
     k = max(1, -(-length // _CHUNK))
     pad = k * _CHUNK - length
     x = jnp.pad(bits.astype(jnp.float32), [(0, 0)] * (bits.ndim - 1) + [(pad, 0)])
@@ -165,6 +178,69 @@ def crc(bits: jax.Array, name: str) -> jax.Array:
     flat = part.reshape(part.shape[:-2] + (k * n,))
     comb = jnp.matmul(flat, m, preferred_element_type=jnp.float32)
     return (comb.astype(jnp.int32) & 1).astype(jnp.uint8)
+
+
+@functools.lru_cache(maxsize=None)
+def _span_advance_matrix(name: str, nof_bits: int) -> np.ndarray:
+    """(n, n) GF(2) advance matrix for an ARBITRARY span (binary-power
+    composition of the squaring chain)."""
+    poly, n = POLYS[name]
+    base = np.eye(n, dtype=np.int64)
+    # T_1 by direct construction.
+    t1 = np.empty((n, n), dtype=np.int64)
+    for b in range(n):
+        r = 1 << (n - 1 - b)
+        r <<= 1
+        if r >> n:
+            r ^= poly
+        t1[b] = [(r >> (n - 1 - i)) & 1 for i in range(n)]
+    acc = base
+    p = t1
+    s = nof_bits
+    while s:
+        if s & 1:
+            acc = (acc @ p) % 2
+        p = (p @ p) % 2
+        s >>= 1
+    return acc.astype(np.uint8)
+
+
+@functools.lru_cache(maxsize=None)
+def _concat_fold_matrix(name: str, nof_chunks: int, chunk_bits: int) -> np.ndarray:
+    """(nof_chunks * n, n) fold matrix for equal chunk_bits-long chunks."""
+    poly, n = POLYS[name]
+    t = _span_advance_matrix(name, chunk_bits).astype(np.int64)
+    out = np.empty((nof_chunks, n, n), dtype=np.uint8)
+    cur = np.eye(n, dtype=np.int64)
+    for j in range(nof_chunks):
+        out[nof_chunks - 1 - j] = cur.astype(np.uint8)
+        cur = (cur @ t) % 2
+    return out.reshape(nof_chunks * n, n)
+
+
+@functools.partial(jax.jit, static_argnames=("name",))
+def crc_check_concat(chunks: jax.Array, name: str) -> jax.Array:
+    """CRC pass/fail of the CONCATENATION of equal-length chunks without
+    materializing the concatenated stream: per-chunk partial CRCs (one
+    generator matmul) fold with per-position advance matrices (one fold
+    matmul).  chunks: (..., C, L) 0/1; returns (...,) bool.
+
+    The megabit TB CRC check collapses to two matmuls this way — the
+    desegment stage computes it straight from the (C, K') codeblock
+    payloads (trailing zero padding in the stream does not change the
+    verdict: the advance matrix is invertible over GF(2), so
+    crc(S || 0^z) = T_z crc(S) = 0 iff crc(S) = 0).
+    """
+    c, length = chunks.shape[-2], chunks.shape[-1]
+    n = POLYS[name][1]
+    a = jnp.asarray(generator_matrix(name, length), dtype=jnp.float32)
+    part = jnp.matmul(chunks.astype(jnp.float32), a,
+                      preferred_element_type=jnp.float32)
+    part = (part.astype(jnp.int32) & 1).astype(jnp.float32)  # (..., C, n)
+    m = jnp.asarray(_concat_fold_matrix(name, c, length), dtype=jnp.float32)
+    comb = jnp.matmul(part.reshape(part.shape[:-2] + (c * n,)), m,
+                      preferred_element_type=jnp.float32)
+    return (comb.astype(jnp.int32) & 1).sum(axis=-1) == 0
 
 
 def crc_append(bits: jax.Array, name: str) -> jax.Array:

@@ -144,11 +144,20 @@ def desegment_rx(cb_bits: jax.Array, params: SegmentParams):
         cb_crc = checkpoint(crc_mod.crc(payload, "24B")).astype(jnp.int32)
         nof_bad = nof_bad + cb_crc.sum(axis=(-2, -1))
         payload = payload[..., : k_prime - CB_CRC_BITS]
-    tb_with_crc = payload.reshape(payload.shape[:-2] + (-1,))
-    if params.zero_pad:
-        tb_with_crc = tb_with_crc[..., : tb_with_crc.shape[-1] - params.zero_pad]
-    tb_crc = checkpoint(crc_mod.crc(tb_with_crc, params.tb_crc)).astype(jnp.int32)
-    nof_bad = nof_bad + tb_crc.sum(axis=-1)
+        # TB CRC verdict straight from the per-CB payload chunks (two
+        # matmuls, no megabit chunk pipeline); trailing zero_pad in the
+        # stream leaves the verdict unchanged (crc_check_concat doc).
+        tb_bad = ~checkpoint(crc_mod.crc_check_concat(payload, params.tb_crc))
+        nof_bad = nof_bad + tb_bad.astype(jnp.int32)
+        tb_with_crc = payload.reshape(payload.shape[:-2] + (-1,))
+        if params.zero_pad:
+            tb_with_crc = tb_with_crc[..., : tb_with_crc.shape[-1] - params.zero_pad]
+    else:
+        tb_with_crc = payload.reshape(payload.shape[:-2] + (-1,))
+        if params.zero_pad:
+            tb_with_crc = tb_with_crc[..., : tb_with_crc.shape[-1] - params.zero_pad]
+        tb_crc = checkpoint(crc_mod.crc(tb_with_crc, params.tb_crc)).astype(jnp.int32)
+        nof_bad = nof_bad + tb_crc.sum(axis=-1)
     tb_ok = checkpoint(nof_bad == 0)
     l_tb = crc_mod.POLYS[params.tb_crc][1]
     return tb_with_crc[..., : tb_with_crc.shape[-1] - l_tb], tb_ok
