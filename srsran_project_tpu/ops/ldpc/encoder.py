@@ -82,19 +82,30 @@ def _gather_tables(bg: int, z: int):
     return core_idx, ext_idx, core_back, _core_p0_rotation(g)
 
 
-@functools.partial(jax.jit, static_argnames=("bg", "z"))
-def encode(message: jax.Array, bg: int, z: int) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("bg", "z", "n_cb"))
+def encode(message: jax.Array, bg: int, z: int,
+           n_cb: int | None = None) -> jax.Array:
     """Encode (batch, K_b*Z) message bits -> (batch, N_full = n*Z) codeword.
 
     Filler bits must already be zeros in `message` (the rate matcher skips
     them by index).  The returned array covers ALL variable nodes including
     the first 2Z punctured ones; slice [..., 2*z:] for the rate-matching
     circular buffer.
+
+    n_cb: LBRM circular-buffer length — extension parity beyond n_cb is
+    never transmitted in ANY redundancy version, so those rows are not
+    computed (each is a degree-1 output column; the flagship's n_cb=13595
+    needs 12 of BG1's 42 extension rows).  The skipped region reads 0.
     """
     g = get_graph(bg, z)
     kb, m = g.kb, g.m
     batch = message.shape[:-1]
     core_idx, ext_idx, core_back, rot = _gather_tables(bg, z)
+    if n_cb is not None and n_cb < g.nof_codeword_bits:
+        nof_ext = max(0, -(-(n_cb + 2 * z) // z) - kb - 4)
+        ext_idx = ext_idx[:nof_ext]
+    else:
+        nof_ext = m - 4
 
     msg = message.astype(jnp.uint8)
     msg_flat = jnp.concatenate([msg, jnp.zeros(batch + (1,), jnp.uint8)], axis=-1)
@@ -121,16 +132,19 @@ def encode(message: jax.Array, bg: int, z: int) -> jax.Array:
         axis=-1,
     )  # (batch, (kb+4)*Z + 1)
 
-    p_ext = accumulate(head, jnp.asarray(ext_idx))  # (batch, M-4, Z)
+    p_ext = accumulate(head, jnp.asarray(ext_idx))  # (batch, nof_ext, Z)
 
-    out = jnp.concatenate(
-        [head[..., : (kb + 4) * z], p_ext.reshape(batch + ((m - 4) * z,))], axis=-1
-    )
+    pieces = [head[..., : (kb + 4) * z],
+              p_ext.reshape(batch + (nof_ext * z,))]
+    if nof_ext < m - 4:
+        pieces.append(jnp.zeros(batch + ((m - 4 - nof_ext) * z,), jnp.uint8))
+    out = jnp.concatenate(pieces, axis=-1)
     assert out.shape[-1] == g.n * z
     return out
 
 
-def encode_to_buffer(message: jax.Array, bg: int, z: int) -> jax.Array:
+def encode_to_buffer(message: jax.Array, bg: int, z: int,
+                     n_cb: int | None = None) -> jax.Array:
     """Encode and drop the 2Z punctured systematic bits: the rate-matching
     circular buffer d_0..d_{N-1} of TS 38.212 §5.4.2.1."""
-    return encode(message, bg, z)[..., 2 * z :]
+    return encode(message, bg, z, n_cb=n_cb)[..., 2 * z :]

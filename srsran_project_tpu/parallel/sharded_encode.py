@@ -48,7 +48,8 @@ def _encode_tb_cb_sharded(tb_bits, cfg: SchConfig, mesh: Mesh, cb_axis):
     cbs = segmenter.segment_tx(tb_bits, seg)  # (C, K)
     cbs = jax.lax.with_sharding_constraint(
         cbs, NamedSharding(mesh, P(cb_axis, None)))
-    buf = ldpc_encoder.encode_to_buffer(cbs, seg.base_graph, seg.lifting_size)
+    buf = ldpc_encoder.encode_to_buffer(cbs, seg.base_graph, seg.lifting_size,
+                                        n_cb=cfg.n_cb)
     buf = jax.lax.with_sharding_constraint(
         buf, NamedSharding(mesh, P(cb_axis, None)))
     k_prime = seg.nof_payload_bits_per_cb

@@ -104,7 +104,8 @@ def encode_transport_block(tb_bits: jax.Array, cfg: SchConfig) -> jax.Array:
     between sub-blocks cost more than the compute itself."""
     seg = cfg.seg
     cbs = segmenter.segment_tx(tb_bits, seg)  # (..., C, K)
-    buf = ldpc_encoder.encode_to_buffer(cbs, seg.base_graph, seg.lifting_size)
+    buf = ldpc_encoder.encode_to_buffer(cbs, seg.base_graph, seg.lifting_size,
+                                        n_cb=cfg.n_cb)
     k_prime = seg.nof_payload_bits_per_cb
     pieces = []
     for start, count, e in _e_groups(cfg.cb_e_bits):
