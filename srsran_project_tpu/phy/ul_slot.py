@@ -120,10 +120,10 @@ def _slot_finish(bits_g, cfgs, lead_ns):
         for bits, cfg, n in zip(bits_g, cfgs, lead_ns))
 
 
-def _decode_group(llr_i8, bg, z, nof_iterations, early_stop):
+def _decode_group(llr_i8, bg, z, nof_iterations, early_stop, n_cb=None):
     """(C', N) int8 codeword-buffer LLRs -> (C', K) bits, batching every
-    grant's codeblocks: Pallas kernel (int8 in, hard bits out) on TPU,
-    the XLA min-sum on CPU."""
+    grant's codeblocks: Pallas kernel (int8 in, hard bits out, LBRM layer
+    truncation) on TPU, the XLA min-sum on CPU."""
     from .sch import _use_pallas_decoder
     from ..ops.ldpc import decoder as ldpc_decoder
     from ..ops.ldpc import decoder_pallas as ldpc_decoder_pallas
@@ -131,7 +131,7 @@ def _decode_group(llr_i8, bg, z, nof_iterations, early_stop):
     if _use_pallas_decoder():
         return ldpc_decoder_pallas.decode_pallas(
             llr_i8, bg, z, nof_iterations, early_stop=early_stop,
-            bits_only=True)[0]
+            bits_only=True, n_cb=n_cb)[0]
     return ldpc_decoder.decode(llr_i8.astype(jnp.float32), bg, z,
                                nof_iterations)[0]
 
@@ -236,15 +236,15 @@ def process_slot(grid, pdus, f1_cfgs=(), f0_cfgs=()):
     for gi, cfg in enumerate(cfgs):
         seg = cfg.sch.seg
         key = (seg.base_graph, seg.lifting_size, cfg.nof_ldpc_iterations,
-               cfg.ldpc_early_stop)
+               cfg.ldpc_early_stop, cfg.sch.n_cb)
         by_code.setdefault(key, []).append(gi)
     bits_g: list = [None] * len(cfgs)
-    for (bg, z, iters, es), gis in by_code.items():
+    for (bg, z, iters, es, n_cb), gis in by_code.items():
         flats = [fronts[gi][0].reshape((-1,) + fronts[gi][0].shape[-1:])
                  for gi in gis]  # (Ni*C, N) int8 codeword buffers
         sizes = [f.shape[0] for f in flats]
         bits_all = _decode_group(jnp.concatenate(flats, axis=0), bg, z,
-                                 iters, es)
+                                 iters, es, n_cb=n_cb)
         off = 0
         for gi, n in zip(gis, sizes):
             bits_g[gi] = bits_all[off : off + n]
