@@ -133,3 +133,20 @@ def test_harq_combine_saturates():
     new = np.array([50, -50, -20], dtype=np.int8)
     out = np.asarray(rate_match.combine_harq(old, new))
     assert list(out) == [120, -120, 30]
+
+
+def test_encoder_lbrm_truncation_matches_full():
+    """encode(n_cb=...) matches the full encoder on every buffer position
+    the rate matcher can reach; the skipped region reads 0."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    for bg, z, n_cb in ((1, 384, 13595), (1, 64, 2000), (2, 208, 5000)):
+        g = graphs.get_graph(bg, z)
+        msg = jnp.asarray(rng.integers(0, 2, size=(3, g.kb * z), dtype=np.uint8))
+        full = np.asarray(encoder.encode(msg, bg, z))
+        trunc = np.asarray(encoder.encode(msg, bg, z, n_cb=n_cb))
+        reach = 2 * z + n_cb  # codeword positions the buffer can reach
+        np.testing.assert_array_equal(trunc[:, :reach], full[:, :reach])
+        ncols = max(0, -(-(n_cb + 2 * z) // z))
+        assert (trunc[:, ncols * z:] == 0).all()
