@@ -29,7 +29,11 @@ from . import graphs
 from .decoder import INPUT_CLAMP, SCALING
 
 DEFAULT_BATCH_TILE = 16  # measured 12% over 8 at the 141-CB Z=384 slot; 32 exceeds the 16M VMEM scoped limit at the FULL graph
-_VMEM_BUDGET_BYTES = 14 << 20  # leave headroom under the 16 MB scoped limit
+# Scratch budget for the auto tile: the 16 MB scoped VMEM limit minus
+# headroom for what the estimate below does NOT count (double-buffered
+# input/output blocks, layout padding — measured ~4-5 MB of slack needed
+# on a full-graph Z=288 shape that OOM'd at 19.09/16 MB with tile 32).
+_VMEM_BUDGET_BYTES = 10 << 20
 
 
 def _auto_batch_tile(z: int, ncols: int, total_edges: int,
