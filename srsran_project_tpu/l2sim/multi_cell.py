@@ -53,7 +53,8 @@ class MultiCellScheduler:
         assert cell_cfgs, "at least one cell"
         self.cells: dict[int, RoundRobinScheduler] = {
             cid: RoundRobinScheduler(cfg) for cid, cfg in cell_cfgs.items()}
-        self.serving: dict[int, int] = {}  # rnti -> serving cell id
+        self.serving: dict[int, int] = {}  # rnti -> PCell id
+        self.scells: dict[int, set] = {}  # rnti -> active SCell ids (CA)
         self.metrics: dict[int, CellMetrics] = {
             cid: CellMetrics() for cid in cell_cfgs}
 
@@ -64,9 +65,30 @@ class MultiCellScheduler:
         self.serving[rnti] = cell_id
         return self.cells[cell_id].add_ue(rnti, **kw)
 
+    def add_scell(self, rnti: int, scell_id: int, **kw):
+        """Carrier aggregation: activate a SECONDARY carrier for an
+        attached UE.  Mirrors the reference's per-carrier ue_cell contexts
+        (ue_cell.cpp — independent HARQ entity, link adaptation and PF
+        state per serving cell, shared UE identity): the SCell's scheduler
+        gets its own UeContext for this rnti, so DL/UL grants flow from
+        BOTH carriers in the same slot and retransmissions stay on the
+        carrier that scheduled the initial transmission.  PUCCH remains on
+        the PCell (the serving-cell registry is unchanged); cross-carrier
+        scheduling/PUCCH-SCell are out of scope."""
+        assert rnti in self.serving, "attach on a PCell first"
+        assert scell_id != self.serving[rnti]
+        ctx = self.cells[scell_id].add_ue(rnti, **kw)
+        self.scells.setdefault(rnti, set()).add(scell_id)
+        return ctx
+
+    def carriers_of(self, rnti: int) -> tuple[int, ...]:
+        return (self.serving[rnti],) + tuple(sorted(self.scells.get(rnti, ())))
+
     def move_ue(self, rnti: int, target_cell: int) -> None:
         """Intra-gNB mobility: transfer the WHOLE UE context (HARQ buffers,
         TA manager, DRX, PF state) to the target cell's scheduler."""
+        assert not self.scells.get(rnti), \
+            "release SCells before moving the PCell"
         src_cell = self.serving[rnti]
         if src_cell == target_cell:
             return
