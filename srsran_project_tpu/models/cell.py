@@ -273,16 +273,27 @@ def decode_slot_fused(iq: jax.Array, rnti: jax.Array, cfg: CellConfig):
     equalize + demap + rate dematch + LDPC decode (Pallas, early stop
     inside the kernel) + desegment/CRC.  Collapses the 4-program decode to
     a single dispatch — the dominant cost on high-latency tunnels."""
-    from ..phy.sch import decode_transport_block
+    from ..phy.sch import decode_from_planes, decode_transport_block
 
     grid = ofdm.demodulate_slot(iq, cfg.nof_rb, cfg.scs, cfg.dft_size,
                                 cfg.cp, 0, f_center_hz=cfg.f_center_hz)
-    llr_i8, noise_var, snr_acc = pusch._front_end(grid, _jnp.asarray(rnti),
-                                                  cfg.pusch_cfg)
     pc = cfg.pusch_cfg
-    tb, ok, _harq = decode_transport_block(
-        llr_i8, pc.sch, pc.nof_ldpc_iterations, None,
-        early_stop=pc.ldpc_early_stop)
+    if pusch._demap_planes_ok(pc):
+        # Opt-in plane path (PuschConfig.demapper == "planes"): ONE Pallas
+        # kernel for apply+demap+quantize+descramble emitting the
+        # decoder's bit-planes directly.  Neutral-to-slower on this
+        # transport (see pusch._demap_planes_ok) — kept for
+        # direct-attached deployments.
+        planes, noise_var, snr_acc = pusch._front_end_planes(
+            grid, _jnp.asarray(rnti), pc)
+        tb, ok = decode_from_planes(planes, pc.sch, pc.nof_ldpc_iterations,
+                                    early_stop=pc.ldpc_early_stop)
+    else:
+        llr_i8, noise_var, snr_acc = pusch._front_end(grid, _jnp.asarray(rnti),
+                                                      pc)
+        tb, ok, _harq = decode_transport_block(
+            llr_i8, pc.sch, pc.nof_ldpc_iterations, None,
+            early_stop=pc.ldpc_early_stop)
     return {
         "tb_bits": tb,
         "tb_crc_ok": ok,

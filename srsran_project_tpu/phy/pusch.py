@@ -778,3 +778,81 @@ def finish(llr_i8, noise_var, snr_acc, cfg: PuschConfig, harq_buffer=None):
         "snr_db": 10.0 * jnp.log10(jnp.maximum(snr_acc, 1e-12)),
         **uci_out,
     }
+
+
+def _demap_planes_ok(cfg: PuschConfig) -> bool:
+    """Gate for the fused apply+demap+descramble Pallas kernel
+    (ops/demap_pallas.py): full-row data symbols, per-subcarrier weights,
+    square QAM, scalar noise, no in-stream extras.
+
+    OPT-IN (`demapper="planes"`), not the default: an in-process A/B on
+    the scan-x128 flagship measured the consolidated kernel at 1.08
+    ms/slot vs 0.88 for the XLA elementwise chain — XLA overlaps the
+    demap/extraction ops with the LDPC Pallas kernel, while back-to-back
+    pallas_calls serialize.  The kernel remains bit-exact-tested
+    (tests/test_demap_planes.py) as the VMEM-resident front-end building
+    block for direct-attached deployments with different overlap
+    economics."""
+    from .sch import _fused_decode_ok, _use_pallas_decoder
+
+    return (_use_pallas_decoder()
+            and _fused_decode_ok(cfg.sch)  # repetition-free geometry
+            and cfg.demapper == "planes"
+            and cfg.estimator == "fast"
+            and not cfg.transform_precoding
+            and not cfg.ptrs_enabled
+            and not cfg.cfo_compensation
+            and cfg.uci_mux is None
+            and cfg.equalizer in ("mmse", "zf")
+            and cfg.modulation in (Modulation.QAM16, Modulation.QAM64,
+                                   Modulation.QAM256)
+            and _uniform_data_rows(cfg.alloc))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def _front_end_planes(grid: jax.Array, rnti: jax.Array, cfg: PuschConfig,
+                      interpret: bool = False):
+    """Grid -> descrambled int8 LLR BIT-PLANES (qm, G/qm) + metrics.
+
+    The plane-layout twin of _front_end for the _demap_planes_ok fast
+    path: estimation and the MMSE weights run as before, then ONE Pallas
+    kernel applies the weights, demaps, quantizes and descrambles
+    straight into the de-interleave planes `sch.decode_from_planes`
+    consumes — the equalized symbols, the (G,) LLR stream, and the
+    decoder's plane extraction never touch HBM.
+    """
+    from ..ops import scrambling as scr
+    from ..ops.demap_pallas import demap_planes_pallas
+    from ..ops.equalizer import equalize_weights
+
+    a = cfg.alloc
+    nl, npr = cfg.nof_layers, cfg.nof_rx_ports
+    est = _estimate_stage(grid, cfg)
+    gflat, h, noise_var, snr_acc = est[:4]
+    g3 = gflat.reshape(npr, cfg.nof_grid_symbols, cfg.nof_grid_sc)
+    data_syms = [s for s in range(a.sym_start, a.sym_start + a.sym_count)
+                 if s not in a.dmrs_symbols]
+    y = jnp.stack([g3[:, s, a.sc_start : a.sc_start + a.nof_sc]
+                   for s in data_syms], axis=1)  # (P, nsym_d, nsc)
+    from .sch import _use_pallas_decoder as _on_tpu
+
+    if (nl == 4 and npr == 4 and cfg.equalizer == "mmse" and _on_tpu()
+            and not interpret):
+        from ..ops.equalizer_pallas import equalize_weights_pallas
+
+        w, eq_sc = equalize_weights_pallas(jnp.moveaxis(h, 0, 1), noise_var)
+    else:
+        w, eq_sc = equalize_weights(jnp.moveaxis(h, 0, 1), noise_var,
+                                    method=cfg.equalizer)
+    qm = cfg.sch.qm
+    g_total = cfg.g_total
+    c = scr.gold_sequence(_pusch_c_init(jnp.asarray(rnti), cfg.n_id), g_total)
+    signs = (1.0 - 2.0 * c.astype(jnp.float32)).reshape(g_total // qm, qm).T
+    planes, err2 = demap_planes_pallas(
+        y, w, eq_sc, signs, cfg.modulation, nl, npr,
+        range_limit=cfg.llr_range_limit, interpret=interpret)
+    if cfg.sinr_method == "post_equalization":
+        snr_acc = 1.0 / jnp.maximum(err2.mean(), 1e-12)
+    if cfg.compute_ta:
+        return planes, noise_var, snr_acc, est[4]
+    return planes, noise_var, snr_acc

@@ -290,3 +290,30 @@ def decode_transport_block(
     checkpoint(bits)
     tb, ok = _desegment_stage(bits, cfg, buf.shape[:-2])
     return tb, ok, new_harq
+
+
+def decode_from_planes(planes: jax.Array, cfg: SchConfig,
+                       nof_iterations: int = 6, early_stop: bool = False,
+                       interpret: bool = False):
+    """Decode straight from (qm, G/qm) de-interleave bit-planes (the
+    output of pusch._front_end_planes): per-E-group static plane slices
+    feed the fused dematch+decode kernel — no (G,) stream, no plane
+    extraction, no HARQ buffer (hot-path only; retransmissions take the
+    stream path).  Returns (tb_bits, tb_crc_ok)."""
+    seg = cfg.seg
+    qm = cfg.qm
+    n_cb = cfg.n_cb or seg.full_codeword_bits
+    bits_groups = []
+    off = 0
+    for _start, count, e in _e_groups(cfg.cb_e_bits):
+        j0, j1 = off // qm, (off + count * e) // qm
+        pl_t = tuple(planes[b, j0:j1].reshape(count, e // qm)
+                     for b in range(qm))
+        bits_g, _iters = ldpc_decoder_pallas.decode_dematch_pallas(
+            pl_t, seg.base_graph, seg.lifting_size,
+            seg.nof_payload_bits_per_cb, e, cfg.rv, qm, n_cb,
+            nof_iterations, early_stop=early_stop, interpret=interpret)
+        bits_groups.append(bits_g)
+        off += count * e
+    bits = jnp.concatenate(bits_groups, axis=0)
+    return _desegment_stage(bits, cfg, ())
