@@ -42,9 +42,10 @@ from .pusch import PuschConfig
 from .sch import _dematch_stage, _desegment_stage
 
 
-@functools.partial(jax.jit, static_argnames=("cfgs", "f1_cfgs", "f0_cfgs"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfgs", "f1_cfgs", "f0_cfgs", "f2_cfgs"))
 def _slot_front(grid, rntis_g, sc0_g, rbank_g, harq_g, cfgs, f1_cfgs,
-                f0_cfgs=()):
+                f0_cfgs=(), f2_cfgs=()):
     """One compiled program: batched front end + rate dematch for every
     config group, plus PUCCH F1 detection.
 
@@ -109,7 +110,16 @@ def _slot_front(grid, rntis_g, sc0_g, rbank_g, harq_g, cfgs, f1_cfgs,
     for f0 in f0_cfgs:
         val, metric, _powers = pucch_mod.format0_detect(grid, f0)
         f0_outs.append((val, metric))
-    return tuple(outs), tuple(f1_outs), tuple(f0_outs)
+    # PUCCH F2 (UCI on PUCCH): config-static estimate/equalize/decode,
+    # inlined into the same slot program like F0/F1.
+    f2_outs = []
+    if f2_cfgs:
+        from . import pucch_f2 as f2_mod
+
+        for f2 in f2_cfgs:
+            bits, ok, snr_db = f2_mod.process(grid, f2)
+            f2_outs.append((bits, ok, snr_db))
+    return tuple(outs), tuple(f1_outs), tuple(f0_outs), tuple(f2_outs)
 
 
 @functools.partial(jax.jit, static_argnames=("cfgs", "lead_ns"))
@@ -166,17 +176,18 @@ class UlSlotPdu:
     harq_buffer: object | None = None  # (C, N) int8 for retransmissions
 
 
-def process_slot(grid, pdus, f1_cfgs=(), f0_cfgs=()):
+def process_slot(grid, pdus, f1_cfgs=(), f0_cfgs=(), f2_cfgs=()):
     """Decode a heterogeneous multi-UE UL slot.
 
     grid: (P, S, nof_grid_sc) received slot grid; pdus: list[UlSlotPdu]
     with MIXED configs (different MCS / rb_count / layers allowed);
-    f1_cfgs/f0_cfgs: PUCCH F1/F0 configs detected inside the same
-    front-end program.
+    f1_cfgs/f0_cfgs/f2_cfgs: PUCCH F1/F0/F2 occasions decoded inside the
+    same front-end program.
 
-    Returns (results, f1_results, f0_results): results[i] is a dict per
-    input PDU (tb_bits, tb_crc_ok, harq_buffer, noise_var, snr_db);
-    f1_results[j] is (bits, metric); f0_results[k] is (value, metric).
+    Returns (results, f1_results, f0_results[, f2_results when f2_cfgs]):
+    results[i] is a dict per input PDU (tb_bits, tb_crc_ok, harq_buffer,
+    noise_var, snr_db); f1_results[j] is (bits, metric); f0_results[k]
+    is (value, metric); f2_results[m] is (uci_bits, ok, snr_db).
     """
     # ---- group by normalized static config (order-preserving) ----------
     groups: dict[PuschConfig, list[int]] = {}
@@ -227,9 +238,9 @@ def process_slot(grid, pdus, f1_cfgs=(), f0_cfgs=()):
         else:
             harq_g.append(None)
 
-    fronts, f1_outs, f0_outs = _slot_front(
+    fronts, f1_outs, f0_outs, f2_outs = _slot_front(
         grid, tuple(rntis_g), tuple(sc0_g), tuple(rbank_g), tuple(harq_g),
-        cfgs, tuple(f1_cfgs), tuple(f0_cfgs))
+        cfgs, tuple(f1_cfgs), tuple(f0_cfgs), tuple(f2_cfgs))
 
     # ---- decode: batch codeblocks per (bg, z, iters, early_stop) -------
     by_code: dict[tuple, list[int]] = {}
@@ -269,4 +280,6 @@ def process_slot(grid, pdus, f1_cfgs=(), f0_cfgs=()):
                 results[i][key] = v[k]
             if cfg.compute_ta:
                 results[i]["ta_s"] = tas[k]
+    if f2_cfgs:
+        return results, list(f1_outs), list(f0_outs), list(f2_outs)
     return results, list(f1_outs), list(f0_outs)

@@ -203,10 +203,14 @@ class UpperPhy:
         multi_outs: dict[int, dict] = {}
         f1_folded: dict[int, tuple] = {}
         f0_folded: dict[int, tuple] = {}
+        f2_folded: dict[int, tuple] = {}
+        # Round 5: UCI-on-PUSCH and PT-RS grants now fold into the slot
+        # program (ul_slot handles them); only two-step CSI stays per-PDU.
         eligible = [
             i for i, pdu in enumerate(request.pusch)
-            if (pdu.first_rb is not None and pdu.config.uci_mux is None
-                and not pdu.config.ptrs_enabled
+            if (pdu.first_rb is not None
+                and (pdu.config.uci is None
+                     or pdu.config.uci.csi_report_cfg is None)
                 and pdu.config.alloc.crb_start == pdu.first_rb)
         ]
         if len(eligible) >= 2:
@@ -226,14 +230,24 @@ class UpperPhy:
             f0_idx = [j for j, pp in enumerate(request.pucch)
                       if isinstance(pp.config, pucch_mod.PucchFormat0Config)]
             f0_cfgs = tuple(request.pucch[j].config for j in f0_idx)
-            outs, f1_outs, f0_outs = ul_slot_mod.process_slot(
-                rx_grid, slot_pdus, f1_cfgs, f0_cfgs)
+            f2_idx = [j for j, pp in enumerate(request.pucch)
+                      if isinstance(pp.config, pucch_f2_mod.PucchFormat2Config)]
+            f2_cfgs = tuple(request.pucch[j].config for j in f2_idx)
+            if f2_cfgs:
+                outs, f1_outs, f0_outs, f2_outs = ul_slot_mod.process_slot(
+                    rx_grid, slot_pdus, f1_cfgs, f0_cfgs, f2_cfgs)
+            else:
+                outs, f1_outs, f0_outs = ul_slot_mod.process_slot(
+                    rx_grid, slot_pdus, f1_cfgs, f0_cfgs)
+                f2_outs = ()
             for i, out in zip(eligible, outs):
                 multi_outs[i] = out
             for j, fo in zip(f1_idx, f1_outs):
                 f1_folded[j] = fo
             for j, fo in zip(f0_idx, f0_outs):
                 f0_folded[j] = fo
+            for j, fo in zip(f2_idx, f2_outs):
+                f2_folded[j] = fo
         for i, pdu in enumerate(request.pusch):
             if i in multi_outs:
                 out = multi_outs[i]
@@ -306,7 +320,10 @@ class UpperPhy:
                         float(metric) > pucch_mod.F1_DTX_THRESHOLD, float(metric))
                 )
             elif isinstance(c, pucch_f2_mod.PucchFormat2Config):
-                bits, ok, snr = pucch_f2_mod.process(rx_grid, c)
+                if pdu_j in f2_folded:
+                    bits, ok, snr = f2_folded[pdu_j]  # decoded in the slot program
+                else:
+                    bits, ok, snr = pucch_f2_mod.process(rx_grid, c)
                 res.uci.append(
                     fapi.UciIndicationPdu(pdu.rnti, np.asarray(bits), bool(hostio.to_host(ok)), float(snr))
                 )

@@ -250,3 +250,34 @@ def test_process_multi_folds_uci():
         assert (np.asarray(out["tb_bits"][i]) == tbs[i]).all()
         assert (np.asarray(out["harq_ack_bits"][i]) == acks[i]).all()
         assert bool(np.asarray(out["harq_ack_ok"][i]))
+
+
+def test_hetero_slot_folds_pucch_f2():
+    """PUCCH F2 occasions fold into the slot program: decoded UCI matches
+    the standalone processor (VERDICT r4 next #3 'and PUCCH F2')."""
+    from srsran_project_tpu.phy import pucch_f2
+
+    rng = np.random.default_rng(21)
+    grid_np = np.zeros((1, 14, CARRIER_SC), np.complex64)
+    f2 = pucch_f2.PucchFormat2Config(
+        rb_start=44, rb_count=2, start_symbol=12, nof_symbols=2,
+        nof_uci_bits=6, rnti=0x4601, n_id=7, n_id0=3, slot_in_frame=3,
+        nof_grid_sc=CARRIER_SC)
+    uci_bits = np.asarray([1, 0, 1, 1, 0, 1], np.uint8)
+    grid_np += np.asarray(pucch_f2.generate(f2, uci_bits))
+    cfg = _mk_cfg(6, Modulation.QAM16, 0.4, 2048)
+    tb = rng.integers(0, 2, size=(cfg.tbs,), dtype=np.uint8)
+    sub = np.asarray(pusch_mod.transmit(jnp.asarray(tb), jnp.uint32(0x4601), cfg))
+    grid_np[:, :, : cfg.nof_grid_sc] += sub
+    grid_np += (rng.standard_normal(grid_np.shape)
+                + 1j * rng.standard_normal(grid_np.shape)
+                ).astype(np.complex64) * 0.02
+    grid = jnp.asarray(grid_np)
+    pdus = [ul_slot.UlSlotPdu(rnti=0x4601, first_rb=0, config=cfg)]
+    results, _f1, _f0, f2_res = ul_slot.process_slot(grid, pdus, (), (), (f2,))
+    assert bool(np.asarray(results[0]["tb_crc_ok"]))
+    bits, ok, snr_db = f2_res[0]
+    assert bool(np.asarray(ok))
+    np.testing.assert_array_equal(np.asarray(bits), uci_bits)
+    ref_bits, ref_ok, _ = pucch_f2.process(grid, f2)
+    np.testing.assert_array_equal(np.asarray(bits), np.asarray(ref_bits))
