@@ -63,6 +63,7 @@ class UeContext:
     # UE-context loops (l2sim/ue_context_loops): set by add_ue per config.
     ta_manager: object | None = None
     drx: object | None = None
+    meas_gap: object | None = None  # ue_context_loops.MeasGapController
     srs_state: object | None = None
     pending_ta_cmds: list = dataclasses.field(default_factory=list)
 
@@ -117,6 +118,9 @@ class SchedulerConfig:
     ta_manager_cfg: object | None = None  # ue_context_loops.TaManagerConfig
     scs_mu: int = 1
     drx: object | None = None  # ue_context_loops.DrxConfig
+    # Measurement gaps (reference meas-gap gating): UEs with a gap config
+    # are unschedulable during their gaps (no PDCCH/PUSCH/PUCCH).
+    meas_gap: object | None = None  # ue_context_loops.MeasGapConfig
     srs_link_adaptation: bool = False
 
 
@@ -181,6 +185,9 @@ class RoundRobinScheduler:
                 mu=self.cfg.scs_mu)
         if self.cfg.drx is not None:
             ue.drx = ucl.DrxController(self.cfg.drx, scs_mu=self.cfg.scs_mu)
+        if self.cfg.meas_gap is not None:
+            ue.meas_gap = ucl.MeasGapController(self.cfg.meas_gap,
+                                                scs_mu=self.cfg.scs_mu)
         if self.cfg.use_srs:
             ue.srs_state = ucl.SrsChannelState(max_rank=self.cfg.nof_layers)
         return ue
@@ -275,9 +282,12 @@ class RoundRobinScheduler:
                 cmd = ue.ta_manager.slot_indication(slot.count)
                 if cmd is not None:
                     ue.pending_ta_cmds.append(cmd)
-        # DRX gates scheduling: only active-time UEs are PDCCH-schedulable.
+        # DRX + measurement gaps gate scheduling: only active-time UEs
+        # outside their gaps are PDCCH-schedulable.
         active = [ue for ue in self.ues.values()
-                  if ue.drx is None or ue.drx.is_pdcch_enabled()]
+                  if (ue.drx is None or ue.drx.is_pdcch_enabled())
+                  and (ue.meas_gap is None
+                       or ue.meas_gap.is_schedulable(slot.count))]
         if not active or c.nof_rb - rb_offset < c.max_ues_per_slot:
             self.last_pdcch_slot = pdcch_slot
             return (fapi.DlTtiRequest(slot=slot), fapi.TxDataRequest(slot=slot),

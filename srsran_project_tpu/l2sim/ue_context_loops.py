@@ -212,3 +212,45 @@ class SrsChannelState:
         # Flatten the codebook fields to a TPMI ordinal (enumeration order).
         self.tpmi = list(precoding_mod.enumerate_pmis(ntx, rank)).index(fields)
         self.pmi_fields = fields
+
+
+# ---------------------------------------------------------------------------
+# Measurement gaps
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class MeasGapConfig:
+    """Per-UE measurement gap pattern (TS 38.133 table 9.1.2-1 shapes;
+    reference: lib/scheduler's meas-gap gating of the schedulable set —
+    during a gap the UE retunes for inter-frequency measurements and can
+    neither monitor PDCCH nor transmit/receive)."""
+
+    mgrp_ms: int = 40        # gap repetition period
+    mgl_ms: float = 6.0      # gap length (1.5 / 3 / 3.5 / 4 / 5.5 / 6)
+    gap_offset_ms: int = 0   # offset of the gap start within the period
+
+
+class MeasGapController:
+    """Slot-level in-gap predicate for one UE (scs-aware)."""
+
+    def __init__(self, cfg: MeasGapConfig | None, scs_mu: int = 1):
+        self.cfg = cfg
+        n = 1 << scs_mu  # slots per ms
+        if cfg is not None:
+            self.period = cfg.mgrp_ms * n
+            self.start = cfg.gap_offset_ms * n
+            import math
+
+            self.length = math.ceil(cfg.mgl_ms * n)
+
+    def in_gap(self, slot_count: int) -> bool:
+        if self.cfg is None:
+            return False
+        m = slot_count % self.period
+        if self.start + self.length <= self.period:
+            return self.start <= m < self.start + self.length
+        # Gap wraps the period boundary.
+        return m >= self.start or m < (self.start + self.length) % self.period
+
+    def is_schedulable(self, slot_count: int) -> bool:
+        return not self.in_gap(slot_count)

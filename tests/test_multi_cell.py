@@ -129,3 +129,25 @@ def test_carrier_aggregation_grants_on_both_carriers():
     import pytest as _pytest
     with _pytest.raises(AssertionError):
         msched.move_ue(0x40, 2)
+
+
+def test_measurement_gaps_gate_scheduling():
+    """UEs with a measurement-gap config get NO grants during their gaps
+    and resume after (reference meas-gap gating of the schedulable set)."""
+    from srsran_project_tpu.l2sim.scheduler import RoundRobinScheduler
+    from srsran_project_tpu.l2sim.ue_context_loops import MeasGapConfig
+
+    cfg = SchedulerConfig(nof_rb=24, nof_grid_sc=288, max_ues_per_slot=2,
+                          meas_gap=MeasGapConfig(mgrp_ms=20, mgl_ms=6.0,
+                                                 gap_offset_ms=0))
+    sched = RoundRobinScheduler(cfg)
+    sched.add_ue(0x50, mcs=4)
+    rng = np.random.default_rng(7)
+    granted = []
+    # mu=1: period 40 slots, gap covers slots 0..11 of each period.
+    for i in range(48):
+        _dl, _tx, _ul, grants = sched.run_slot(_slot(i), rng)
+        granted.append(bool(grants))
+    assert not any(granted[0:12]), "granted inside the gap"
+    assert any(granted[12:40]), "never granted outside the gap"
+    assert not any(granted[40:48]), "granted inside the second gap"
