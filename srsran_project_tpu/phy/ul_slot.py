@@ -6,7 +6,7 @@ MCS/allocation widths plus PUCCH occasions, and the per-PDU work is
 dispatched into a task pool.  On the TPU tunnel every dispatched program
 costs 30-90 ms, so the TPU-native shape is the opposite: ONE compiled
 front-end program covers EVERY PUSCH grant in the slot — mixed configs
-included — with PUCCH F1 detection folded into the same program, and the
+included — with PUCCH F0/F1/F2 occasions folded into the same program, and the
 LDPC decode batches all grants' codeblocks per (base-graph, lifting-size)
 group.  An 8-UE slot with 3 distinct configs + PUCCH runs in
 
@@ -46,8 +46,8 @@ from .sch import _dematch_stage, _desegment_stage
                    static_argnames=("cfgs", "f1_cfgs", "f0_cfgs", "f2_cfgs"))
 def _slot_front(grid, rntis_g, sc0_g, rbank_g, harq_g, cfgs, f1_cfgs,
                 f0_cfgs=(), f2_cfgs=()):
-    """One compiled program: batched front end + rate dematch for every
-    config group, plus PUCCH F1 detection.
+    """One compiled program: batched front end + rate dematch + in-slot
+    UCI demultiplex for every config group, plus PUCCH F0/F1/F2.
 
     cfgs: tuple[PuschConfig] (crb_start-normalized, one per group);
     rntis_g/sc0_g/rbank_g/harq_g: per-group stacked arrays (harq may be
